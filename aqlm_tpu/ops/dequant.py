@@ -1,0 +1,147 @@
+"""Core AQLM representation and reference (pure-jnp) dequantization.
+
+This is the TPU-native analogue of the reference's
+``_dequantize_weight`` (/root/reference/src/utils.py:64-91, implemented there
+with ``F.embedding_bag(mode="sum")``) and of the packed-code utilities
+(/root/reference/inference_lib/src/aqlm/utils.py:11-41).
+
+Everything here is pure ``jnp`` with static shapes — it serves three roles:
+1. the semantic definition every fast Pallas kernel is tested against
+   (the reference uses its fallback kernel the same way,
+   /root/reference/inference_lib/src/aqlm/inference_kernels/dequantization.py:9-21),
+2. the slow-but-always-correct fallback compute path,
+3. the differentiable path used by the calibration engine (gradients flow
+   into codebooks and scales; codes are integer leaves).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from aqlm_tpu.config import AqlmScheme
+
+__all__ = [
+    "AqlmWeight",
+    "dequantize_weight",
+    "aqlm_matmul_reference",
+    "random_aqlm_weight",
+]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["codes", "codebooks", "scales", "bias"],
+    meta_fields=["scheme"],
+)
+@dataclasses.dataclass
+class AqlmWeight:
+    """One quantized linear weight as a JAX pytree.
+
+    Attributes:
+      codes:     uint8/uint16 ``[num_out_groups, num_in_groups, num_codebooks]``
+      codebooks: float ``[num_codebooks, codebook_size, out_group_size, in_group_size]``
+      scales:    float ``[num_out_groups]`` (per-output-group scale; reference keeps
+                 it as ``[og, 1, 1, 1]``, we keep it flat)
+      bias:      optional float ``[out_features]``
+      scheme:    static AqlmScheme (pytree metadata, safe under jit)
+    """
+
+    codes: jax.Array
+    codebooks: jax.Array
+    scales: jax.Array
+    bias: jax.Array | None
+    scheme: AqlmScheme
+
+    @property
+    def out_features(self) -> int:
+        return self.codes.shape[0] * self.scheme.out_group_size
+
+    @property
+    def in_features(self) -> int:
+        return self.codes.shape[1] * self.scheme.in_group_size
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.out_features, self.in_features)
+
+    def astype(self, dtype) -> "AqlmWeight":
+        return AqlmWeight(
+            codes=self.codes,
+            codebooks=self.codebooks.astype(dtype),
+            scales=self.scales.astype(dtype),
+            bias=None if self.bias is None else self.bias.astype(dtype),
+            scheme=self.scheme,
+        )
+
+
+def dequantize_weight(w: AqlmWeight, dtype=None) -> jax.Array:
+    """Reconstruct the dense weight ``[out_features, in_features]``.
+
+    W[og*o, ig*i] = scales[og] * sum_k codebooks[k, codes[og, ig, k], o, i]
+    """
+    scheme = w.scheme
+    og, ig, k = w.codes.shape
+    o, i = scheme.out_group_size, scheme.in_group_size
+    codes = w.codes.astype(jnp.int32)
+    cb = w.codebooks  # [k, S, o, i]
+    idx = codes.transpose(2, 0, 1).reshape(k, og * ig, 1, 1)  # [k, og*ig, 1, 1]
+    groups = jnp.take_along_axis(cb, idx, axis=1)  # [k, og*ig, o, i]
+    groups = groups.sum(axis=0).reshape(og, ig, o, i)
+    weight = groups * w.scales.reshape(og, 1, 1, 1).astype(groups.dtype)
+    weight = weight.transpose(0, 2, 1, 3).reshape(og * o, ig * i)
+    if dtype is not None:
+        weight = weight.astype(dtype)
+    return weight
+
+
+def aqlm_matmul_reference(x: jax.Array, w: AqlmWeight) -> jax.Array:
+    """y = x @ W^T + b  — the fallback 'dequantize then matmul' path.
+
+    Mirrors /root/reference/.../dequantization.py:9-21 (``dequantize_gemm``).
+    Used as the correctness oracle for all Pallas kernels and as the compute
+    path for schemes the fast kernels don't specialize.
+    """
+    weight = dequantize_weight(w, dtype=x.dtype)
+    y = jnp.einsum("...i,oi->...o", x, weight, preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype)
+    if w.bias is not None:
+        y = y + w.bias.astype(y.dtype)
+    return y
+
+
+def random_aqlm_weight(
+    key: jax.Array,
+    scheme: AqlmScheme,
+    out_features: int,
+    in_features: int,
+    dtype=jnp.float32,
+    with_bias: bool = False,
+) -> AqlmWeight:
+    """Random weight for tests/benchmarks (codes uniform, codebooks normal)."""
+    scheme.check_features(out_features, in_features)
+    k_codes, k_cb, k_scale, k_bias = jax.random.split(key, 4)
+    codes = jax.random.randint(
+        k_codes,
+        scheme.codes_shape(out_features, in_features),
+        0,
+        scheme.codebook_size,
+        dtype=jnp.int32,
+    ).astype(scheme.code_dtype)
+    codebooks = (
+        jax.random.normal(k_cb, scheme.codebooks_shape(), dtype=jnp.float32)
+        / (scheme.num_codebooks * scheme.group_numel) ** 0.5
+    ).astype(dtype)
+    num_out_groups = out_features // scheme.out_group_size
+    scales = jax.random.uniform(
+        k_scale, (num_out_groups,), dtype=jnp.float32, minval=0.5, maxval=1.5
+    ).astype(dtype)
+    bias = (
+        jax.random.normal(k_bias, (out_features,), dtype=dtype) * 0.01
+        if with_bias
+        else None
+    )
+    return AqlmWeight(codes=codes, codebooks=codebooks, scales=scales, bias=bias, scheme=scheme)

@@ -1,0 +1,27 @@
+"""Test config: run everything on a simulated 8-device CPU mesh.
+
+Tests must run without TPU hardware; Pallas kernels run in interpret mode
+(the kernel wrappers auto-detect the CPU backend). Multi-chip sharding tests
+use the 8 virtual CPU devices.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
