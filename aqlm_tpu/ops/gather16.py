@@ -1,0 +1,75 @@
+"""Codes-resident matmul for 16-bit codebooks (1x16 schemes) — "memory mode".
+
+v5e's gather engine moves ~2.4 wide rows/cycle but only ~0.09 narrow rows/cycle
+(NOTES.md), so the 65536-entry codebook is packed into 128-lane rows (16 g=8
+entries per row). Dequant = wide-row gather by the code's high bits + a
+static roll/select ladder to extract the entry by the low bits. This is the
+TPU replacement for Code1x16MatVec's warp-gather
+(/root/reference/.../cuda_kernel.cu:7-95); exact, ~15-25x slower than dense
+decode — the price of 2.2-bit HBM residency on this hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["pack_codebook_rows", "gather_matmul_16", "dequantize_gather16"]
+
+
+def pack_codebook_rows(codebook: jax.Array, group: int) -> jax.Array:
+    """[S, group] -> [S*group/128, 128] row-packed table (bf16)."""
+    s = codebook.shape[0]
+    per_row = 128 // group
+    assert s % per_row == 0
+    return codebook.reshape(s * group // 128, 128).astype(jnp.bfloat16)
+
+
+def _dequant_rows(codes, packed_cb, group: int):
+    """codes [*ANY] int32 -> entries [*ANY, group] via wide-row gather."""
+    per_row = 128 // group
+    rows = jnp.take(packed_cb, codes // per_row, axis=0)  # [..., 128]
+    off = (codes % per_row) * group
+    shift = group
+    while shift < 128:
+        rows = jnp.where(
+            ((off & shift) != 0)[..., None], jnp.roll(rows, -shift, axis=-1), rows
+        )
+        shift *= 2
+    return rows[..., :group]
+
+
+@functools.partial(jax.jit, static_argnames=("group", "chunk"))
+def _dequant_weight_16(codes, packed_cb, scales, *, group, chunk=256):
+    """codes [OUT, IG] -> W [OUT, IN] bf16, chunked over OUT to bound memory."""
+    out_features, ig = codes.shape
+
+    def one_chunk(c):
+        w = _dequant_rows(c.astype(jnp.int32), packed_cb, group)
+        return w.reshape(c.shape[0], ig * group)
+
+    n_chunks = out_features // chunk if out_features % chunk == 0 else 1
+    if n_chunks > 1:
+        w = jax.lax.map(one_chunk, codes.reshape(n_chunks, chunk, ig))
+        w = w.reshape(out_features, ig * group)
+    else:
+        w = one_chunk(codes)
+    return w * scales[:, None].astype(w.dtype)
+
+
+def dequantize_gather16(codes, packed_cb, scales, *, group: int):
+    """Materialize dense W [OUT, IN] bf16 from 16-bit codes."""
+    return _dequant_weight_16(codes, packed_cb, scales, group=group)
+
+
+def gather_matmul_16(x, codes, packed_cb, scales, bias=None, *, group: int):
+    """y = x @ dequant(codes)^T * scales + bias (weights never persist)."""
+    w = _dequant_weight_16(codes, packed_cb, scales, group=group)
+    y = jnp.einsum(
+        "...i,oi->...o", x, w.astype(x.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y

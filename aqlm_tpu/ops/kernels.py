@@ -1,0 +1,173 @@
+"""Pallas TPU kernels: fused one-hot dequant-matmul for <=8-bit codebooks.
+
+TPU-native replacement for the reference CUDA kernels
+(/root/reference/inference_lib/src/aqlm/inference_kernels/cuda_kernel.cu —
+Code2x8MatVec :144-233, CodeKx8MatVec :296-390). The GPU kernels gather
+codebook rows from shared memory; v5e has no fast gather (see NOTES.md), so
+we dequantize on the MXU instead: a one-hot of the codes times the codebook
+is an exact gather expressed as a matmul (the TPU analogue of the LUT-GEMM
+strategy in numba_kernel.py:38-48).
+
+Layout: codes are stored TRANSPOSED `[num_codebooks, IG, OUT]` so the MXU
+consumes W^T tiles without relayouts (x @ W^T contracts W^T's leading axis).
+Scale/bias epilogue is applied on the output (per-out-channel), matching the
+cpp wrapper epilogue (cuda_kernel.cpp:95-111) but fused by XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_onehot_matmul", "dequantize_onehot", "should_interpret"]
+
+
+def should_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _pick_tile(n: int, target: int) -> int:
+    """Largest divisor of n that is <= target."""
+    t = min(target, n)
+    while n % t:
+        t -= 1
+    return t
+
+
+def _onehot_dequant_wt(codes_t, codebooks, ig_tile, tn, group, nbooks, s):
+    """Dequantize a W^T tile [ig_tile*group, tn] from transposed codes.
+
+    codes_t: [nbooks, ig_tile, tn] int32
+    codebooks: [nbooks, s, group]
+    """
+    tk = ig_tile * group
+    wt = jnp.zeros((tk, tn), jnp.float32)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (ig_tile, tn, s), 2)
+    for k in range(nbooks):
+        onehot = (codes_t[k][:, :, None] == iota_s).astype(jnp.bfloat16)  # [ig, tn, s]
+        # [ig*tn, s] @ [s, group] -> [ig, tn, group]
+        g = jax.lax.dot_general(
+            onehot.reshape(ig_tile * tn, s),
+            codebooks[k].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ig_tile, tn, group)
+        wt = wt + g.transpose(0, 2, 1).reshape(tk, tn)
+    return wt
+
+
+def _fused_kernel(codes_ref, cb_ref, x_ref, out_ref, acc_ref, *, group, nbooks, s):
+    """grid = (out_tiles, b_tiles, k_tiles); k innermost accumulates."""
+    ig_tile, tn = codes_ref.shape[1], codes_ref.shape[2]
+    wt = _onehot_dequant_wt(
+        codes_ref[:].astype(jnp.int32), cb_ref[:], ig_tile, tn, group, nbooks, s
+    ).astype(jnp.bfloat16)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], wt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def _fused_call(x, codes_t, codebooks, *, group, interpret):
+    nbooks, ig, out_features = codes_t.shape
+    s = codebooks.shape[1]
+    b = x.shape[0]
+    in_features = ig * group
+
+    tn = _pick_tile(out_features, 128)
+    # one-hot tile [tig, tn, s] bf16 must stay ~<=2 MiB of VMEM
+    tig = _pick_tile(ig, max(1, 2 ** 21 // (tn * s * 2)))
+    tb = _pick_tile(b, 256)
+    grid = (out_features // tn, b // tb, ig // tig)
+
+    kernel = functools.partial(_fused_kernel, group=group, nbooks=nbooks, s=s)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (nbooks, tig, tn), lambda o, bt, k: (0, k, o), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tb, tig * group), lambda o, bt, k: (bt, k), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((tb, tn), lambda o, bt, k: (bt, o), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, out_features), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tb, tn), jnp.float32)],
+        interpret=interpret,
+    )(codes_t, codebooks, x)
+
+
+def fused_onehot_matmul(x, codes_t, codebooks, scales, bias=None, *, group: int):
+    """y = x @ dequant(codes)^T * scales + bias, codes-resident, nbits<=8.
+
+    x: [..., in_features] (any leading dims); codes_t: [K, IG, OUT] uint8;
+    codebooks: [K, S<=256, group]; scales: [OUT]; bias: [OUT] or None.
+    """
+    lead = x.shape[:-1]
+    in_features = x.shape[-1]
+    xb = x.reshape(-1, in_features)
+    y = _fused_call(
+        xb, codes_t, codebooks, group=group, interpret=should_interpret()
+    )
+    y = y * scales[None, :].astype(y.dtype)
+    if bias is not None:
+        y = y + bias[None, :].astype(y.dtype)
+    return y.reshape(*lead, -1)
+
+
+# ---------------------------------------------------------------------------
+# standalone dequant (for prefill two-step and transcoding on device)
+# ---------------------------------------------------------------------------
+
+
+def _dequant_kernel(codes_ref, cb_ref, out_ref, *, group, nbooks, s):
+    ig_tile, tn = codes_ref.shape[1], codes_ref.shape[2]
+    out_ref[:] = _onehot_dequant_wt(
+        codes_ref[:].astype(jnp.int32), cb_ref[:], ig_tile, tn, group, nbooks, s
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "dtype", "interpret"))
+def _dequant_call(codes_t, codebooks, *, group, dtype, interpret):
+    nbooks, ig, out_features = codes_t.shape
+    s = codebooks.shape[1]
+    tn = _pick_tile(out_features, 128)
+    tig = _pick_tile(ig, max(1, 2 ** 21 // (tn * s * 2)))
+    kernel = functools.partial(_dequant_kernel, group=group, nbooks=nbooks, s=s)
+    return pl.pallas_call(
+        kernel,
+        grid=(ig // tig, out_features // tn),
+        in_specs=[
+            pl.BlockSpec((nbooks, tig, tn), lambda i, o: (0, i, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tig * group, tn), lambda i, o: (i, o), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ig * group, out_features), dtype),
+        interpret=interpret,
+    )(codes_t, codebooks)
+
+
+def dequantize_onehot(codes_t, codebooks, scales, *, group: int, dtype=jnp.bfloat16):
+    """Materialize W^T [in_features, out_features] via the one-hot MXU path."""
+    wt = _dequant_call(
+        codes_t, codebooks, group=group, dtype=jnp.float32, interpret=should_interpret()
+    )
+    return (wt * scales[None, :].astype(wt.dtype)).astype(dtype)
