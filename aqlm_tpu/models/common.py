@@ -1,0 +1,95 @@
+"""Shared model components: linear wrapper, RMSNorm, RoPE, GQA attention.
+
+Pure functions over parameter pytrees — no module framework. Sharding is
+applied externally (NamedSharding on the params pytree + jit); everything
+here must therefore be shape-polymorphic in batch/sequence and free of
+data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from aqlm_tpu.ops.runtime import QuantizedLinear, quantized_matmul
+
+__all__ = ["DenseLinear", "apply_linear", "rms_norm", "rope", "attention", "make_causal_mask"]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["weight", "bias"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class DenseLinear:
+    """Unquantized linear: weight [OUT, IN] (torch convention), optional bias."""
+
+    weight: jax.Array
+    bias: jax.Array | None
+
+    @property
+    def out_features(self):
+        return self.weight.shape[0]
+
+
+def apply_linear(x: jax.Array, lin) -> jax.Array:
+    """x [..., IN] @ W^T for either a DenseLinear or a QuantizedLinear."""
+    if isinstance(lin, QuantizedLinear):
+        return quantized_matmul(x, lin)
+    y = jnp.einsum(
+        "...i,oi->...o", x, lin.weight.astype(x.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    if lin.bias is not None:
+        y = y + lin.bias.astype(y.dtype)
+    return y
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-5, plus_one: bool = False) -> jax.Array:
+    """RMSNorm in f32 (matches HF Llama); gemma uses (1 + w) via plus_one."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    w = weight.astype(jnp.float32)
+    if plus_one:
+        w = 1.0 + w
+    return (xf * w).astype(x.dtype)
+
+
+def rope(q: jax.Array, k: jax.Array, positions: jax.Array, theta: float = 10000.0):
+    """Rotary embeddings, HF 'half-split' layout. q,k: [B, T, H, D]."""
+    d = q.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B, T, D/2]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+
+    def rot(x):
+        x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+        return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+    return rot(q).astype(q.dtype), rot(k).astype(k.dtype)
+
+
+def make_causal_mask(q_positions: jax.Array, k_positions: jax.Array) -> jax.Array:
+    """[B, 1, Tq, Tk] boolean mask: query may attend to keys with pos <= its own."""
+    return (k_positions[:, None, None, :] <= q_positions[:, None, :, None])
+
+
+def attention(q, k, v, mask, *, scale: float | None = None):
+    """GQA attention. q: [B,Tq,Hq,D], k/v: [B,Tk,Hkv,D], mask: [B,1,Tq,Tk] bool."""
+    b, tq, hq, d = q.shape
+    hkv = k.shape[2]
+    rep = hq // hkv
+    if scale is None:
+        scale = d ** -0.5
+    qf = q.astype(jnp.float32) * scale
+    qf = qf.reshape(b, tq, hkv, rep, d)
+    logits = jnp.einsum("bqhrd,bkhd->bhrqk", qf, k.astype(jnp.float32))
+    logits = jnp.where(mask[:, :, None, :, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhrqk,bkhd->bqhrd", probs, v.astype(jnp.float32))
+    return out.reshape(b, tq, hq, d).astype(q.dtype)

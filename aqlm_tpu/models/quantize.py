@@ -1,0 +1,54 @@
+"""Model-level quantization plumbing: swap dense projections for
+QuantizedLinear, mirroring the reference's layer swap (main.py:272-283) and
+its skip-list convention (`linear_weights_not_to_quantize` — embeddings and
+lm_head stay dense, convert_to_hf.py:90-100)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from aqlm_tpu.config import AqlmScheme
+from aqlm_tpu.models.common import DenseLinear
+from aqlm_tpu.models.llama import QUANTIZABLE_PROJS, ModelConfig
+from aqlm_tpu.ops.dequant import AqlmWeight, random_aqlm_weight
+from aqlm_tpu.ops.runtime import QuantizedLinear
+
+__all__ = ["random_quantized_params", "map_quantized_linears", "swap_in_quantized"]
+
+
+def random_quantized_params(
+    key, cfg: ModelConfig, scheme: AqlmScheme, mode: str = "codes", dtype=jnp.bfloat16
+) -> dict:
+    """Random model with quantized projections (benchmarks / smoke tests)."""
+    from aqlm_tpu.models.llama import init_random_params
+
+    params = init_random_params(key, cfg, dtype=dtype)
+    keys = jax.random.split(key, cfg.num_layers * len(QUANTIZABLE_PROJS))
+    ki = 0
+    for layer in params["layers"]:
+        for name in QUANTIZABLE_PROJS:
+            dense: DenseLinear = layer[name]
+            out_f, in_f = dense.weight.shape
+            if out_f % scheme.out_group_size or in_f % scheme.in_group_size:
+                ki += 1
+                continue
+            w = random_aqlm_weight(keys[ki], scheme, out_f, in_f, dtype=jnp.float32)
+            layer[name] = QuantizedLinear.from_aqlm(w, mode=mode)
+            ki += 1
+    return params
+
+
+def map_quantized_linears(params: dict, fn):
+    """Apply fn(layer_idx, name, qlin) -> qlin to every QuantizedLinear."""
+    for li, layer in enumerate(params["layers"]):
+        for name in QUANTIZABLE_PROJS:
+            if isinstance(layer.get(name), QuantizedLinear):
+                layer[name] = fn(li, name, layer[name])
+    return params
+
+
+def swap_in_quantized(params: dict, layer_idx: int, name: str, w: AqlmWeight, mode: str):
+    """Replace one projection with a freshly quantized weight."""
+    params["layers"][layer_idx][name] = QuantizedLinear.from_aqlm(w, mode=mode)
+    return params
