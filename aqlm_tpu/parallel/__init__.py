@@ -1,0 +1,19 @@
+"""Mesh construction and sharding specs (TP/DP over ICI+DCN)."""
+
+from aqlm_tpu.parallel.mesh import (
+    COLUMN_PARALLEL,
+    ROW_PARALLEL,
+    kv_cache_specs,
+    make_mesh,
+    model_param_specs,
+    shard_params,
+)
+
+__all__ = [
+    "COLUMN_PARALLEL",
+    "ROW_PARALLEL",
+    "kv_cache_specs",
+    "make_mesh",
+    "model_param_specs",
+    "shard_params",
+]

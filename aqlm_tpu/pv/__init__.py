@@ -1,0 +1,21 @@
+"""PV-tuning: distillation losses, continuous-param trainer, straight-through code updates."""
+
+from aqlm_tpu.pv.losses import chunked_kl_loss, cross_entropy_loss, kl_divergence_loss
+from aqlm_tpu.pv.trainer import (
+    TrainState,
+    init_train_state,
+    make_distill_step,
+    merge_trainable,
+    split_trainable,
+)
+
+__all__ = [
+    "chunked_kl_loss",
+    "cross_entropy_loss",
+    "kl_divergence_loss",
+    "TrainState",
+    "init_train_state",
+    "make_distill_step",
+    "merge_trainable",
+    "split_trainable",
+]

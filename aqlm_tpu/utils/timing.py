@@ -18,28 +18,47 @@ import jax.numpy as jnp
 __all__ = ["chain_time", "dispatch_time"]
 
 
-def chain_time(step_fn, init, n_steps: int = 50, n_repeats: int = 3, warmup: int = 1):
+def chain_time(
+    step_fn, init, n_steps: int = 50, n_repeats: int = 3, warmup: int = 1, consts=None
+):
     """Median per-step device time of ``step_fn`` chained ``n_steps`` times.
 
-    ``step_fn(carry) -> carry`` must return the same pytree structure/shape
-    as its input so iterations are data-dependent (prevents hoisting).
+    ``step_fn(carry[, consts]) -> carry`` must return the same pytree
+    structure/shape as its input so iterations are data-dependent (prevents
+    hoisting). Large weights MUST be passed via ``consts`` (a pytree handed
+    to the jit as an argument) — if the step closes over them they are
+    embedded as HLO constants and uploaded with the program, which both
+    overstates VMEM residency and blows the remote-compile request limit.
     """
 
     @partial(jax.jit, static_argnames=("n",))
-    def run(x, n):
-        return jax.lax.fori_loop(0, n, lambda i, c: step_fn(c), x)
+    def run(x, cs, n):
+        if consts is None:
+            body = lambda i, c: step_fn(c)
+        else:
+            body = lambda i, c: step_fn(c, cs)
+        out = jax.lax.fori_loop(0, n, body, x)
+        # Scalar checksum: jax.block_until_ready does NOT actually block
+        # through the axon tunnel — only fetching a value does. Reducing to a
+        # scalar keeps the transfer constant-size (subtracted via the n=0
+        # baseline below).
+        leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "dtype")]
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+    def fetch(n):
+        return float(jax.device_get(run(init, consts, n)))
 
     # compile BOTH variants before timing anything
-    jax.block_until_ready(run(init, n_steps))
-    jax.block_until_ready(run(init, 0))
+    fetch(n_steps)
+    fetch(0)
     for _ in range(warmup):
-        jax.block_until_ready(run(init, n_steps))
+        fetch(n_steps)
 
     def measure(n):
         ts = []
         for _ in range(n_repeats):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(init, n))
+            fetch(n)
             ts.append(time.perf_counter() - t0)
         ts.sort()
         return ts[len(ts) // 2]
@@ -50,11 +69,15 @@ def chain_time(step_fn, init, n_steps: int = 50, n_repeats: int = 3, warmup: int
 
 
 def dispatch_time(fn, *args, iters: int = 30):
-    """Wall-clock per call including dispatch — for end-to-end latency checks."""
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Wall-clock per call including dispatch — for end-to-end latency checks.
+
+    The final output is fetched (not just block_until_ready'd, which is a
+    no-op through the axon tunnel) so the measurement covers real completion
+    of all queued calls.
+    """
+    jax.device_get(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    jax.device_get(out)
     return (time.perf_counter() - t0) / iters

@@ -7,8 +7,10 @@ use the 8 virtual CPU devices.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force CPU even when the
+# environment points JAX at real TPU hardware (JAX_PLATFORMS=axon): the test
+# suite must be hermetic; kernels run in interpret mode.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin ignores JAX_PLATFORMS from the environment; the config
+# update after import is what actually pins the backend to CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import pytest  # noqa: E402
