@@ -1,0 +1,24 @@
+"""Calibration pipeline: XTX capture, k-means init, beam search, per-layer engine."""
+
+from aqlm_tpu.calib.beam_search_xtx import beam_search_optimal_codes, channelwise_squared_error
+from aqlm_tpu.calib.engine import (
+    CalibConfig,
+    XTXAccumulator,
+    compute_mse,
+    init_quantized_weight,
+    quantize_weight,
+)
+from aqlm_tpu.calib.kmeans import find_nearest_cluster, fit_kmeans, fit_kmeans_1d
+
+__all__ = [
+    "beam_search_optimal_codes",
+    "channelwise_squared_error",
+    "CalibConfig",
+    "XTXAccumulator",
+    "compute_mse",
+    "init_quantized_weight",
+    "quantize_weight",
+    "find_nearest_cluster",
+    "fit_kmeans",
+    "fit_kmeans_1d",
+]
