@@ -1,6 +1,13 @@
 """PV-tuning: distillation losses, continuous-param trainer, straight-through code updates."""
 
 from aqlm_tpu.pv.losses import chunked_kl_loss, cross_entropy_loss, kl_divergence_loss
+from aqlm_tpu.pv.straight_through import (
+    PVConfig,
+    PVState,
+    init_pv_state,
+    make_pv_step,
+    pv_code_update,
+)
 from aqlm_tpu.pv.trainer import (
     TrainState,
     init_train_state,
@@ -10,6 +17,11 @@ from aqlm_tpu.pv.trainer import (
 )
 
 __all__ = [
+    "PVConfig",
+    "PVState",
+    "init_pv_state",
+    "make_pv_step",
+    "pv_code_update",
     "chunked_kl_loss",
     "cross_entropy_loss",
     "kl_divergence_loss",

@@ -1,0 +1,220 @@
+"""Straight-through PV-tuning: the full P+V alternating update.
+
+Functional JAX redesign of StraightThroughAdamW
+(/root/reference/src/pv_optimizer.py:22-424). One PV step does exactly what
+the reference's optimizer.step() does (:213-222):
+
+1. gradient pass: the loss sees each quantized projection through
+   W_eff = dequant(codes, codebooks, scales) + (st_buffer - stop_grad(st_buffer))
+   so dL/d(st_buffer) equals dL/d(dequantized weight) — the straight-through
+   estimator (:275-306) — while codebooks/scales receive their chain-rule
+   gradients through the dequantization;
+2. Adam updates the continuous params and the straight-through buffers;
+3. the V step: codes <- L2 beam search toward the updated buffer, with
+   max_code_change / trust-ratio / temperature / force-update constraints
+   (:309-343);
+4. delta-decay mixing: buffer <- delta * dequant(new codes) + (1-delta) * buffer
+   (:344-348).
+
+Instead of FSDP grad-gather + isend/irecv weight scatter (:378-409), the
+params and buffers live on the ("data", "model") mesh and XLA SPMD moves the
+bytes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from aqlm_tpu.calib.beam_search_l2 import beam_search_optimal_codes_l2
+from aqlm_tpu.models import llama
+from aqlm_tpu.models.common import DenseLinear
+from aqlm_tpu.models.llama import QUANTIZABLE_PROJS
+from aqlm_tpu.ops.dequant import AqlmWeight, dequantize_weight
+from aqlm_tpu.ops.runtime import QuantizedLinear
+from aqlm_tpu.pv.losses import kl_divergence_loss
+from aqlm_tpu.pv.trainer import merge_trainable, split_trainable
+
+__all__ = ["PVConfig", "PVState", "init_pv_state", "make_pv_step", "pv_code_update"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PVConfig:
+    """PV hyperparameters; names follow the reference CLI
+    (/root/reference/finetune.py:190-467 add_finetuning_args)."""
+
+    lr: float = 1e-4  # continuous params (codebooks, scales, non-quantized)
+    code_lr: float = 1e-3  # straight-through buffer learning rate
+    beam_size: int = 1
+    delta_decay: float = 0.0
+    max_code_change_per_step: float = 1e-2
+    code_trust_ratio: float | None = None
+    code_selection_temperature: float = 0.0
+    force_code_update: bool = False
+    stochastic_rounding_tau: float = 0.0
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["trainable", "frozen", "st_buffers", "cont_opt_state", "st_opt_state", "step"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class PVState:
+    trainable: Any
+    frozen: Any
+    st_buffers: Any  # [layers] of {proj_name: [out, in] f32}
+    cont_opt_state: Any
+    st_opt_state: Any
+    step: jax.Array
+
+
+def _quantized_weight_of(q: QuantizedLinear) -> AqlmWeight:
+    assert q.mode == "reference", "PV-tuning operates on reference-mode params"
+    return AqlmWeight(codes=q.codes, codebooks=q.codebooks, scales=q.scales, bias=q.bias, scheme=q.scheme)
+
+
+def _st_init(params: dict):
+    buffers = []
+    for layer in params["layers"]:
+        entry = {}
+        for name in QUANTIZABLE_PROJS:
+            lin = layer.get(name)
+            if isinstance(lin, QuantizedLinear):
+                entry[name] = dequantize_weight(_quantized_weight_of(lin), dtype=jnp.float32)
+        buffers.append(entry)
+    return buffers
+
+
+def materialize_st_params(params: dict, st_buffers) -> dict:
+    """Swap quantized projections for DenseLinear(W_eff) with the ST trick."""
+    out = dict(params)
+    layers = []
+    for layer, bufs in zip(params["layers"], st_buffers):
+        new_layer = dict(layer)
+        for name, st in bufs.items():
+            q: QuantizedLinear = layer[name]
+            w = dequantize_weight(_quantized_weight_of(q), dtype=jnp.float32)
+            w_eff = w + (st - jax.lax.stop_gradient(st))
+            new_layer[name] = DenseLinear(weight=w_eff, bias=q.bias)
+        layers.append(new_layer)
+    out["layers"] = layers
+    return out
+
+
+def init_pv_state(
+    params: dict, cont_opt: optax.GradientTransformation, st_opt: optax.GradientTransformation
+) -> PVState:
+    trainable, frozen = split_trainable(params)
+    st = _st_init(params)
+    return PVState(
+        trainable=trainable,
+        frozen=frozen,
+        st_buffers=st,
+        cont_opt_state=cont_opt.init(trainable),
+        st_opt_state=st_opt.init(st),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_pv_step(
+    student_cfg: llama.ModelConfig,
+    teacher_cfg: llama.ModelConfig,
+    pv: PVConfig,
+    *,
+    forward_fn=llama.forward,
+):
+    """Returns (grad_step, code_step).
+
+    grad_step: jittable — KL loss, grads, Adam on continuous + ST buffers.
+    code_step: host loop over quantized weights — jitted L2 beam search per
+      projection + delta-decay buffer mixing (discrete updates stay out of
+      the differentiable program, like the reference separates super().step()
+      from _optimize_quantized_weights).
+    """
+    cont_opt = optax.adamw(pv.lr, b1=0.9, b2=0.95)
+    st_opt = optax.adam(pv.code_lr, b1=0.9, b2=0.95)
+
+    def loss_fn(trainable, st, frozen, teacher_params, input_ids, mask):
+        params = merge_trainable(trainable, frozen)
+        eff = materialize_st_params(params, st)
+        student_logits, _ = forward_fn(eff, student_cfg, input_ids)
+        teacher_logits, _ = forward_fn(teacher_params, teacher_cfg, input_ids)
+        return kl_divergence_loss(student_logits, jax.lax.stop_gradient(teacher_logits), mask)
+
+    def grad_step(state: PVState, teacher_params, input_ids, mask=None):
+        loss, (g_tr, g_st) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            state.trainable, state.st_buffers, state.frozen, teacher_params, input_ids, mask
+        )
+        upd_tr, cont_opt_state = cont_opt.update(g_tr, state.cont_opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, upd_tr)
+        upd_st, st_opt_state = st_opt.update(g_st, state.st_opt_state, state.st_buffers)
+        st = optax.apply_updates(state.st_buffers, upd_st)
+        return (
+            PVState(
+                trainable=trainable,
+                frozen=state.frozen,
+                st_buffers=st,
+                cont_opt_state=cont_opt_state,
+                st_opt_state=st_opt_state,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    def code_step(state: PVState, key: jax.Array) -> PVState:
+        return pv_code_update(state, pv, key)
+
+    return grad_step, code_step
+
+
+def pv_code_update(state: PVState, pv: PVConfig, key: jax.Array) -> PVState:
+    """The V step: beam-search codes toward each ST buffer, then delta-mix."""
+    params = merge_trainable(state.trainable, state.frozen)
+    new_frozen = jax.tree.map(lambda x: x, state.frozen, is_leaf=lambda x: x is None)
+    new_st = []
+    for li, (layer, bufs) in enumerate(zip(params["layers"], state.st_buffers)):
+        entry = {}
+        for name, st in bufs.items():
+            q: QuantizedLinear = layer[name]
+            key, sub = jax.random.split(key)
+            new_codes = beam_search_optimal_codes_l2(
+                st,
+                q.codebooks,
+                q.codes,
+                q.scales,
+                beam_size=pv.beam_size,
+                stochastic_rounding_tau=pv.stochastic_rounding_tau,
+                force_update=pv.force_code_update,
+                max_update_fraction=pv.max_code_change_per_step,
+                code_selection_temperature=pv.code_selection_temperature,
+                trust_ratio=pv.code_trust_ratio,
+                key=sub,
+            )
+            new_frozen["layers"][li][name] = dataclasses.replace(
+                new_frozen["layers"][li][name], codes=new_codes
+            )
+            if pv.delta_decay != 0:
+                w_new = dequantize_weight(
+                    AqlmWeight(
+                        codes=new_codes, codebooks=q.codebooks, scales=q.scales,
+                        bias=None, scheme=q.scheme,
+                    ),
+                    dtype=jnp.float32,
+                )
+                st = pv.delta_decay * w_new + (1.0 - pv.delta_decay) * st
+            entry[name] = st
+        new_st.append(entry)
+    return PVState(
+        trainable=state.trainable,
+        frozen=new_frozen,
+        st_buffers=new_st,
+        cont_opt_state=state.cont_opt_state,
+        st_opt_state=state.st_opt_state,
+        step=state.step,
+    )
