@@ -1,6 +1,9 @@
 """Calibration pipeline: XTX capture, k-means init, beam search, per-layer engine."""
 
+from aqlm_tpu.calib.beam_search_l2 import beam_search_optimal_codes_l2, find_optimal_codebooks
 from aqlm_tpu.calib.beam_search_xtx import beam_search_optimal_codes, channelwise_squared_error
+from aqlm_tpu.calib.blockwise import BlockFinetuneConfig, finetune_block
+from aqlm_tpu.calib.pipeline import QuantizePipelineConfig, SEQUENTIAL_GROUPS, quantize_model
 from aqlm_tpu.calib.engine import (
     CalibConfig,
     XTXAccumulator,
@@ -11,6 +14,13 @@ from aqlm_tpu.calib.engine import (
 from aqlm_tpu.calib.kmeans import find_nearest_cluster, fit_kmeans, fit_kmeans_1d
 
 __all__ = [
+    "beam_search_optimal_codes_l2",
+    "find_optimal_codebooks",
+    "BlockFinetuneConfig",
+    "finetune_block",
+    "QuantizePipelineConfig",
+    "SEQUENTIAL_GROUPS",
+    "quantize_model",
     "beam_search_optimal_codes",
     "channelwise_squared_error",
     "CalibConfig",

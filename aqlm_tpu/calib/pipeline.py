@@ -1,0 +1,194 @@
+"""Layer-streamed model quantization driver.
+
+TPU-native rebuild of quantize_aq (/root/reference/main.py:165-370): stream
+activations layer by layer through the transformer; per block, capture X^T X
+for every projection (plus the block's pre-quantization outputs as finetune
+targets, main.py:463-467), quantize each projection with the AQ engine, swap
+in reference-mode QuantizedLinear, optionally finetune the block against its
+FP outputs, then propagate activations through the quantized block
+(update_outs, main.py:525-551) and move on.
+
+Differences from the reference:
+- activation capture uses `block_forward_with_taps` (functional taps instead
+  of module wrappers, cf. main.py:454-483's note that hooks are buggy);
+- no ping-pong buffers or device juggling — hidden states are one array that
+  gets replaced per layer; shard its batch axis on the mesh for data-parallel
+  calibration (the psum over XTX happens inside XTXAccumulator.add when the
+  inputs are sharded);
+- resume checkpoints are .npz per layer instead of pickled modules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aqlm_tpu.calib.blockwise import BlockFinetuneConfig, finetune_block
+from aqlm_tpu.calib.engine import CalibConfig, XTXAccumulator, quantize_weight
+from aqlm_tpu.config import AqlmScheme
+from aqlm_tpu.io.checkpoint import load_layer_checkpoint, save_layer_checkpoint
+from aqlm_tpu.models import llama
+from aqlm_tpu.models.common import DenseLinear
+from aqlm_tpu.models.llama import QUANTIZABLE_PROJS, ModelConfig
+from aqlm_tpu.ops.dequant import AqlmWeight
+from aqlm_tpu.ops.runtime import QuantizedLinear
+
+__all__ = ["QuantizePipelineConfig", "quantize_model", "SEQUENTIAL_GROUPS"]
+
+# the reference's true-sequential group order (src/modelutils.py:159-176)
+SEQUENTIAL_GROUPS = (
+    ("q_proj", "k_proj", "v_proj"),
+    ("o_proj",),
+    ("up_proj", "gate_proj"),
+    ("down_proj",),
+)
+
+
+@dataclasses.dataclass
+class QuantizePipelineConfig:
+    scheme: AqlmScheme = dataclasses.field(default_factory=lambda: AqlmScheme(1, 16, 8))
+    calib: CalibConfig = dataclasses.field(default_factory=CalibConfig)
+    finetune: BlockFinetuneConfig | None = dataclasses.field(default_factory=BlockFinetuneConfig)
+    true_sequential: bool = False
+    batch_size: int = 4  # samples per activation-capture forward
+    skip_names: tuple = ()  # projections to keep dense (e.g. mixtral .gate handled upstream)
+    save_dir: str | None = None
+    resume: bool = False
+    verbose: bool = True
+
+
+def _capture_taps(layer, cfg, hidden, positions, names, batch_size):
+    """One pass over all samples: accumulate XTX per tap + block outputs."""
+    taps_fn = jax.jit(
+        lambda x, lyr: llama.block_forward_with_taps(x, lyr, cfg, positions)
+    )
+    accs = {}
+    outs = []
+    for start in range(0, hidden.shape[0], batch_size):
+        xb = hidden[start : start + batch_size]
+        out, taps = taps_fn(xb, layer)
+        outs.append(out)
+        for name in names:
+            if name not in accs:
+                accs[name] = XTXAccumulator.zeros(taps[name].shape[-1])
+            accs[name] = accs[name].add(taps[name])
+    return accs, jnp.concatenate(outs, axis=0)
+
+
+def _propagate(layer, cfg, hidden, positions, batch_size):
+    fwd = jax.jit(lambda x, lyr: llama.block_forward_with_taps(x, lyr, cfg, positions)[0])
+    outs = [
+        fwd(hidden[s : s + batch_size], layer) for s in range(0, hidden.shape[0], batch_size)
+    ]
+    return jnp.concatenate(outs, axis=0)
+
+
+def quantize_model(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids: jax.Array,  # [nsamples, seqlen] calibration sequences
+    pipeline: QuantizePipelineConfig,
+    *,
+    val_input_ids: jax.Array | None = None,
+) -> tuple[dict, dict]:
+    """Quantize every block projection of a llama-family model in place.
+
+    Returns (params with QuantizedLinear projections in "reference" mode,
+    stats: per-layer out_loss / avg bits).
+    """
+    scheme = pipeline.scheme
+    seqlen = input_ids.shape[1]
+    positions = jnp.arange(seqlen)[None, :]
+
+    # layer-0 inputs: embedding lookup (the reference's Catcher, main.py:64-161)
+    def embed(ids):
+        x = jnp.take(params["embed"], ids, axis=0)
+        if cfg.gemma_norm:
+            x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+        return x
+
+    hidden = embed(input_ids)
+    val_hidden = embed(val_input_ids) if val_input_ids is not None else None
+
+    groups = SEQUENTIAL_GROUPS if pipeline.true_sequential else (QUANTIZABLE_PROJS,)
+    stats = {"out_loss": [], "avg_bits": None}
+    total_bits = 0.0
+    total_params = 0
+
+    for li, layer in enumerate(params["layers"]):
+        if pipeline.resume and pipeline.save_dir:
+            loaded = load_layer_checkpoint(pipeline.save_dir, li, scheme)
+            if loaded is not None:
+                params["layers"][li] = layer = loaded
+                hidden = _propagate(layer, cfg, hidden, positions, pipeline.batch_size)
+                if val_hidden is not None:
+                    val_hidden = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size)
+                if pipeline.verbose:
+                    print(f"layer {li}: loaded from checkpoint")
+                continue
+
+        val_targets = None
+        targets = None
+        if val_hidden is not None:
+            val_targets = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size)
+
+        for names in groups:
+            names = tuple(
+                n
+                for n in names
+                if n not in pipeline.skip_names and isinstance(layer.get(n), DenseLinear)
+            )
+            if not names:
+                continue
+            accs, targets = _capture_taps(
+                layer, cfg, hidden, positions, names, pipeline.batch_size
+            )
+            for name in names:
+                dense: DenseLinear = layer[name]
+                ref_w = dense.weight.astype(jnp.float32)
+                qw, wstats = quantize_weight(ref_w, accs[name].mean, scheme, pipeline.calib)
+                qw = AqlmWeight(
+                    codes=qw.codes, codebooks=qw.codebooks, scales=qw.scales,
+                    bias=dense.bias, scheme=scheme,
+                )
+                layer[name] = QuantizedLinear.from_aqlm(qw, mode="reference")
+                bits = scheme.estimate_nbits_per_parameter(*ref_w.shape)
+                total_bits += bits * ref_w.size
+                total_params += ref_w.size
+                if pipeline.verbose:
+                    print(
+                        f"layer {li} {name}: mse={wstats['final_mse']:.3e} "
+                        f"bits/param={bits:.3f}"
+                    )
+
+            if pipeline.finetune is not None and pipeline.finetune.max_epochs > 0:
+                layer = finetune_block(
+                    layer, cfg, hidden, targets, pipeline.finetune,
+                    valid_inps=val_hidden, valid_outs=val_targets,
+                )
+                params["layers"][li] = layer
+
+        new_hidden = _propagate(layer, cfg, hidden, positions, pipeline.batch_size)
+        # relative out loss vs the (last group's) pre-quantization targets
+        out_loss = float("nan")
+        if targets is not None:
+            out_loss = float(
+                jnp.mean((new_hidden.astype(jnp.float32) - targets.astype(jnp.float32)) ** 2)
+                / jnp.clip(jnp.mean(new_hidden.astype(jnp.float32) ** 2), 1e-6)
+            )
+        stats["out_loss"].append(out_loss)
+        hidden = new_hidden
+        if val_hidden is not None:
+            val_hidden = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size)
+
+        if pipeline.save_dir:
+            save_layer_checkpoint(pipeline.save_dir, li, layer)
+        if pipeline.verbose:
+            print(f"layer {li}: out_loss={out_loss:.3e}")
+
+    stats["avg_bits"] = total_bits / max(total_params, 1)
+    return params, stats

@@ -188,6 +188,39 @@ def _block(x, layer, cfg: ModelConfig, positions, kv, cache_positions, kv_len_ma
     return x, new_kv
 
 
+def block_forward_with_taps(x, layer, cfg: ModelConfig, positions):
+    """One block forward that also returns each projection's INPUT activation.
+
+    The calibration pipeline accumulates X^T X from these taps — the
+    functional equivalent of the reference's _LayerWrapperThatAccumulatesXTX
+    (/root/reference/main.py:454-483, used instead of forward hooks).
+    Returns (block_output, taps) where taps[name] feeds layer[name].
+    """
+    b, t, h = x.shape
+    d = cfg.dim_per_head
+    taps = {}
+    res = x
+    xn = rms_norm(x, layer["input_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+    taps["q_proj"] = taps["k_proj"] = taps["v_proj"] = xn
+    q = apply_linear(xn, layer["q_proj"]).reshape(b, t, cfg.num_heads, d)
+    k = apply_linear(xn, layer["k_proj"]).reshape(b, t, cfg.num_kv_heads, d)
+    v = apply_linear(xn, layer["v_proj"]).reshape(b, t, cfg.num_kv_heads, d)
+    q, k = rope(q, k, positions, cfg.rope_theta)
+    attn = attention(q, k, v, make_causal_mask(positions, positions)).reshape(b, t, -1)
+    taps["o_proj"] = attn
+    x = res + apply_linear(attn, layer["o_proj"])
+
+    res = x
+    xn = rms_norm(x, layer["post_attn_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+    taps["gate_proj"] = taps["up_proj"] = xn
+    gate = apply_linear(xn, layer["gate_proj"])
+    up = apply_linear(xn, layer["up_proj"])
+    mlp_in = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+    taps["down_proj"] = mlp_in
+    x = res + apply_linear(mlp_in, layer["down_proj"])
+    return x, taps
+
+
 def forward(
     params: dict,
     cfg: ModelConfig,
