@@ -1,0 +1,196 @@
+"""Scan-over-layers model execution + quantizable KV cache — the serving form.
+
+The list-of-layers `llama.forward` unrolls every block into the XLA program
+(fine for calibration, where blocks are processed one at a time, but an
+80-layer unroll compiles for minutes). For serving, identical blocks are
+stacked into one pytree with a leading layer axis and executed with
+`lax.scan`: compile time is O(1) in depth, and the weights stream through
+the same program — the TPU analogue of the reference's CUDA-graph serving
+path (/root/reference/notebooks/aqlm_cuda_graph.ipynb, README.md:23).
+
+The KV cache is a preallocated [L, B, max_len, H_kv, D] ring with optional
+int8 storage + per-(token, head) scales — the INT8 KV-cache item from
+BASELINE.json's north star (the reference delegates KV handling to HF).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from aqlm_tpu.models import llama
+from aqlm_tpu.models.common import apply_linear, attention, make_causal_mask, rms_norm, rope
+
+__all__ = ["KVCache", "stack_layer_params", "forward_stacked", "init_kv_cache"]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k", "v", "k_scale", "v_scale"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class KVCache:
+    """Stacked KV cache. k/v: [L, B, max_len, H_kv, D] (bf16 or int8);
+    scales: [L, B, max_len, H_kv] f32 when int8, else None."""
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: jax.Array | None
+    v_scale: jax.Array | None
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k.dtype == jnp.int8
+
+
+def init_kv_cache(
+    cfg: llama.ModelConfig, batch: int, max_len: int, *, dtype=jnp.bfloat16, quantized: bool = False
+) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.dim_per_head)
+    if quantized:
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+        )
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype), k_scale=None, v_scale=None)
+
+
+def stack_layer_params(params: dict) -> dict:
+    """Stack the per-layer param list into one pytree with a leading L axis.
+
+    Requires homogeneous layers (same structure/modes) — true for whole-model
+    quantization; mixed-precision models keep the unrolled path.
+    """
+    layers = params["layers"]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {**params, "layers": stacked}
+
+
+def _quantize_kv(x: jax.Array):
+    """[B, T, H, D] -> int8 values + per-(token, head) scale."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # [B, T, H]
+    scale = amax / 127.0
+    q = jnp.round(x.astype(jnp.float32) / jnp.maximum(scale, 1e-8)[..., None]).astype(jnp.int8)
+    return q, scale
+
+
+def _dequantize_kv(q: jax.Array, scale: jax.Array, dtype):
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
+def forward_stacked(
+    params: dict,
+    cfg: llama.ModelConfig,
+    input_ids: jax.Array,
+    *,
+    cache: KVCache | None = None,
+    cache_offset: jax.Array | int = 0,
+    positions: jax.Array | None = None,
+):
+    """Causal LM forward over stacked layers. Returns (logits, new_cache).
+
+    With a cache: writes K/V at [cache_offset, cache_offset+T) and attends
+    over positions <= current. Shapes are static; `cache_offset` may be a
+    traced scalar (decode loop friendly).
+    """
+    b, t = input_ids.shape
+    offsets = jnp.broadcast_to(jnp.asarray(cache_offset), (b,))  # per-row cache offsets
+    if positions is None:
+        positions = offsets[:, None] + jnp.arange(t)[None, :]
+    positions = jnp.broadcast_to(positions, (b, t))
+
+    def write_rows(buf, new):  # [B, S, ...] <- [B, T, ...] at per-row offsets
+        return jax.vmap(
+            lambda c, x, off: jax.lax.dynamic_update_slice_in_dim(c, x, off, axis=0)
+        )(buf, new, offsets)
+
+    x = jnp.take(params["embed"], input_ids, axis=0)
+    if cfg.gemma_norm:
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+
+    d = cfg.dim_per_head
+
+    if cache is not None:
+        key_pos = jnp.broadcast_to(jnp.arange(cache.max_len)[None, :], (b, cache.max_len))
+        mask = make_causal_mask(positions, key_pos)
+    else:
+        mask = make_causal_mask(positions, positions)
+
+    def block(x, scan_in):
+        layer, kv = scan_in
+        res = x
+        xn = rms_norm(x, layer["input_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+        q = apply_linear(xn, layer["q_proj"]).reshape(b, t, cfg.num_heads, d)
+        k = apply_linear(xn, layer["k_proj"]).reshape(b, t, cfg.num_kv_heads, d)
+        v = apply_linear(xn, layer["v_proj"]).reshape(b, t, cfg.num_kv_heads, d)
+        q, k = rope(q, k, positions, cfg.rope_theta)
+
+        new_kv = None
+        if kv is not None:
+            if len(kv) == 4:  # int8
+                k_c, v_c, ks_c, vs_c = kv
+                k8, ks = _quantize_kv(k)
+                v8, vs = _quantize_kv(v)
+                k_c = write_rows(k_c, k8)
+                v_c = write_rows(v_c, v8)
+                ks_c = write_rows(ks_c, ks)
+                vs_c = write_rows(vs_c, vs)
+                k_all = _dequantize_kv(k_c, ks_c, q.dtype)
+                v_all = _dequantize_kv(v_c, vs_c, q.dtype)
+                new_kv = (k_c, v_c, ks_c, vs_c)
+            else:
+                k_c, v_c = kv
+                k_c = write_rows(k_c, k.astype(k_c.dtype))
+                v_c = write_rows(v_c, v.astype(v_c.dtype))
+                k_all, v_all = k_c.astype(q.dtype), v_c.astype(q.dtype)
+                new_kv = (k_c, v_c)
+            attn = attention(q, k_all, v_all, mask)
+        else:
+            attn = attention(q, k, v, mask)
+
+        x = res + apply_linear(attn.reshape(b, t, -1), layer["o_proj"])
+        res = x
+        xn = rms_norm(x, layer["post_attn_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+        gate = apply_linear(xn, layer["gate_proj"])
+        up = apply_linear(xn, layer["up_proj"])
+        x = res + apply_linear(
+            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up, layer["down_proj"]
+        )
+        return x, new_kv
+
+    if cache is not None:
+        kv_in = (
+            (cache.k, cache.v, cache.k_scale, cache.v_scale)
+            if cache.quantized
+            else (cache.k, cache.v)
+        )
+        x, kv_out = jax.lax.scan(block, x, (params["layers"], kv_in))
+        if cache.quantized:
+            new_cache = KVCache(k=kv_out[0], v=kv_out[1], k_scale=kv_out[2], v_scale=kv_out[3])
+        else:
+            new_cache = KVCache(k=kv_out[0], v=kv_out[1], k_scale=None, v_scale=None)
+    else:
+        x, _ = jax.lax.scan(lambda c, l: block(c, (l, None)), x, params["layers"])
+        new_cache = None
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+    if params.get("lm_head") is not None:
+        logits = apply_linear(x, params["lm_head"])
+    else:
+        logits = jnp.einsum(
+            "bth,vh->btv", x, params["embed"].astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    if cfg.logit_softcap:
+        c = cfg.logit_softcap
+        logits = (jnp.tanh(logits.astype(jnp.float32) / c) * c).astype(x.dtype)
+    return logits, new_cache

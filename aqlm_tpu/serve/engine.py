@@ -1,0 +1,213 @@
+"""Continuous-batching decode engine.
+
+The serving layer the reference lacks (SURVEY.md §1: "no server/scheduler
+layer — serving is delegated to HF model.generate and vLLM"). Design:
+
+- one compiled decode step for the whole slot batch (scan-over-layers model,
+  donated KV cache — the XLA equivalent of the reference's CUDA-graph static
+  cache trick, notebooks/aqlm_cuda_graph.ipynb);
+- per-request prefill into a free slot, bucketed by prompt length so only a
+  handful of prefill programs ever compile;
+- requests join/leave the batch between steps (continuous batching); sampling
+  params are per-slot traced arrays, so heterogeneous requests share the step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aqlm_tpu.models import llama
+from aqlm_tpu.models.stacked import KVCache, forward_stacked, init_kv_cache, stack_layer_params
+from aqlm_tpu.serve.sampler import SamplingParams, sample_tokens
+
+__all__ = ["ServeConfig", "Engine", "Request"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeConfig:
+    max_batch: int = 4
+    max_len: int = 2048
+    prefill_buckets: tuple = (64, 256, 1024)
+    kv_quantized: bool = False  # int8 KV cache
+    top_k: int = 0  # static top-k bound for the sampler
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: np.ndarray
+    sampling: SamplingParams
+    generated: list = dataclasses.field(default_factory=list)
+    slot: int | None = None
+    done: bool = False
+
+
+class Engine:
+    """Continuous-batching engine over any params runtime mode.
+
+    params: llama-family params (projections dense or QuantizedLinear in any
+    mode); they are stacked once at construction.
+    """
+
+    def __init__(self, params: dict, cfg: llama.ModelConfig, serve: ServeConfig = ServeConfig()):
+        self.cfg = cfg
+        self.serve = serve
+        self.params = stack_layer_params(params)
+        self.cache = init_kv_cache(
+            cfg, serve.max_batch, serve.max_len, quantized=serve.kv_quantized
+        )
+        self._free_slots = deque(range(serve.max_batch))
+        self._active: dict[int, Request] = {}
+        self._pending: deque[Request] = deque()
+        self._next_rid = 0
+        self._offsets = np.zeros(serve.max_batch, np.int32)  # next write position per slot
+        self._last_token = np.zeros(serve.max_batch, np.int32)
+        self._temps = np.zeros(serve.max_batch, np.float32)
+        self._top_ps = np.ones(serve.max_batch, np.float32)
+        self._budgets = np.zeros(serve.max_batch, np.int32)
+        self._key = jax.random.PRNGKey(0)
+
+        B = serve.max_batch
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def decode_step(params, cache: KVCache, tokens, offsets, key, temps, top_ps):
+            logits, cache = forward_stacked(
+                params, cfg, tokens, cache=cache, cache_offset=offsets
+            )
+            next_tokens = sample_tokens(
+                logits[:, -1, :], key, temps, top_ps, top_k=serve.top_k
+            )
+            return next_tokens, cache
+
+        self._decode = decode_step
+        self._prefill_fns = {}
+
+    def _bucket(self, n: int) -> int:
+        for b in self.serve.prefill_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt length {n} exceeds the largest prefill bucket")
+
+    def _get_prefill(self, bucket: int):
+        if bucket in self._prefill_fns:
+            return self._prefill_fns[bucket]
+        cfg, serve = self.cfg, self.serve
+
+        @partial(jax.jit, donate_argnums=(1,), static_argnames=())
+        def prefill(params, cache: KVCache, ids, slot, true_len, key, temp, top_p):
+            """Prefill one request (batch 1, padded to `bucket`) into `slot`."""
+            # slice this slot's cache rows (batch of 1)
+            take = lambda x: jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=1) if x is not None else None
+            slot_cache = KVCache(
+                k=take(cache.k), v=take(cache.v),
+                k_scale=take(cache.k_scale), v_scale=take(cache.v_scale),
+            )
+            logits, slot_cache = forward_stacked(
+                params, cfg, ids[None, :], cache=slot_cache, cache_offset=jnp.zeros((1,), jnp.int32)
+            )
+            put = lambda full, part: (
+                jax.lax.dynamic_update_slice_in_dim(full, part, slot, axis=1)
+                if full is not None
+                else None
+            )
+            cache = KVCache(
+                k=put(cache.k, slot_cache.k), v=put(cache.v, slot_cache.v),
+                k_scale=put(cache.k_scale, slot_cache.k_scale),
+                v_scale=put(cache.v_scale, slot_cache.v_scale),
+            )
+            last_logits = jax.lax.dynamic_slice_in_dim(logits[0], true_len - 1, 1, axis=0)
+            tok = sample_tokens(
+                last_logits, key, temp[None], top_p[None], top_k=serve.top_k
+            )[0]
+            return tok, cache
+
+        self._prefill_fns[bucket] = prefill
+        return prefill
+
+    # ---- public API --------------------------------------------------------
+
+    def submit(self, prompt_ids, sampling: SamplingParams = SamplingParams()) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        req = Request(rid=rid, prompt=np.asarray(prompt_ids, np.int32), sampling=sampling)
+        self._pending.append(req)
+        return rid
+
+    def _admit(self):
+        while self._pending and self._free_slots:
+            req = self._pending.popleft()
+            slot = self._free_slots.popleft()
+            req.slot = slot
+            bucket = self._bucket(len(req.prompt))
+            ids = np.zeros(bucket, np.int32)
+            ids[: len(req.prompt)] = req.prompt
+            self._key, sub = jax.random.split(self._key)
+            prefill = self._get_prefill(bucket)
+            tok, self.cache = prefill(
+                self.params, self.cache, jnp.asarray(ids), slot,
+                len(req.prompt), sub,
+                jnp.float32(req.sampling.temperature), jnp.float32(req.sampling.top_p),
+            )
+            tok = int(tok)
+            req.generated.append(tok)
+            self._active[slot] = req
+            self._offsets[slot] = len(req.prompt)
+            self._last_token[slot] = tok
+            self._temps[slot] = req.sampling.temperature
+            self._top_ps[slot] = req.sampling.top_p
+            self._budgets[slot] = req.sampling.max_new_tokens - 1
+            self._maybe_finish(slot)
+
+    def _maybe_finish(self, slot: int):
+        req = self._active.get(slot)
+        if req is None:
+            return
+        eos = req.sampling.eos_token_id
+        if self._budgets[slot] <= 0 or (eos is not None and req.generated and req.generated[-1] == eos):
+            req.done = True
+            del self._active[slot]
+            self._free_slots.append(slot)
+
+    def step(self) -> dict:
+        """Admit pending requests, run one batched decode step.
+        Returns {rid: new_token} for tokens produced this step."""
+        self._admit()
+        if not self._active:
+            return {}
+        self._key, sub = jax.random.split(self._key)
+        tokens, self.cache = self._decode(
+            self.params,
+            self.cache,
+            jnp.asarray(self._last_token[:, None]),
+            jnp.asarray(self._offsets),
+            sub,
+            jnp.asarray(self._temps),
+            jnp.asarray(self._top_ps),
+        )
+        tokens = np.asarray(tokens)
+        emitted = {}
+        for slot, req in list(self._active.items()):
+            tok = int(tokens[slot])
+            req.generated.append(tok)
+            emitted[req.rid] = tok
+            self._offsets[slot] += 1
+            self._last_token[slot] = tok
+            self._budgets[slot] -= 1
+            if self._offsets[slot] >= self.serve.max_len - 1:
+                self._budgets[slot] = 0
+            self._maybe_finish(slot)
+        return emitted
+
+    def generate(self, prompts, sampling: SamplingParams = SamplingParams()) -> list:
+        """Blocking batch generate: returns a list of generated-token lists."""
+        rids = [self.submit(p, sampling) for p in prompts]
+        by_rid = {r.rid: r for r in self._pending if r.rid in set(rids)}
+        while self._pending or self._active:
+            self.step()
+        return [by_rid[rid].generated for rid in rids]

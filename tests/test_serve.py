@@ -1,0 +1,127 @@
+"""Serving tests: stacked forward == unrolled forward, KV-cache decode ==
+full-context forward, int8 KV sanity, sampler semantics, and the continuous
+batching engine against a straightforward reference decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aqlm_tpu.config import SCHEME_2X8
+from aqlm_tpu.models import llama
+from aqlm_tpu.models.quantize import random_quantized_params
+from aqlm_tpu.models.stacked import forward_stacked, init_kv_cache, stack_layer_params
+from aqlm_tpu.serve import Engine, SamplingParams, ServeConfig, sample_tokens
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.ModelConfig.tiny(num_layers=2)
+    params = llama.init_random_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    return cfg, params
+
+
+def test_stacked_matches_unrolled(setup):
+    cfg, params = setup
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, cfg.vocab_size)
+    ref, _ = llama.forward(params, cfg, ids)
+    stacked = stack_layer_params(params)
+    got, _ = forward_stacked(stacked, cfg, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_stacked_quantized_params(setup):
+    cfg, _ = setup
+    qparams = random_quantized_params(jax.random.PRNGKey(2), cfg, SCHEME_2X8, mode="reference")
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, cfg.vocab_size)
+    ref, _ = llama.forward(qparams, cfg, ids)
+    got, _ = forward_stacked(stack_layer_params(qparams), cfg, ids)
+    # bf16 params: scan and unrolled programs round differently at bf16 ULP
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=0.06, rtol=0.05
+    )
+
+
+@pytest.mark.parametrize("quantized_kv", [False, True])
+def test_cached_decode_matches_full_forward(setup, quantized_kv):
+    cfg, params = setup
+    stacked = stack_layer_params(params)
+    t = 10
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, t), 0, cfg.vocab_size)
+
+    full_logits, _ = forward_stacked(stacked, cfg, ids)
+
+    cache = init_kv_cache(cfg, 1, 32, quantized=quantized_kv)
+    # prefill first 6, then decode one at a time
+    logits, cache = forward_stacked(
+        stacked, cfg, ids[:, :6], cache=cache, cache_offset=jnp.zeros((1,), jnp.int32)
+    )
+    step_logits = [logits[:, i] for i in range(6)]
+    for pos in range(6, t):
+        logits, cache = forward_stacked(
+            stacked, cfg, ids[:, pos : pos + 1], cache=cache,
+            cache_offset=jnp.full((1,), pos, jnp.int32),
+        )
+        step_logits.append(logits[:, 0])
+    got = jnp.stack(step_logits, axis=1)
+    # padded-cache attention sums in a different order than the exact-length
+    # forward; int8 KV additionally quantizes -> looser bound
+    atol = 0.3 if quantized_kv else 0.03
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(full_logits, np.float32), atol=atol, rtol=0.05
+    )
+
+
+def test_sampler_greedy_and_topp(key):
+    logits = jnp.asarray([[1.0, 5.0, 2.0, 0.0], [0.1, 0.2, 9.0, 8.9]])
+    toks = sample_tokens(logits, key, jnp.zeros(2), jnp.ones(2))
+    np.testing.assert_array_equal(np.asarray(toks), [1, 2])
+    # top_p=tiny -> only the argmax survives even at high temperature
+    toks = sample_tokens(logits, key, jnp.full(2, 5.0), jnp.full(2, 1e-6))
+    np.testing.assert_array_equal(np.asarray(toks), [1, 2])
+    # top_k=1 same
+    toks = sample_tokens(logits, key, jnp.full(2, 5.0), jnp.ones(2), top_k=1)
+    np.testing.assert_array_equal(np.asarray(toks), [1, 2])
+
+
+def test_engine_matches_manual_greedy(setup):
+    cfg, params = setup
+    engine = Engine(params, cfg, ServeConfig(max_batch=2, max_len=64, prefill_buckets=(8, 16)))
+    prompt = np.asarray([3, 17, 5, 9], np.int32)
+    out = engine.generate([prompt], SamplingParams(max_new_tokens=6))[0]
+    assert len(out) == 6
+
+    # manual greedy decode with the plain forward
+    ids = list(prompt)
+    manual = []
+    for _ in range(6):
+        logits, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32)[None, :])
+        tok = int(jnp.argmax(logits[0, -1]))
+        manual.append(tok)
+        ids.append(tok)
+    assert out == manual, (out, manual)
+
+
+def test_engine_continuous_batching(setup):
+    cfg, params = setup
+    engine = Engine(params, cfg, ServeConfig(max_batch=2, max_len=64, prefill_buckets=(8,)))
+    prompts = [np.asarray([1, 2, 3], np.int32), np.asarray([7, 8], np.int32),
+               np.asarray([4, 4, 4, 4], np.int32)]  # 3 requests, 2 slots
+    outs = engine.generate(prompts, SamplingParams(max_new_tokens=4))
+    assert [len(o) for o in outs] == [4, 4, 4]
+    # each prompt's output equals its solo run (batching must not cross-talk)
+    for p, o in zip(prompts, outs):
+        solo_engine = Engine(params, cfg, ServeConfig(max_batch=1, max_len=64, prefill_buckets=(8,)))
+        solo = solo_engine.generate([p], SamplingParams(max_new_tokens=4))[0]
+        assert o == solo, (o, solo)
+
+
+def test_engine_eos_stops(setup):
+    cfg, params = setup
+    engine = Engine(params, cfg, ServeConfig(max_batch=1, max_len=64, prefill_buckets=(8,)))
+    prompt = np.asarray([3, 17, 5, 9], np.int32)
+    ref = engine.generate([prompt], SamplingParams(max_new_tokens=8))[0]
+    eos = ref[2]
+    engine2 = Engine(params, cfg, ServeConfig(max_batch=1, max_len=64, prefill_buckets=(8,)))
+    out = engine2.generate([prompt], SamplingParams(max_new_tokens=8, eos_token_id=eos))[0]
+    assert out == ref[:3]
