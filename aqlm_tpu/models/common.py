@@ -14,7 +14,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from aqlm_tpu.ops.runtime import QuantizedLinear, quantized_matmul
+from aqlm_tpu.ops.runtime import (
+    IndexedQuantizedLinear,
+    QuantizedLinear,
+    quantized_matmul,
+    quantized_matmul_indexed,
+)
 
 __all__ = ["DenseLinear", "apply_linear", "rms_norm", "rope", "attention", "make_causal_mask"]
 
@@ -37,7 +42,9 @@ class DenseLinear:
 
 
 def apply_linear(x: jax.Array, lin) -> jax.Array:
-    """x [..., IN] @ W^T for either a DenseLinear or a QuantizedLinear."""
+    """x [..., IN] @ W^T for a DenseLinear, QuantizedLinear, or indexed view."""
+    if isinstance(lin, IndexedQuantizedLinear):
+        return quantized_matmul_indexed(x, lin)
     if isinstance(lin, QuantizedLinear):
         return quantized_matmul(x, lin)
     y = jnp.einsum(

