@@ -6,10 +6,18 @@ from aqlm_tpu.io.checkpoint import (
     save_layer_checkpoint,
     save_quantized_model,
 )
+from aqlm_tpu.io.hf_import import (
+    export_hf_aqlm_state_dict,
+    load_hf_aqlm_checkpoint,
+    model_config_from_hf,
+)
 
 __all__ = [
     "load_layer_checkpoint",
     "load_quantized_model",
     "save_layer_checkpoint",
     "save_quantized_model",
+    "export_hf_aqlm_state_dict",
+    "load_hf_aqlm_checkpoint",
+    "model_config_from_hf",
 ]

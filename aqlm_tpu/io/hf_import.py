@@ -1,0 +1,208 @@
+"""Import/export of HF-hub AQLM checkpoints (ISTA-DASLab/*-AQLM-*).
+
+Import reads the format written by the reference's converter
+(/root/reference/convert_to_hf.py:50-100): per-projection tensors
+`<prefix>.{codes,codebooks,scales,bias}` with codes packed into the smallest
+SIGNED int dtype (unsigned semantics restored via mod 2^nbits,
+/root/reference/inference_lib/src/aqlm/utils.py:23-31), plus a
+`quantization_config` block in config.json. Export writes the same layout so
+checkpoints produced here load in the reference's `aqlm` pip package.
+
+torch (CPU) is used only as a (de)serializer for .bin files; safetensors
+loads via its numpy API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from aqlm_tpu.config import AqlmScheme
+from aqlm_tpu.models.common import DenseLinear
+from aqlm_tpu.models.llama import ModelConfig
+from aqlm_tpu.ops.dequant import AqlmWeight
+from aqlm_tpu.ops.runtime import QuantizedLinear
+
+__all__ = ["load_hf_aqlm_checkpoint", "export_hf_aqlm_state_dict", "model_config_from_hf"]
+
+_PROJ_MAP = {
+    "q_proj": "self_attn.q_proj",
+    "k_proj": "self_attn.k_proj",
+    "v_proj": "self_attn.v_proj",
+    "o_proj": "self_attn.o_proj",
+    "gate_proj": "mlp.gate_proj",
+    "up_proj": "mlp.up_proj",
+    "down_proj": "mlp.down_proj",
+}
+
+
+def unpack_codes(codes: np.ndarray, nbits: int) -> np.ndarray:
+    """Signed-storage -> unsigned codes (reference utils.py:34-36)."""
+    return (codes.astype(np.int64) % (2 ** nbits)).astype(np.uint16 if nbits > 8 else np.uint8)
+
+
+def pack_codes(codes: np.ndarray, nbits: int) -> np.ndarray:
+    """Unsigned codes -> smallest signed dtype (reference utils.py:28-31)."""
+    c = codes.astype(np.int64)
+    c = np.where(c >= 2 ** (nbits - 1), c - 2 ** nbits, c)
+    return c.astype(np.int8 if nbits <= 8 else np.int16)
+
+
+def _load_state_dict(path: str) -> dict:
+    """All tensors from a HF checkpoint dir (safetensors and/or .bin, sharded ok)."""
+    tensors = {}
+    files = sorted(os.listdir(path))
+    st_files = [f for f in files if f.endswith(".safetensors")]
+    bin_files = [f for f in files if f.endswith(".bin") and "pytorch_model" in f]
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(os.path.join(path, f), framework="np") as sf:
+                for k in sf.keys():
+                    tensors[k] = sf.get_tensor(k)
+    elif bin_files:
+        import torch
+
+        for f in bin_files:
+            sd = torch.load(os.path.join(path, f), map_location="cpu", weights_only=True)
+            for k, v in sd.items():
+                t = v
+                if t.dtype == torch.bfloat16:
+                    t = t.float()
+                tensors[k] = t.numpy()
+    else:
+        raise FileNotFoundError(f"no .safetensors or pytorch_model*.bin in {path}")
+    return tensors
+
+
+def model_config_from_hf(hf_config: dict) -> ModelConfig:
+    """Map a HF config.json (llama/mistral/qwen2/gemma family) to ModelConfig."""
+    mt = hf_config.get("model_type", "llama")
+    return ModelConfig(
+        vocab_size=hf_config["vocab_size"],
+        hidden_size=hf_config["hidden_size"],
+        intermediate_size=hf_config["intermediate_size"],
+        num_layers=hf_config["num_hidden_layers"],
+        num_heads=hf_config["num_attention_heads"],
+        num_kv_heads=hf_config.get("num_key_value_heads", hf_config["num_attention_heads"]),
+        head_dim=hf_config.get("head_dim"),
+        rope_theta=hf_config.get("rope_theta", 10000.0),
+        rms_eps=hf_config.get("rms_norm_eps", 1e-5),
+        tie_embeddings=hf_config.get("tie_word_embeddings", False),
+        attention_bias=hf_config.get("attention_bias", mt == "qwen2"),
+        gemma_norm=mt == "gemma",
+        max_position_embeddings=hf_config.get("max_position_embeddings", 4096),
+    )
+
+
+def load_hf_aqlm_checkpoint(
+    path: str, *, mode: str = "reference", dtype=jnp.float32
+) -> tuple[dict, ModelConfig, AqlmScheme]:
+    """Load an HF-format AQLM checkpoint directory into a params pytree.
+
+    Returns (params, model config, scheme). `mode` picks the runtime layout
+    for the quantized projections.
+    """
+    with open(os.path.join(path, "config.json")) as f:
+        hf_config = json.load(f)
+    qcfg = hf_config["quantization_config"]
+    assert qcfg["quant_method"] == "aqlm", qcfg
+    scheme = AqlmScheme(
+        num_codebooks=qcfg["num_codebooks"],
+        nbits_per_codebook=qcfg["nbits_per_codebook"],
+        in_group_size=qcfg["in_group_size"],
+        out_group_size=qcfg["out_group_size"],
+    )
+    cfg = model_config_from_hf(hf_config)
+    sd = _load_state_dict(path)
+
+    def arr(key, dt=dtype):
+        return jnp.asarray(np.asarray(sd[key], np.float32), dt)
+
+    params = {
+        "embed": arr("model.embed_tokens.weight"),
+        "final_norm": arr("model.norm.weight"),
+        "lm_head": None
+        if cfg.tie_embeddings or "lm_head.weight" not in sd
+        else DenseLinear(weight=arr("lm_head.weight"), bias=None),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        layer = {
+            "input_norm": arr(f"{p}.input_layernorm.weight"),
+            "post_attn_norm": arr(f"{p}.post_attention_layernorm.weight"),
+        }
+        for ours, hf in _PROJ_MAP.items():
+            base = f"{p}.{hf}"
+            if f"{base}.codes" in sd:
+                codes = unpack_codes(np.asarray(sd[f"{base}.codes"]), scheme.nbits_per_codebook)
+                w = AqlmWeight(
+                    codes=jnp.asarray(codes),
+                    codebooks=arr(f"{base}.codebooks", jnp.float32),
+                    scales=jnp.asarray(
+                        np.asarray(sd[f"{base}.scales"], np.float32).reshape(-1)
+                    ),
+                    bias=arr(f"{base}.bias") if f"{base}.bias" in sd else None,
+                    scheme=scheme,
+                )
+                layer[ours] = QuantizedLinear.from_aqlm(w, mode=mode)
+            elif f"{base}.weight" in sd:  # in linear_weights_not_to_quantize
+                layer[ours] = DenseLinear(
+                    weight=arr(f"{base}.weight"),
+                    bias=arr(f"{base}.bias") if f"{base}.bias" in sd else None,
+                )
+            else:
+                raise KeyError(f"missing tensors for {base}")
+        params["layers"].append(layer)
+    return params, cfg, scheme
+
+
+def export_hf_aqlm_state_dict(params: dict, cfg: ModelConfig) -> tuple[dict, dict]:
+    """params pytree -> (HF state dict of np arrays, quantization_config).
+
+    Inverse of load_hf_aqlm_checkpoint; codes re-packed to signed storage so
+    the result matches what convert_to_hf.py produces.
+    """
+    sd = {}
+    not_quantized = ["model.embed_tokens.weight", "model.norm.weight", "lm_head.weight"]
+    sd["model.embed_tokens.weight"] = np.asarray(params["embed"], np.float16)
+    sd["model.norm.weight"] = np.asarray(params["final_norm"], np.float16)
+    if params.get("lm_head") is not None:
+        sd["lm_head.weight"] = np.asarray(params["lm_head"].weight, np.float16)
+
+    scheme = None
+    for i, layer in enumerate(params["layers"]):
+        p = f"model.layers.{i}"
+        sd[f"{p}.input_layernorm.weight"] = np.asarray(layer["input_norm"], np.float16)
+        sd[f"{p}.post_attention_layernorm.weight"] = np.asarray(layer["post_attn_norm"], np.float16)
+        not_quantized += [f"{p}.input_layernorm.weight", f"{p}.post_attention_layernorm.weight"]
+        for ours, hf in _PROJ_MAP.items():
+            base = f"{p}.{hf}"
+            lin = layer.get(ours)
+            if isinstance(lin, QuantizedLinear):
+                assert lin.mode == "reference", "export from the canonical (reference) layout"
+                scheme = lin.scheme
+                sd[f"{base}.codes"] = pack_codes(np.asarray(lin.codes), scheme.nbits_per_codebook)
+                sd[f"{base}.codebooks"] = np.asarray(lin.codebooks, np.float16)
+                sd[f"{base}.scales"] = np.asarray(lin.scales, np.float16).reshape(-1, 1, 1, 1)
+                if lin.bias is not None:
+                    sd[f"{base}.bias"] = np.asarray(lin.bias, np.float16)
+            elif isinstance(lin, DenseLinear):
+                sd[f"{base}.weight"] = np.asarray(lin.weight, np.float16)
+                not_quantized.append(f"{base}.weight")
+    qcfg = None
+    if scheme is not None:
+        qcfg = {
+            "quant_method": "aqlm",
+            "nbits_per_codebook": scheme.nbits_per_codebook,
+            "num_codebooks": scheme.num_codebooks,
+            "out_group_size": scheme.out_group_size,
+            "in_group_size": scheme.in_group_size,
+            "linear_weights_not_to_quantize": not_quantized,
+        }
+    return sd, qcfg
