@@ -40,11 +40,6 @@ class BlockFinetuneConfig:
     verbose: bool = False
 
 
-def _block_apply(layer, cfg: ModelConfig, x, positions):
-    out, _ = llama.block_forward_with_taps(x, layer, cfg, positions)
-    return out
-
-
 def finetune_block(
     layer: dict,
     cfg: ModelConfig,
@@ -54,6 +49,7 @@ def finetune_block(
     *,
     valid_inps: jax.Array | None = None,
     valid_outs: jax.Array | None = None,
+    taps_fn=llama.block_forward_with_taps,
 ) -> dict:
     """Returns the finetuned block params (best-by-validation if val given)."""
     if config.max_epochs <= 0:
@@ -67,7 +63,7 @@ def finetune_block(
     def train_step(trainable, opt_state, x, y):
         def loss_fn(tr):
             block = merge_trainable(tr, frozen)
-            pred = _block_apply(block, cfg, x.astype(jnp.float32), positions)
+            pred, _ = taps_fn(x.astype(jnp.float32), block, cfg, positions)
             return jnp.mean((pred.astype(jnp.float32) - y.astype(jnp.float32)) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(trainable)
@@ -77,7 +73,7 @@ def finetune_block(
     @jax.jit
     def eval_loss(trainable, x, y):
         block = merge_trainable(trainable, frozen)
-        pred = _block_apply(block, cfg, x.astype(jnp.float32), positions)
+        pred, _ = taps_fn(x.astype(jnp.float32), block, cfg, positions)
         return jnp.mean((pred.astype(jnp.float32) - y.astype(jnp.float32)) ** 2)
 
     n = train_inps.shape[0]

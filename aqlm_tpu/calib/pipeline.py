@@ -61,16 +61,14 @@ class QuantizePipelineConfig:
     verbose: bool = True
 
 
-def _capture_taps(layer, cfg, hidden, positions, names, batch_size):
+def _capture_taps(layer, cfg, hidden, positions, names, batch_size, taps_fn):
     """One pass over all samples: accumulate XTX per tap + block outputs."""
-    taps_fn = jax.jit(
-        lambda x, lyr: llama.block_forward_with_taps(x, lyr, cfg, positions)
-    )
+    jit_fn = jax.jit(lambda x, lyr: taps_fn(x, lyr, cfg, positions))
     accs = {}
     outs = []
     for start in range(0, hidden.shape[0], batch_size):
         xb = hidden[start : start + batch_size]
-        out, taps = taps_fn(xb, layer)
+        out, taps = jit_fn(xb, layer)
         outs.append(out)
         for name in names:
             if name not in accs:
@@ -79,8 +77,8 @@ def _capture_taps(layer, cfg, hidden, positions, names, batch_size):
     return accs, jnp.concatenate(outs, axis=0)
 
 
-def _propagate(layer, cfg, hidden, positions, batch_size):
-    fwd = jax.jit(lambda x, lyr: llama.block_forward_with_taps(x, lyr, cfg, positions)[0])
+def _propagate(layer, cfg, hidden, positions, batch_size, taps_fn):
+    fwd = jax.jit(lambda x, lyr: taps_fn(x, lyr, cfg, positions)[0])
     outs = [
         fwd(hidden[s : s + batch_size], layer) for s in range(0, hidden.shape[0], batch_size)
     ]
@@ -94,8 +92,14 @@ def quantize_model(
     pipeline: QuantizePipelineConfig,
     *,
     val_input_ids: jax.Array | None = None,
+    taps_fn=llama.block_forward_with_taps,
 ) -> tuple[dict, dict]:
-    """Quantize every block projection of a llama-family model in place.
+    """Quantize every block projection of a model in place.
+
+    Works for any architecture exposing a block-taps function with the
+    `(x, layer, cfg, positions) -> (out, {name: input})` contract — llama
+    family by default, aqlm_tpu.models.mixtral.block_forward_with_taps for
+    MoE (its expert taps are routing-masked).
 
     Returns (params with QuantizedLinear projections in "reference" mode,
     stats: per-layer out_loss / avg bits).
@@ -114,7 +118,6 @@ def quantize_model(
     hidden = embed(input_ids)
     val_hidden = embed(val_input_ids) if val_input_ids is not None else None
 
-    groups = SEQUENTIAL_GROUPS if pipeline.true_sequential else (QUANTIZABLE_PROJS,)
     stats = {"out_loss": [], "avg_bits": None}
     total_bits = 0.0
     total_params = 0
@@ -124,28 +127,38 @@ def quantize_model(
             loaded = load_layer_checkpoint(pipeline.save_dir, li, scheme)
             if loaded is not None:
                 params["layers"][li] = layer = loaded
-                hidden = _propagate(layer, cfg, hidden, positions, pipeline.batch_size)
+                hidden = _propagate(layer, cfg, hidden, positions, pipeline.batch_size, taps_fn)
                 if val_hidden is not None:
-                    val_hidden = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size)
+                    val_hidden = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size, taps_fn)
                 if pipeline.verbose:
                     print(f"layer {li}: loaded from checkpoint")
                 continue
 
+        # which projections to quantize: every dense linear not excluded
+        # (mixtral's `moe_gate` goes through skip_names, cf. main.py:232-238)
+        quantizable = tuple(
+            n
+            for n, v in layer.items()
+            if isinstance(v, DenseLinear) and n not in pipeline.skip_names and n != "moe_gate"
+        )
+        if pipeline.true_sequential:
+            groups = [tuple(n for n in g if n in quantizable) for g in SEQUENTIAL_GROUPS]
+            leftover = tuple(n for n in quantizable if not any(n in g for g in groups))
+            if leftover:
+                groups.append(leftover)
+        else:
+            groups = (quantizable,)
+
         val_targets = None
         targets = None
         if val_hidden is not None:
-            val_targets = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size)
+            val_targets = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size, taps_fn)
 
         for names in groups:
-            names = tuple(
-                n
-                for n in names
-                if n not in pipeline.skip_names and isinstance(layer.get(n), DenseLinear)
-            )
             if not names:
                 continue
             accs, targets = _capture_taps(
-                layer, cfg, hidden, positions, names, pipeline.batch_size
+                layer, cfg, hidden, positions, names, pipeline.batch_size, taps_fn
             )
             for name in names:
                 dense: DenseLinear = layer[name]
@@ -168,11 +181,11 @@ def quantize_model(
             if pipeline.finetune is not None and pipeline.finetune.max_epochs > 0:
                 layer = finetune_block(
                     layer, cfg, hidden, targets, pipeline.finetune,
-                    valid_inps=val_hidden, valid_outs=val_targets,
+                    valid_inps=val_hidden, valid_outs=val_targets, taps_fn=taps_fn,
                 )
                 params["layers"][li] = layer
 
-        new_hidden = _propagate(layer, cfg, hidden, positions, pipeline.batch_size)
+        new_hidden = _propagate(layer, cfg, hidden, positions, pipeline.batch_size, taps_fn)
         # relative out loss vs the (last group's) pre-quantization targets
         out_loss = float("nan")
         if targets is not None:
@@ -183,7 +196,7 @@ def quantize_model(
         stats["out_loss"].append(out_loss)
         hidden = new_hidden
         if val_hidden is not None:
-            val_hidden = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size)
+            val_hidden = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size, taps_fn)
 
         if pipeline.save_dir:
             save_layer_checkpoint(pipeline.save_dir, li, layer)

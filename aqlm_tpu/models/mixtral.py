@@ -1,0 +1,218 @@
+"""Mixtral-style sparse-MoE causal LM in pure JAX.
+
+Covers the reference's Mixtral support: quantized expert FFNs with the router
+("gate") kept dense — the reference explicitly skips `.gate` sublayers when
+quantizing mixtral (/root/reference/main.py:232-238) — and top-k softmax
+routing with renormalization (HF Mixtral semantics).
+
+TPU-first choice: experts run DENSELY (every expert computes every token,
+combined with the routing weights, zeros for unrouted tokens). For the
+decode/small-batch regime this is the standard TPU MoE pattern: with the
+expert axis sharded over the mesh ("expert parallelism"), each device runs
+its experts over all tokens with zero dynamic shapes, no sort/dispatch, and
+collectives only at the combine (psum). The XTX taps are routing-masked so
+calibration statistics match the reference's dispatched-tokens semantics.
+
+Layer params are a FLAT dict (attention projections + `moe_gate` +
+`experts.{e}.{gate,up,down}_proj`) so the generic quantization pipeline
+treats every DenseLinear uniformly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from aqlm_tpu.models import llama
+from aqlm_tpu.models.common import (
+    DenseLinear,
+    apply_linear,
+    attention,
+    make_causal_mask,
+    rms_norm,
+    rope,
+)
+
+__all__ = ["MixtralConfig", "init_random_params", "forward", "block_forward_with_taps", "QUANTIZABLE_PROJS"]
+
+ATTN_PROJS = ("q_proj", "k_proj", "v_proj", "o_proj")
+EXPERT_PROJS = ("gate_proj", "up_proj", "down_proj")
+
+
+@dataclasses.dataclass(frozen=True)
+class MixtralConfig(llama.ModelConfig):
+    num_experts: int = 8
+    num_experts_per_tok: int = 2
+
+    @classmethod
+    def mixtral_8x7b(cls) -> "MixtralConfig":
+        return cls(
+            vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8, rope_theta=1e6,
+            max_position_embeddings=32768, num_experts=8, num_experts_per_tok=2,
+        )
+
+    @classmethod
+    def tiny_moe(cls, **kw) -> "MixtralConfig":
+        defaults = dict(
+            vocab_size=256, hidden_size=64, intermediate_size=96, num_layers=2,
+            num_heads=4, num_kv_heads=2, max_position_embeddings=128,
+            num_experts=4, num_experts_per_tok=2,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+def quantizable_proj_names(cfg: MixtralConfig):
+    names = list(ATTN_PROJS)
+    for e in range(cfg.num_experts):
+        names += [f"experts.{e}.{p}" for p in EXPERT_PROJS]
+    return tuple(names)
+
+
+QUANTIZABLE_PROJS = None  # depends on num_experts; use quantizable_proj_names(cfg)
+
+
+def init_random_params(key, cfg: MixtralConfig, dtype=jnp.bfloat16) -> dict:
+    keys = jax.random.split(key, cfg.num_layers + 2)
+    h, d, i = cfg.hidden_size, cfg.dim_per_head, cfg.intermediate_size
+
+    def dense(k, out_f, in_f):
+        w = jax.random.normal(k, (out_f, in_f), jnp.float32) * in_f ** -0.5
+        return DenseLinear(weight=w.astype(dtype), bias=None)
+
+    layers = []
+    for li in range(cfg.num_layers):
+        ks = jax.random.split(keys[li], 5 + 3 * cfg.num_experts)
+        layer = {
+            "input_norm": jnp.ones((h,), dtype),
+            "q_proj": dense(ks[0], cfg.num_heads * d, h),
+            "k_proj": dense(ks[1], cfg.num_kv_heads * d, h),
+            "v_proj": dense(ks[2], cfg.num_kv_heads * d, h),
+            "o_proj": dense(ks[3], h, cfg.num_heads * d),
+            "post_attn_norm": jnp.ones((h,), dtype),
+            "moe_gate": dense(ks[4], cfg.num_experts, h),
+        }
+        for e in range(cfg.num_experts):
+            layer[f"experts.{e}.gate_proj"] = dense(ks[5 + 3 * e], i, h)
+            layer[f"experts.{e}.up_proj"] = dense(ks[6 + 3 * e], i, h)
+            layer[f"experts.{e}.down_proj"] = dense(ks[7 + 3 * e], h, i)
+        layers.append(layer)
+
+    embed = jax.random.normal(keys[-2], (cfg.vocab_size, h), jnp.float32) * 0.02
+    return {
+        "embed": embed.astype(dtype),
+        "layers": layers,
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": dense(keys[-1], cfg.vocab_size, h),
+    }
+
+
+def _routing(xn: jax.Array, layer: dict, cfg: MixtralConfig):
+    """Top-k softmax routing with renormalization (HF Mixtral semantics).
+    Returns per-expert combine weights [B, T, E] (zero for unrouted)."""
+    logits = apply_linear(xn, layer["moe_gate"]).astype(jnp.float32)  # [B, T, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_vals, _ = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    threshold = top_vals[..., -1:]
+    mask = probs >= threshold
+    weights = jnp.where(mask, probs, 0.0)
+    weights = weights / jnp.maximum(weights.sum(-1, keepdims=True), 1e-9)
+    return weights
+
+
+def _moe_mlp(xn: jax.Array, layer: dict, cfg: MixtralConfig, taps: dict | None = None):
+    weights = _routing(xn, layer, cfg)  # [B, T, E]
+    out = jnp.zeros_like(xn)
+    for e in range(cfg.num_experts):
+        w_e = weights[..., e].astype(xn.dtype)[..., None]  # [B, T, 1]
+        routed = (weights[..., e] > 0).astype(xn.dtype)[..., None]
+        if taps is not None:
+            # calibration statistics must only see tokens routed to this
+            # expert (masked tap -> masked XTX, matching the reference's
+            # dispatched-inputs capture)
+            taps[f"experts.{e}.gate_proj"] = xn * routed
+            taps[f"experts.{e}.up_proj"] = xn * routed
+        gate = apply_linear(xn, layer[f"experts.{e}.gate_proj"])
+        up = apply_linear(xn, layer[f"experts.{e}.up_proj"])
+        mlp_in = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        if taps is not None:
+            taps[f"experts.{e}.down_proj"] = mlp_in * routed
+        out = out + w_e * apply_linear(mlp_in, layer[f"experts.{e}.down_proj"])
+    return out
+
+
+def block_forward_with_taps(x, layer, cfg: MixtralConfig, positions):
+    """Mixtral block with calibration taps (pipeline contract, cf.
+    llama.block_forward_with_taps)."""
+    b, t, h = x.shape
+    d = cfg.dim_per_head
+    taps = {}
+    res = x
+    xn = rms_norm(x, layer["input_norm"], cfg.rms_eps)
+    taps["q_proj"] = taps["k_proj"] = taps["v_proj"] = xn
+    q = apply_linear(xn, layer["q_proj"]).reshape(b, t, cfg.num_heads, d)
+    k = apply_linear(xn, layer["k_proj"]).reshape(b, t, cfg.num_kv_heads, d)
+    v = apply_linear(xn, layer["v_proj"]).reshape(b, t, cfg.num_kv_heads, d)
+    q, k = rope(q, k, positions, cfg.rope_theta)
+    attn = attention(q, k, v, make_causal_mask(positions, positions)).reshape(b, t, -1)
+    taps["o_proj"] = attn
+    x = res + apply_linear(attn, layer["o_proj"])
+
+    res = x
+    xn = rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)
+    x = res + _moe_mlp(xn, layer, cfg, taps)
+    return x, taps
+
+
+def forward(
+    params: dict,
+    cfg: MixtralConfig,
+    input_ids: jax.Array,
+    *,
+    positions: jax.Array | None = None,
+    kv_caches: list | None = None,
+    cache_offset: jax.Array | None = None,
+):
+    """Causal LM forward (matches llama.forward's contract)."""
+    b, t = input_ids.shape
+    if positions is None:
+        base = cache_offset if cache_offset is not None else 0
+        positions = jnp.asarray(base) + jnp.arange(t)[None, :]
+    positions = jnp.broadcast_to(positions, (b, t))
+
+    x = jnp.take(params["embed"], input_ids, axis=0)
+    d = cfg.dim_per_head
+
+    kv_len_mask = None
+    if kv_caches is not None:
+        max_len = kv_caches[0][0].shape[1]
+        key_pos = jnp.broadcast_to(jnp.arange(max_len)[None, :], (b, max_len))
+        kv_len_mask = make_causal_mask(positions, key_pos)
+
+    new_caches = []
+    for li, layer in enumerate(params["layers"]):
+        res = x
+        xn = rms_norm(x, layer["input_norm"], cfg.rms_eps)
+        q = apply_linear(xn, layer["q_proj"]).reshape(b, t, cfg.num_heads, d)
+        k = apply_linear(xn, layer["k_proj"]).reshape(b, t, cfg.num_kv_heads, d)
+        v = apply_linear(xn, layer["v_proj"]).reshape(b, t, cfg.num_kv_heads, d)
+        q, k = rope(q, k, positions, cfg.rope_theta)
+        if kv_caches is not None:
+            k_c, v_c = kv_caches[li]
+            k_c = jax.lax.dynamic_update_slice_in_dim(k_c, k.astype(k_c.dtype), cache_offset, axis=1)
+            v_c = jax.lax.dynamic_update_slice_in_dim(v_c, v.astype(v_c.dtype), cache_offset, axis=1)
+            attn = attention(q, k_c.astype(q.dtype), v_c.astype(q.dtype), kv_len_mask)
+            new_caches.append((k_c, v_c))
+        else:
+            attn = attention(q, k, v, make_causal_mask(positions, positions))
+        x = res + apply_linear(attn.reshape(b, t, -1), layer["o_proj"])
+        res = x
+        xn = rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)
+        x = res + _moe_mlp(xn, layer, cfg)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = apply_linear(x, params["lm_head"])
+    return logits, (new_caches if kv_caches is not None else None)
