@@ -1,0 +1,82 @@
+"""Shared CLI plumbing: model resolution, tokenizer loading, data."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from aqlm_tpu.data import get_loaders
+from aqlm_tpu.models import llama
+
+__all__ = ["resolve_model", "load_tokenizer", "load_calibration_data", "dtype_from_str"]
+
+
+def dtype_from_str(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "auto": jnp.float32}[name]
+
+
+def resolve_model(spec: str, *, dtype=jnp.float32, mode: str = "reference"):
+    """Load a model from one of:
+    - `random:<preset>[:layers]` — random weights (smoke tests; presets are
+      ModelConfig classmethods, e.g. random:tiny, random:llama2_7b:2)
+    - a directory with our canonical format (config.json has "model_config")
+    - an HF checkpoint dir: quantized (has quantization_config) or dense.
+
+    Returns (params, cfg, kind) with kind in {dense, quantized}.
+    """
+    if spec.startswith("random:"):
+        parts = spec.split(":")
+        preset = parts[1]
+        cfg = getattr(llama.ModelConfig, preset)()
+        if len(parts) > 2:
+            cfg = dataclasses.replace(cfg, num_layers=int(parts[2]))
+        import jax
+
+        params = llama.init_random_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+        return params, cfg, "dense"
+
+    config_path = os.path.join(spec, "config.json")
+    if not os.path.exists(config_path):
+        raise FileNotFoundError(f"no config.json under {spec}")
+    with open(config_path) as f:
+        config = json.load(f)
+
+    if "model_config" in config:  # our canonical format
+        from aqlm_tpu.io import load_quantized_model
+
+        params, cfg = load_quantized_model(spec)
+        return params, cfg, "quantized"
+    if config.get("quantization_config"):
+        from aqlm_tpu.io import load_hf_aqlm_checkpoint
+
+        params, cfg, _ = load_hf_aqlm_checkpoint(spec, mode=mode, dtype=dtype)
+        return params, cfg, "quantized"
+    from aqlm_tpu.io.hf_import import load_hf_dense_checkpoint
+
+    params, cfg = load_hf_dense_checkpoint(spec, dtype=dtype)
+    return params, cfg, "dense"
+
+
+def load_tokenizer(spec: str):
+    """HF tokenizer if the path carries one; None otherwise (random data)."""
+    try:
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained(spec)
+    except Exception:
+        return None
+
+
+def load_calibration_data(dataset: str, nsamples: int, seqlen: int, model_spec: str, cfg, seed: int = 0, eval_mode: bool = False):
+    tokenizer = None
+    if dataset not in ("random",) and not os.path.exists(dataset):
+        tokenizer = load_tokenizer(model_spec)
+    ids = get_loaders(
+        dataset, nsamples=nsamples, seqlen=seqlen, tokenizer=tokenizer,
+        vocab_size=cfg.vocab_size, seed=seed, eval_mode=eval_mode,
+    )
+    return jnp.asarray(np.asarray(ids))

@@ -26,7 +26,12 @@ from aqlm_tpu.models.llama import ModelConfig
 from aqlm_tpu.ops.dequant import AqlmWeight
 from aqlm_tpu.ops.runtime import QuantizedLinear
 
-__all__ = ["load_hf_aqlm_checkpoint", "export_hf_aqlm_state_dict", "model_config_from_hf"]
+__all__ = [
+    "load_hf_aqlm_checkpoint",
+    "load_hf_dense_checkpoint",
+    "export_hf_aqlm_state_dict",
+    "model_config_from_hf",
+]
 
 _PROJ_MAP = {
     "q_proj": "self_attn.q_proj",
@@ -160,6 +165,44 @@ def load_hf_aqlm_checkpoint(
                 raise KeyError(f"missing tensors for {base}")
         params["layers"].append(layer)
     return params, cfg, scheme
+
+
+def load_hf_dense_checkpoint(path: str, *, dtype=jnp.float32) -> tuple[dict, ModelConfig]:
+    """Load an UNquantized HF llama-family checkpoint into dense params.
+
+    The input side of the quantization pipeline (the reference's get_model,
+    /root/reference/src/modelutils.py:48-114).
+    """
+    with open(os.path.join(path, "config.json")) as f:
+        hf_config = json.load(f)
+    cfg = model_config_from_hf(hf_config)
+    sd = _load_state_dict(path)
+
+    def arr(key):
+        return jnp.asarray(np.asarray(sd[key], np.float32), dtype)
+
+    def lin(base):
+        return DenseLinear(
+            weight=arr(f"{base}.weight"),
+            bias=arr(f"{base}.bias") if f"{base}.bias" in sd else None,
+        )
+
+    params = {
+        "embed": arr("model.embed_tokens.weight"),
+        "final_norm": arr("model.norm.weight"),
+        "lm_head": None if cfg.tie_embeddings or "lm_head.weight" not in sd else lin("lm_head"),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        layer = {
+            "input_norm": arr(f"{p}.input_layernorm.weight"),
+            "post_attn_norm": arr(f"{p}.post_attention_layernorm.weight"),
+        }
+        for ours, hf in _PROJ_MAP.items():
+            layer[ours] = lin(f"{p}.{hf}")
+        params["layers"].append(layer)
+    return params, cfg
 
 
 def export_hf_aqlm_state_dict(params: dict, cfg: ModelConfig) -> tuple[dict, dict]:

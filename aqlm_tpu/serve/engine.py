@@ -65,6 +65,7 @@ class Engine:
         self._free_slots = deque(range(serve.max_batch))
         self._active: dict[int, Request] = {}
         self._pending: deque[Request] = deque()
+        self.requests: dict[int, Request] = {}
         self._next_rid = 0
         self._offsets = np.zeros(serve.max_batch, np.int32)  # next write position per slot
         self._last_token = np.zeros(serve.max_batch, np.int32)
@@ -137,7 +138,11 @@ class Engine:
         self._next_rid += 1
         req = Request(rid=rid, prompt=np.asarray(prompt_ids, np.int32), sampling=sampling)
         self._pending.append(req)
+        self.requests[rid] = req
         return rid
+
+    def get_request(self, rid: int) -> Request:
+        return self.requests[rid]
 
     def _admit(self):
         while self._pending and self._free_slots:
@@ -207,7 +212,6 @@ class Engine:
     def generate(self, prompts, sampling: SamplingParams = SamplingParams()) -> list:
         """Blocking batch generate: returns a list of generated-token lists."""
         rids = [self.submit(p, sampling) for p in prompts]
-        by_rid = {r.rid: r for r in self._pending if r.rid in set(rids)}
         while self._pending or self._active:
             self.step()
-        return [by_rid[rid].generated for rid in rids]
+        return [self.requests[rid].generated for rid in rids]

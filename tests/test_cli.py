@@ -1,0 +1,79 @@
+"""CLI end-to-end tests: quantize -> evaluate -> finetune -> convert on a
+random tiny model, exercising the argparse surfaces in-process."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from aqlm_tpu.cli import convert as cli_convert
+from aqlm_tpu.cli import evaluate as cli_evaluate
+from aqlm_tpu.cli import finetune as cli_finetune
+from aqlm_tpu.cli import quantize as cli_quantize
+
+
+@pytest.fixture(scope="module")
+def quantized_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli") / "qmodel")
+    stats = cli_quantize.main(
+        [
+            "random:tiny:1", "random",
+            "--nsamples", "4", "--model_seqlen", "16",
+            "--num_codebooks", "2", "--nbits_per_codebook", "6", "--in_group_size", "4",
+            "--max_epochs", "2", "--steps_per_epoch", "5", "--beam_size", "1",
+            "--init_max_iter", "8", "--finetune_max_epochs", "0",
+            "--batch_size", "2", "--save", out,
+            "--eval_datasets", "random", "--eval_nsamples", "2",
+        ]
+    )
+    assert 2.0 < stats["avg_bits"] < 9.0
+    assert np.isfinite(stats["ppl_random"])
+    return out
+
+
+def test_quantize_cli(quantized_dir):
+    assert os.path.exists(os.path.join(quantized_dir, "config.json"))
+    assert os.path.exists(os.path.join(quantized_dir, "layer_0.npz"))
+
+
+def test_evaluate_cli(quantized_dir):
+    results = cli_evaluate.main(
+        [quantized_dir, "--datasets", "random", "--nsamples", "2", "--model_seqlen", "16"]
+    )
+    assert results["kind"] == "quantized"
+    assert np.isfinite(results["ppl_random"])
+
+
+def test_finetune_cli(quantized_dir, tmp_path):
+    out = str(tmp_path / "pv")
+    result = cli_finetune.main(
+        [
+            "--base_model", "random:tiny:1",
+            "--quantized_model", quantized_dir,
+            "--dataset", "random", "--nsamples", "4", "--model_seqlen", "16",
+            "--batch_size", "2", "--total_steps", "4", "--code_update_every", "2",
+            "--max_code_change_per_step", "0.2", "--save", out,
+        ]
+    )
+    assert np.isfinite(result["final_kl"])
+    assert os.path.exists(os.path.join(out, "config.json"))
+
+
+def test_convert_cli(quantized_dir, tmp_path):
+    hf_dir = str(tmp_path / "hf")
+    cli_convert.main([quantized_dir, hf_dir, "--to", "hf"])
+    with open(os.path.join(hf_dir, "config.json")) as f:
+        cfg = json.load(f)
+    assert cfg["quantization_config"]["quant_method"] == "aqlm"
+
+    back_dir = str(tmp_path / "canon")
+    cli_convert.main([hf_dir, back_dir, "--to", "canonical"])
+    results = cli_evaluate.main(
+        [back_dir, "--datasets", "random", "--nsamples", "2", "--model_seqlen", "16"]
+    )
+    ref = cli_evaluate.main(
+        [quantized_dir, "--datasets", "random", "--nsamples", "2", "--model_seqlen", "16"]
+    )
+    # fp16 hub serialization costs a little ppl drift, nothing more
+    np.testing.assert_allclose(results["ppl_random"], ref["ppl_random"], rtol=0.05)
