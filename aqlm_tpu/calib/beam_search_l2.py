@@ -189,8 +189,13 @@ def beam_search_optimal_codes_l2(
     W = reference_weight.astype(jnp.float32)
     groups = W.reshape(OG, ogs, IG, igs).transpose(0, 2, 1, 3)  # [OG, IG, ogs, igs]
     if scales is not None:
-        sc = scales.reshape(OG).astype(jnp.float32)
-        groups = groups / sc[:, None, None, None]
+        # [OG] or [OG, IG] scales (scale_nbits>0 mode)
+        sc2 = (
+            jnp.broadcast_to(scales.reshape(OG, 1).astype(jnp.float32), (OG, IG))
+            if scales.ndim == 1
+            else scales.astype(jnp.float32)
+        )
+        groups = groups / sc2[:, :, None, None]
     ref = groups.reshape(OG * IG, ogs * igs)
     flat_codes = prev_codes.reshape(OG * IG, K).astype(jnp.int32)
     cbs = codebooks.reshape(K, S, ogs * igs).astype(jnp.float32)
@@ -204,9 +209,7 @@ def beam_search_optimal_codes_l2(
         # sides are unscaled here, and the reference computes them on scaled
         # weights — ordering is affected by scales, so re-apply them
         scale_sq = (
-            jnp.ones((G,), jnp.float32)
-            if scales is None
-            else jnp.broadcast_to((sc ** 2)[:, None], (OG, IG)).reshape(G)
+            jnp.ones((G,), jnp.float32) if scales is None else (sc2 ** 2).reshape(G)
         )
         diff_norms = jnp.sum((ref - deq_prev) ** 2, axis=-1) * scale_sq  # [G]
         n_update = int(-(-max_update_fraction * G // 1))  # ceil

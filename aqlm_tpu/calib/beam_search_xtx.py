@@ -79,14 +79,21 @@ def beam_search_optimal_codes(
     XTX = XTX.astype(jnp.float32)
     W = reference_weight.astype(jnp.float32)
     cbs = codebooks[:, :, 0, :].astype(jnp.float32)  # [K, S, g]
-    sc = jnp.ones((out,), jnp.float32) if scales is None else scales.reshape(out).astype(jnp.float32)
+    # scales: None, [out] (per-out-group) or [out, IG] (scale_nbits>0 mode,
+    # reference beam_search_xtx.py:199-200 indexes them per input group)
+    if scales is None:
+        sc_full = jnp.ones((out, IG), jnp.float32)
+    elif scales.ndim == 1:
+        sc_full = jnp.broadcast_to(scales.reshape(out, 1).astype(jnp.float32), (out, IG))
+    else:
+        sc_full = scales.astype(jnp.float32)
 
     codes0 = prev_codes.astype(jnp.int32)
 
     # initial dequantized weight and residual products
     def dequant(codes):  # [out, IG, K] -> [out, in]
         parts = jnp.take(cbs.reshape(K * S, g), (jnp.arange(K) * S)[None, None, :] + codes, axis=0)
-        return (parts.sum(2) * sc[:, None, None]).reshape(out, in_features)
+        return (parts.sum(2) * sc_full[:, :, None]).reshape(out, in_features)
 
     resid0 = W - dequant(codes0)
     RXTX0 = resid0 @ XTX  # [out, in]
@@ -111,6 +118,7 @@ def beam_search_optimal_codes(
         beam_codes, beam_RXTX, beam_losses = carry
         (ig, k), step_i = step_and_idx
         sl = ig * g
+        sc = jax.lax.dynamic_slice(sc_full, (0, ig), (out, 1)).reshape(out)
 
         XTX_cols = jax.lax.dynamic_slice(XTX, (0, sl), (in_features, g))  # [in, g]
         XTX_gg = jax.lax.dynamic_slice(XTX, (sl, sl), (g, g))

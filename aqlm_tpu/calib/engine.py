@@ -56,6 +56,10 @@ class CalibConfig:
     init_max_points_per_centroid: int | None = None
     seed: int = 0
     verbose: bool = False
+    # second-level quantization (reference src/aq.py:48-50, 142-194)
+    scale_nbits: int = 0  # 0 = one 16-bit scale per out group; >0 = per-(out,in)-group
+    codebook_value_nbits: int = 16  # <16 = 1-D-kmeans-quantize codebook values
+    codebook_value_num_groups: int = 1
 
 
 # ---------------------------------------------------------------------------
@@ -107,6 +111,38 @@ class XTXAccumulator:
 # ---------------------------------------------------------------------------
 
 
+def quantize_values_1d_st(values: jax.Array, nbits: int) -> jax.Array:
+    """1-D-kmeans-quantize each row of `values` with a straight-through
+    gradient (the get_scales/get_codebooks trick, src/aq.py:180-194)."""
+    from aqlm_tpu.calib.kmeans import fit_kmeans_1d
+
+    _, _, restored = fit_kmeans_1d(jax.lax.stop_gradient(values), 2 ** nbits)
+    return restored + (values - jax.lax.stop_gradient(values))
+
+
+def effective_codebooks(codebooks: jax.Array, config: "CalibConfig") -> jax.Array:
+    """Second-level codebook-value quantization (src/aq.py:142-178)."""
+    if config.codebook_value_nbits >= 16:
+        return codebooks
+    K, S, og, ig = codebooks.shape
+    vg = config.codebook_value_num_groups
+    rows = (
+        codebooks.reshape(K, vg, S // vg, og, ig).transpose(0, 1, 3, 4, 2).reshape(-1, S // vg)
+    )
+    rows = quantize_values_1d_st(rows, config.codebook_value_nbits)
+    return rows.reshape(K, vg, og, ig, S // vg).transpose(0, 1, 4, 2, 3).reshape(K, S, og, ig)
+
+
+def effective_scales(scales: jax.Array, config: "CalibConfig") -> jax.Array:
+    """Quantized group-wise scales w/ straight-through (src/aq.py:180-194).
+    Lossless when 2^scale_nbits >= num_in_groups (src/aq.py:89)."""
+    if scales.ndim == 1 or config.scale_nbits >= 16:
+        return scales
+    if 2 ** config.scale_nbits >= scales.shape[1]:
+        return scales  # lossless
+    return quantize_values_1d_st(scales, config.scale_nbits)
+
+
 def init_quantized_weight(
     reference_weight: jax.Array,
     scheme: AqlmScheme,
@@ -114,13 +150,14 @@ def init_quantized_weight(
     key: jax.Array | None = None,
     max_iter: int = 100,
     max_points_per_centroid: int | None = None,
+    scale_nbits: int = 0,
 ) -> AqlmWeight:
     """Scale + residual-k-means initialization of codes and codebooks.
 
-    Mirrors QuantizedWeight.__init__ with scale_nbits=0 (src/aq.py:76-115):
-    scales = per-out-group row norm + eps; codebooks fit on the scale-
-    normalized weight residue, one codebook at a time (init_aq_kmeans,
-    src/aq.py:288-355).
+    Mirrors QuantizedWeight.__init__ (src/aq.py:76-115): scales = per-out-group
+    row norm (scale_nbits=0) or per-(out,in)-group norm (scale_nbits>0) + eps;
+    codebooks fit on the scale-normalized weight residue, one codebook at a
+    time (init_aq_kmeans, src/aq.py:288-355).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -131,8 +168,12 @@ def init_quantized_weight(
     w = reference_weight.astype(jnp.float32)
 
     groups = w.reshape(n_og, og, n_ig, ig).swapaxes(1, 2)  # [n_og, n_ig, og, ig]
-    scales = jnp.sqrt(jnp.sum(groups.reshape(n_og, -1) ** 2, axis=-1)) + EPS  # [n_og]
-    normalized = groups / scales[:, None, None, None]
+    if scale_nbits > 0:
+        scales = jnp.sqrt(jnp.sum(groups.reshape(n_og, n_ig, -1) ** 2, axis=-1)) + EPS  # [n_og, n_ig]
+        normalized = groups / scales[:, :, None, None]
+    else:
+        scales = jnp.sqrt(jnp.sum(groups.reshape(n_og, -1) ** 2, axis=-1)) + EPS  # [n_og]
+        normalized = groups / scales[:, None, None, None]
 
     residue = normalized.reshape(n_og * n_ig, og * ig)
     codes_list, cb_list = [], []
@@ -188,6 +229,7 @@ def quantize_weight(
         key=jax.random.PRNGKey(config.seed),
         max_iter=config.init_max_iter,
         max_points_per_centroid=config.init_max_points_per_centroid,
+        scale_nbits=config.scale_nbits,
     )
     # AMSGrad-Adam with betas (0.0, 0.95) as in aq_engine.py:67
     opt = optax.amsgrad(config.lr, b1=0.0, b2=0.95)
@@ -198,7 +240,13 @@ def quantize_weight(
         # embedded in the HLO and re-uploaded per compile (remote-compile limit)
         def loss_fn(cb_sc):
             cb, sc = cb_sc
-            w = AqlmWeight(codes=codes, codebooks=cb, scales=sc, bias=None, scheme=scheme)
+            w = AqlmWeight(
+                codes=codes,
+                codebooks=effective_codebooks(cb, config),
+                scales=effective_scales(sc, config),
+                bias=None,
+                scheme=scheme,
+            )
             return compute_mse(w, ref_w, xtx)
 
         def step(carry, _):
@@ -246,12 +294,21 @@ def quantize_weight(
         codes, _ = beam_search_optimal_codes(
             XTX,
             reference_weight,
-            codebooks,
+            effective_codebooks(codebooks, config),
             codes,
-            scales,
+            effective_scales(scales, config),
             beam_size=config.beam_size,
             steps_order=jnp.asarray(order),
         )
 
-    final = AqlmWeight(codes=codes, codebooks=codebooks, scales=scales, bias=None, scheme=scheme)
+    # bake the second-level quantization into the stored values (the reference
+    # re-derives it on every forward via get_codebooks/get_scales; a canonical
+    # checkpoint stores the already-snapped values)
+    final = AqlmWeight(
+        codes=codes,
+        codebooks=jax.lax.stop_gradient(effective_codebooks(codebooks, config)),
+        scales=jax.lax.stop_gradient(effective_scales(scales, config)),
+        bias=None,
+        scheme=scheme,
+    )
     return final, {"loss_history": history, "final_mse": float(compute_mse(final, reference_weight, XTX))}

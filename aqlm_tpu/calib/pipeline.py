@@ -169,7 +169,12 @@ def quantize_model(
                     bias=dense.bias, scheme=scheme,
                 )
                 layer[name] = QuantizedLinear.from_aqlm(qw, mode="reference")
-                bits = scheme.estimate_nbits_per_parameter(*ref_w.shape)
+                bits = scheme.estimate_nbits_per_parameter(
+                    *ref_w.shape,
+                    scale_nbits=pipeline.calib.scale_nbits,
+                    codebook_value_nbits=pipeline.calib.codebook_value_nbits,
+                    codebook_value_num_groups=pipeline.calib.codebook_value_num_groups,
+                )
                 total_bits += bits * ref_w.size
                 total_params += ref_w.size
                 if pipeline.verbose:

@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_group_size", type=int, default=1)
     p.add_argument("--in_group_size", type=int, default=8)
     p.add_argument("--scale_nbits", type=int, default=0)
+    p.add_argument("--codebook_value_nbits", type=int, default=16)
+    p.add_argument("--codebook_value_num_groups", type=int, default=1)
     # init (main.py:714-732)
     p.add_argument("--init_max_iter", type=int, default=100)
     p.add_argument("--init_max_points_per_centroid", type=int, default=None)
@@ -95,6 +97,9 @@ def main(argv=None) -> dict:
             init_max_iter=args.init_max_iter,
             init_max_points_per_centroid=args.init_max_points_per_centroid,
             seed=args.seed,
+            scale_nbits=args.scale_nbits,
+            codebook_value_nbits=args.codebook_value_nbits,
+            codebook_value_num_groups=args.codebook_value_num_groups,
         ),
         finetune=BlockFinetuneConfig(
             lr=args.finetune_lr, max_epochs=args.finetune_max_epochs,
@@ -106,9 +111,6 @@ def main(argv=None) -> dict:
         save_dir=args.save,
         resume=args.resume,
     )
-    if args.scale_nbits != 0:
-        print("warning: scale_nbits != 0 not yet supported; using 16-bit per-out-group scales")
-
     t0 = time.time()
     params, stats = quantize_model(params, cfg, data, pipe, val_input_ids=val_data)
     stats["quantization_time_s"] = time.time() - t0

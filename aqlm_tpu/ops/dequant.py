@@ -44,8 +44,9 @@ class AqlmWeight:
     Attributes:
       codes:     uint8/uint16 ``[num_out_groups, num_in_groups, num_codebooks]``
       codebooks: float ``[num_codebooks, codebook_size, out_group_size, in_group_size]``
-      scales:    float ``[num_out_groups]`` (per-output-group scale; reference keeps
-                 it as ``[og, 1, 1, 1]``, we keep it flat)
+      scales:    float ``[num_out_groups]`` (per-output-group, the scale_nbits=0
+                 default) or ``[num_out_groups, num_in_groups]`` (per-group
+                 scales, the reference's scale_nbits>0 mode, src/aq.py:83-96)
       bias:      optional float ``[out_features]``
       scheme:    static AqlmScheme (pytree metadata, safe under jit)
     """
@@ -78,10 +79,17 @@ class AqlmWeight:
         )
 
 
+def broadcast_scales(scales: jax.Array, og: int, ig: int) -> jax.Array:
+    """[OG] or [OG, IG] scales -> [OG, IG, 1, 1] broadcastable over groups."""
+    if scales.ndim == 1:
+        return scales.reshape(og, 1, 1, 1)
+    return scales.reshape(og, ig, 1, 1)
+
+
 def dequantize_weight(w: AqlmWeight, dtype=None) -> jax.Array:
     """Reconstruct the dense weight ``[out_features, in_features]``.
 
-    W[og*o, ig*i] = scales[og] * sum_k codebooks[k, codes[og, ig, k], o, i]
+    W[og*o, ig*i] = scales[og(, ig)] * sum_k codebooks[k, codes[og, ig, k], o, i]
     """
     scheme = w.scheme
     og, ig, k = w.codes.shape
@@ -91,7 +99,7 @@ def dequantize_weight(w: AqlmWeight, dtype=None) -> jax.Array:
     idx = codes.transpose(2, 0, 1).reshape(k, og * ig, 1, 1)  # [k, og*ig, 1, 1]
     groups = jnp.take_along_axis(cb, idx, axis=1)  # [k, og*ig, o, i]
     groups = groups.sum(axis=0).reshape(og, ig, o, i)
-    weight = groups * w.scales.reshape(og, 1, 1, 1).astype(groups.dtype)
+    weight = groups * broadcast_scales(w.scales, og, ig).astype(groups.dtype)
     weight = weight.transpose(0, 2, 1, 3).reshape(og * o, ig * i)
     if dtype is not None:
         weight = weight.astype(dtype)

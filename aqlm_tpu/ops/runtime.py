@@ -96,7 +96,7 @@ class QuantizedLinear:
         if mode not in MODES:
             raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
         scheme = w.scheme
-        scales = w.scales.reshape(-1).astype(jnp.float32)
+        scales = w.scales.astype(jnp.float32)  # [OG] or [OG, IG] (scale_nbits>0)
         bias = w.bias
         none = dict(codes=None, codes_t=None, codebooks=None, packed_cb=None, w8_t=None, w8_scale=None)
 
@@ -119,6 +119,11 @@ class QuantizedLinear:
         # codes mode
         if scheme.out_group_size != 1:
             raise NotImplementedError("codes mode requires out_group_size == 1")
+        if scales.ndim != 1:
+            raise NotImplementedError(
+                "codes mode applies scales in the per-out-channel epilogue; "
+                "per-group scales (scale_nbits>0) need the int8 or reference mode"
+            )
         if scheme.nbits_per_codebook <= 8:
             codes_t = w.codes.astype(jnp.int32).transpose(2, 1, 0).astype(jnp.uint8)
             cb = w.codebooks[:, :, 0, :]  # [K, S, igs]

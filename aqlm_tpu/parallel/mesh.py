@@ -102,14 +102,17 @@ def _quantized_spec(q: QuantizedLinear, kind: str, model_axis: str) -> Quantized
     def spec_if(arr, spec):
         return spec if arr is not None else None
 
-    out1 = P(ma) if col else P()
+    if q.scales.ndim == 2:  # per-(out,in)-group scales (scale_nbits>0)
+        out1 = P(ma, None) if col else P(None, ma)
+    else:
+        out1 = P(ma) if col else P()
     return QuantizedLinear(
         codes=spec_if(q.codes, P(ma, None, None) if col else P(None, ma, None)),
         codes_t=spec_if(q.codes_t, P(None, None, ma) if col else P(None, ma, None)),
         codebooks=spec_if(q.codebooks, P()),
         packed_cb=spec_if(q.packed_cb, P()),
         w8_t=spec_if(q.w8_t, P(None, ma) if col else P(ma, None)),
-        w8_scale=spec_if(q.w8_scale, out1),
+        w8_scale=spec_if(q.w8_scale, P(ma) if col else P()),
         scales=out1,
         bias=spec_if(q.bias, P(ma) if col else P()),
         scheme=q.scheme,
