@@ -65,14 +65,25 @@ def init_kv_cache(
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype), k_scale=None, v_scale=None)
 
 
-def stack_layer_params(params: dict) -> dict:
+def stack_layer_params(params: dict, donate: bool = False) -> dict:
     """Stack the per-layer param list into one pytree with a leading L axis.
 
     Requires homogeneous layers (same structure/modes) — true for whole-model
     quantization; mixed-precision models keep the unrolled path.
+
+    donate=True frees each per-layer leaf right after its stacked copy is
+    built (peak HBM = model + largest single stacked leaf instead of 2x model).
     """
     layers = params["layers"]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    if not donate:
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+        return {**params, "layers": stacked}
+    stacked = {}
+    for name in list(layers[0].keys()):
+        stacked[name] = jax.tree.map(lambda *xs: jnp.stack(xs), *[l[name] for l in layers])
+        jax.block_until_ready(jax.tree.leaves(stacked[name]))
+        for l in layers:
+            l[name] = None
     return {**params, "layers": stacked}
 
 
@@ -144,9 +155,16 @@ def forward_stacked(
             layer[n] = IndexedQuantizedLinear(stacked=stacked_layers[n], idx=i)
         res = x
         xn = rms_norm(x, layer["input_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
-        q = apply_linear(xn, layer["q_proj"]).reshape(b, t, cfg.num_heads, d)
-        k = apply_linear(xn, layer["k_proj"]).reshape(b, t, cfg.num_kv_heads, d)
-        v = apply_linear(xn, layer["v_proj"]).reshape(b, t, cfg.num_kv_heads, d)
+        if "qkv_proj" in layer:  # fused (serve/fuse.py)
+            nq, nkv = cfg.num_heads * d, cfg.num_kv_heads * d
+            qkv = apply_linear(xn, layer["qkv_proj"])
+            q = qkv[..., :nq].reshape(b, t, cfg.num_heads, d)
+            k = qkv[..., nq : nq + nkv].reshape(b, t, cfg.num_kv_heads, d)
+            v = qkv[..., nq + nkv :].reshape(b, t, cfg.num_kv_heads, d)
+        else:
+            q = apply_linear(xn, layer["q_proj"]).reshape(b, t, cfg.num_heads, d)
+            k = apply_linear(xn, layer["k_proj"]).reshape(b, t, cfg.num_kv_heads, d)
+            v = apply_linear(xn, layer["v_proj"]).reshape(b, t, cfg.num_kv_heads, d)
         q, k = rope(q, k, positions, cfg.rope_theta)
 
         new_kv = None
@@ -175,8 +193,12 @@ def forward_stacked(
         x = res + apply_linear(attn.reshape(b, t, -1), layer["o_proj"])
         res = x
         xn = rms_norm(x, layer["post_attn_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
-        gate = apply_linear(xn, layer["gate_proj"])
-        up = apply_linear(xn, layer["up_proj"])
+        if "gateup_proj" in layer:  # fused (serve/fuse.py)
+            gu = apply_linear(xn, layer["gateup_proj"])
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = apply_linear(xn, layer["gate_proj"])
+            up = apply_linear(xn, layer["up_proj"])
         x = res + apply_linear(
             jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up, layer["down_proj"]
         )

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from aqlm_tpu.config import AqlmScheme
 from aqlm_tpu.ops import gather16, kernels
 from aqlm_tpu.ops.dequant import AqlmWeight, aqlm_matmul_reference, dequantize_weight
-from aqlm_tpu.ops.int8_matmul import int8_matmul, int8_matmul_indexed
+from aqlm_tpu.ops.int8_matmul import int8_matmul, int8_matmul_indexed, pad_in_features
 
 __all__ = [
     "QuantizedLinear",
@@ -43,7 +43,7 @@ MODES = ("codes", "int8", "reference")
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["codes", "codes_t", "codebooks", "packed_cb", "w8_t", "w8_scale", "scales", "bias"],
+    data_fields=["codes", "codes_t", "codebooks", "packed_cb", "w8", "w8_scale", "scales", "bias"],
     meta_fields=["scheme", "mode"],
 )
 @dataclasses.dataclass
@@ -55,7 +55,8 @@ class QuantizedLinear:
       codes_t   [K, IG, OUT]      (codes mode, nbits<=8, transposed layout)
       codebooks [K, S, ogs, igs]  (reference) / [K, S, igs] (codes mode)
       packed_cb [S*igs/128, 128]  (codes mode, 16-bit)
-      w8_t      [IN, OUT] int8    (int8 mode)
+      w8        [OUT, IN_padded] int8 (int8 mode; IN padded per
+                  ops/int8_matmul.pad_in_features for contiguous DMA rows)
       w8_scale  [OUT] f32         (int8 mode, combined with scales)
       scales    [OUT]
       bias      [OUT] or None
@@ -65,7 +66,7 @@ class QuantizedLinear:
     codes_t: jax.Array | None
     codebooks: jax.Array | None
     packed_cb: jax.Array | None
-    w8_t: jax.Array | None
+    w8: jax.Array | None
     w8_scale: jax.Array | None
     scales: jax.Array
     bias: jax.Array | None
@@ -74,16 +75,16 @@ class QuantizedLinear:
 
     @property
     def out_features(self) -> int:
-        if self.w8_t is not None:
-            return self.w8_t.shape[1]
+        if self.w8 is not None:
+            return self.w8.shape[0]
         if self.codes_t is not None:
             return self.codes_t.shape[2]
         return self.codes.shape[0] * self.scheme.out_group_size
 
     @property
     def in_features(self) -> int:
-        if self.w8_t is not None:
-            return self.w8_t.shape[0]
+        if self.w8 is not None:
+            return self.w8.shape[1]  # note: padded (pad_in_features)
         if self.codes_t is not None:
             return self.codes_t.shape[1] * self.scheme.in_group_size
         return self.codes.shape[1] * self.scheme.in_group_size
@@ -98,7 +99,7 @@ class QuantizedLinear:
         scheme = w.scheme
         scales = w.scales.astype(jnp.float32)  # [OG] or [OG, IG] (scale_nbits>0)
         bias = w.bias
-        none = dict(codes=None, codes_t=None, codebooks=None, packed_cb=None, w8_t=None, w8_scale=None)
+        none = dict(codes=None, codes_t=None, codebooks=None, packed_cb=None, w8=None, w8_scale=None)
 
         if mode == "reference":
             return QuantizedLinear(
@@ -111,8 +112,11 @@ class QuantizedLinear:
             amax = jnp.max(jnp.abs(dense), axis=1, keepdims=True)
             w8_scale = (amax / 127.0).reshape(-1)
             w8 = jnp.round(dense / jnp.maximum(amax, 1e-12) * 127.0).astype(jnp.int8)
+            in_pad = pad_in_features(w8.shape[1])
+            if in_pad != w8.shape[1]:
+                w8 = jnp.pad(w8, ((0, 0), (0, in_pad - w8.shape[1])))
             return QuantizedLinear(
-                **{**none, "w8_t": w8.T, "w8_scale": w8_scale.astype(jnp.float32)},
+                **{**none, "w8": w8, "w8_scale": w8_scale.astype(jnp.float32)},
                 scales=jnp.ones_like(scales), bias=bias, scheme=scheme, mode=mode,
             )
 
@@ -144,8 +148,9 @@ class QuantizedLinear:
     def dense_weight_t(self, dtype=jnp.bfloat16) -> jax.Array:
         """Materialize W^T [IN, OUT] (prefill two-step / tests)."""
         if self.mode == "int8":
+            n_out = self.w8.shape[0]
             return (
-                self.w8_t.astype(jnp.float32) * self.w8_scale[None, :]
+                self.w8.T.astype(jnp.float32) * self.w8_scale[None, :]
             ).astype(dtype)
         if self.mode == "codes":
             if self.scheme.nbits_per_codebook <= 8:
@@ -181,7 +186,7 @@ def quantized_matmul(x: jax.Array, q: QuantizedLinear) -> jax.Array:
         # Pallas kernel: int8 tiles convert to bf16 in VMEM. The naive
         # `x @ w8.astype(bf16)` materializes the converted weight in HBM
         # (5 bytes moved per weight instead of 1 — 5x slower decode).
-        return int8_matmul(x, q.w8_t, q.w8_scale, q.bias)
+        return int8_matmul(x, q.w8, q.w8_scale, q.bias)
     # codes mode
     if q.scheme.nbits_per_codebook <= 8:
         return kernels.fused_onehot_matmul(
@@ -221,7 +226,7 @@ def _slice_layer(q: QuantizedLinear, idx) -> QuantizedLinear:
     pick = lambda a: None if a is None else jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False)
     return QuantizedLinear(
         codes=pick(q.codes), codes_t=pick(q.codes_t), codebooks=pick(q.codebooks),
-        packed_cb=pick(q.packed_cb), w8_t=pick(q.w8_t), w8_scale=pick(q.w8_scale),
+        packed_cb=pick(q.packed_cb), w8=pick(q.w8), w8_scale=pick(q.w8_scale),
         scales=pick(q.scales), bias=pick(q.bias), scheme=q.scheme, mode=q.mode,
     )
 
@@ -229,7 +234,7 @@ def _slice_layer(q: QuantizedLinear, idx) -> QuantizedLinear:
 def quantized_matmul_indexed(x: jax.Array, iq: IndexedQuantizedLinear) -> jax.Array:
     q = iq.stacked
     if q.mode == "int8":
-        return int8_matmul_indexed(x, q.w8_t, q.w8_scale, iq.idx, q.bias)
+        return int8_matmul_indexed(x, q.w8, q.w8_scale, iq.idx, q.bias)
     # other modes: per-layer arrays are small (codes ~2 bit/weight) — the
     # scan-slice copy is cheap relative to their compute
     return quantized_matmul(x, _slice_layer(q, iq.idx))

@@ -93,7 +93,7 @@ def _quantized_spec(q: QuantizedLinear, kind: str, model_axis: str) -> Quantized
       codes     [OG, IG, K]      OG tracks OUT, IG tracks IN
       codes_t   [K, IG, OUT]
       packed_cb small, replicated
-      w8_t      [IN, OUT]
+      w8        [OUT, IN_padded]
       scales / w8_scale / bias   [OUT]
     """
     col = kind == "column"
@@ -111,7 +111,7 @@ def _quantized_spec(q: QuantizedLinear, kind: str, model_axis: str) -> Quantized
         codes_t=spec_if(q.codes_t, P(None, None, ma) if col else P(None, ma, None)),
         codebooks=spec_if(q.codebooks, P()),
         packed_cb=spec_if(q.packed_cb, P()),
-        w8_t=spec_if(q.w8_t, P(None, ma) if col else P(ma, None)),
+        w8=spec_if(q.w8, P(ma, None) if col else P(None, ma)),
         w8_scale=spec_if(q.w8_scale, P(ma) if col else P()),
         scales=out1,
         bias=spec_if(q.bias, P(ma) if col else P()),

@@ -36,6 +36,9 @@ class ServeConfig:
     prefill_buckets: tuple = (64, 256, 1024)
     kv_quantized: bool = False  # int8 KV cache
     top_k: int = 0  # static top-k bound for the sampler
+    fuse_projections: bool = True  # QKV / gate+up fusion for int8-mode layers
+    lm_head_int8: bool = False  # int8-quantize the output head
+    donate_params: bool = False  # free caller's params during load (big models)
 
 
 @dataclasses.dataclass
@@ -58,7 +61,14 @@ class Engine:
     def __init__(self, params: dict, cfg: llama.ModelConfig, serve: ServeConfig = ServeConfig()):
         self.cfg = cfg
         self.serve = serve
-        self.params = stack_layer_params(params)
+        if serve.fuse_projections or serve.lm_head_int8:
+            from aqlm_tpu.serve.fuse import fuse_projections, quantize_lm_head_int8
+
+            if serve.fuse_projections:
+                params = fuse_projections(params, cfg, donate=serve.donate_params)
+            if serve.lm_head_int8:
+                params = quantize_lm_head_int8(params)
+        self.params = stack_layer_params(params, donate=serve.donate_params)
         self.cache = init_kv_cache(
             cfg, serve.max_batch, serve.max_len, quantized=serve.kv_quantized
         )

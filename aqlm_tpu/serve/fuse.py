@@ -1,0 +1,102 @@
+"""Load-time projection fusion for serving: QKV and gate+up as single matmuls.
+
+The north-star's "fused gate/up and QKV variants" (BASELINE.json): q/k/v (and
+gate/up) share the same input activation, so their int8 weights concatenate
+along OUT into one kernel launch. Besides fewer launches, fusion fixes DMA
+granularity: llama's 11008-wide gate/up tiles at tn=256 (11008 has no larger
+128-multiple divisor) ~400 GB/s, while the fused 22016 = 43*512 tiles at
+tn=512 ~600-750 GB/s.
+
+Also here: `quantize_lm_head_int8` — the lm_head is the single largest
+weight read per decode step (130-500 MB bf16) and tolerates int8 well.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from aqlm_tpu.models.common import DenseLinear
+from aqlm_tpu.models.llama import ModelConfig
+from aqlm_tpu.ops.int8_matmul import pad_in_features
+from aqlm_tpu.ops.runtime import QuantizedLinear
+
+__all__ = ["fuse_projections", "quantize_lm_head_int8", "int8_linear_from_dense"]
+
+
+def _concat_int8(lins: list[QuantizedLinear]) -> QuantizedLinear:
+    assert all(l.mode == "int8" for l in lins)
+    w8 = jnp.concatenate([l.w8 for l in lins], axis=0)
+    w8_scale = jnp.concatenate([l.w8_scale for l in lins], axis=0)
+    biases = [l.bias for l in lins]
+    if any(b is not None for b in biases):
+        bias = jnp.concatenate(
+            [b if b is not None else jnp.zeros((l.w8.shape[0],), jnp.float32) for b, l in zip(biases, lins)]
+        )
+    else:
+        bias = None
+    return QuantizedLinear(
+        codes=None, codes_t=None, codebooks=None, packed_cb=None,
+        w8=w8, w8_scale=w8_scale,
+        scales=jnp.ones((w8.shape[0],), jnp.float32), bias=bias,
+        scheme=lins[0].scheme, mode="int8",
+    )
+
+
+def fuse_projections(params: dict, cfg: ModelConfig, donate: bool = False) -> dict:
+    """Replace q/k/v -> qkv_proj and gate/up -> gateup_proj where all parts
+    are int8-mode QuantizedLinear. Returns a new params dict (same leaves for
+    everything untouched); forward_stacked understands the fused keys.
+
+    donate=True drops the original projections from the INPUT layer dicts as
+    each fused copy materializes (halves peak HBM during load)."""
+    new_layers = []
+    for orig in params["layers"]:
+        layer = dict(orig)
+        qkv = [layer.get(n) for n in ("q_proj", "k_proj", "v_proj")]
+        if all(isinstance(l, QuantizedLinear) and l.mode == "int8" for l in qkv):
+            layer["qkv_proj"] = _concat_int8(qkv)
+            for n in ("q_proj", "k_proj", "v_proj"):
+                del layer[n]
+                if donate:
+                    orig[n] = None
+        gu = [layer.get(n) for n in ("gate_proj", "up_proj")]
+        if all(isinstance(l, QuantizedLinear) and l.mode == "int8" for l in gu):
+            layer["gateup_proj"] = _concat_int8(gu)
+            for n in ("gate_proj", "up_proj"):
+                del layer[n]
+                if donate:
+                    orig[n] = None
+        new_layers.append(layer)
+    return {**params, "layers": new_layers}
+
+
+def int8_linear_from_dense(weight, bias=None) -> QuantizedLinear:
+    """Per-out-channel int8 quantization of a dense [OUT, IN] weight, in the
+    same runtime container the AQLM int8 mode uses."""
+    dense = weight.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(dense), axis=1, keepdims=True)
+    w8_scale = (amax / 127.0).reshape(-1)
+    w8 = jnp.round(dense / jnp.maximum(amax, 1e-12) * 127.0).astype(jnp.int8)
+    in_pad = pad_in_features(w8.shape[1])
+    if in_pad != w8.shape[1]:
+        w8 = jnp.pad(w8, ((0, 0), (0, in_pad - w8.shape[1])))
+    from aqlm_tpu.config import AqlmScheme
+
+    return QuantizedLinear(
+        codes=None, codes_t=None, codebooks=None, packed_cb=None,
+        w8=w8, w8_scale=w8_scale.astype(jnp.float32),
+        scales=jnp.ones((w8.shape[0],), jnp.float32),
+        bias=None if bias is None else bias.astype(jnp.float32),
+        scheme=AqlmScheme(), mode="int8",
+    )
+
+
+def quantize_lm_head_int8(params: dict) -> dict:
+    """int8-quantize the lm_head (or materialize one from tied embeddings)."""
+    out = dict(params)
+    if params.get("lm_head") is not None:
+        head = params["lm_head"]
+        out["lm_head"] = int8_linear_from_dense(head.weight, head.bias)
+    else:
+        out["lm_head"] = int8_linear_from_dense(params["embed"])
+    return out

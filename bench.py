@@ -63,8 +63,10 @@ def main():
     jax.block_until_ready(params["embed"])
     log(f"built quantized 7B params in {time.time() - t0:.0f}s")
 
-    stacked = stack_layer_params(params)
-    params["layers"] = None  # free the unstacked 6.8 GB copy
+    from aqlm_tpu.serve.fuse import fuse_projections, quantize_lm_head_int8
+
+    params = quantize_lm_head_int8(fuse_projections(params, cfg, donate=True))
+    stacked = stack_layer_params(params, donate=True)
     del params
     cache = init_kv_cache(cfg, 1, 256, quantized=True)
 

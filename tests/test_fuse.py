@@ -1,0 +1,53 @@
+"""Projection-fusion tests: fused QKV/gate-up and int8 lm_head must match the
+unfused int8 model bit-for-bit (same int8 weights, same math)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aqlm_tpu.config import SCHEME_2X8
+from aqlm_tpu.models import llama
+from aqlm_tpu.models.quantize import random_quantized_params
+from aqlm_tpu.models.stacked import forward_stacked, stack_layer_params
+from aqlm_tpu.serve import Engine, SamplingParams, ServeConfig
+from aqlm_tpu.serve.fuse import fuse_projections, quantize_lm_head_int8
+
+
+def test_fused_forward_matches_unfused(key):
+    cfg = llama.ModelConfig.tiny(num_layers=2)
+    params = random_quantized_params(key, cfg, SCHEME_2X8, mode="int8", dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, cfg.vocab_size)
+
+    ref, _ = forward_stacked(stack_layer_params(params), cfg, ids)
+
+    fused = fuse_projections(params, cfg)
+    layer = fused["layers"][0]
+    assert "qkv_proj" in layer and "q_proj" not in layer
+    assert "gateup_proj" in layer and "gate_proj" not in layer
+    got, _ = forward_stacked(stack_layer_params(fused), cfg, ids)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_lm_head_int8_close(key):
+    cfg = llama.ModelConfig.tiny(num_layers=1)
+    params = random_quantized_params(key, cfg, SCHEME_2X8, mode="int8", dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, cfg.vocab_size)
+    ref, _ = forward_stacked(stack_layer_params(params), cfg, ids)
+    q = quantize_lm_head_int8(params)
+    got, _ = forward_stacked(stack_layer_params(q), cfg, ids)
+    # int8 head is lossy but top-1 should agree nearly everywhere
+    agree = (np.asarray(jnp.argmax(got, -1)) == np.asarray(jnp.argmax(ref, -1))).mean()
+    assert agree > 0.9, agree
+
+
+def test_engine_fusion_consistency(key):
+    cfg = llama.ModelConfig.tiny(num_layers=2)
+    params = random_quantized_params(key, cfg, SCHEME_2X8, mode="int8", dtype=jnp.float32)
+    prompt = np.asarray([3, 17, 5], np.int32)
+    e1 = Engine(params, cfg, ServeConfig(max_batch=1, max_len=32, prefill_buckets=(8,), fuse_projections=False))
+    e2 = Engine(params, cfg, ServeConfig(max_batch=1, max_len=32, prefill_buckets=(8,), fuse_projections=True))
+    out1 = e1.generate([prompt], SamplingParams(max_new_tokens=5))[0]
+    out2 = e2.generate([prompt], SamplingParams(max_new_tokens=5))[0]
+    assert out1 == out2, (out1, out2)
