@@ -118,6 +118,67 @@ def int8_matmul(x: jax.Array, w8: jax.Array, w_scale: jax.Array, bias=None) -> j
 
 
 # ---------------------------------------------------------------------------
+# transposed (backward) kernel: dx = (g * scale) @ w8
+# ---------------------------------------------------------------------------
+
+
+def _kernel_t(g_ref, w_ref, out_ref, acc_ref):
+    """grid = (in_tiles, b_tiles, o_tiles); o innermost accumulates."""
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[:].astype(jnp.bfloat16)  # [to, tk]
+    acc_ref[:] += jax.lax.dot_general(
+        g_ref[:], w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call_t(g, w8, *, interpret):
+    b, out_features = g.shape
+    out2, in_features = w8.shape
+    assert out2 == out_features
+
+    tk = _tile(in_features, 512, 128)
+    to = _tile(out_features, 2048, 128)
+    tb = b if b < 8 else _tile(b, 256, 8)
+    grid = (in_features // tk, b // tb, out_features // to)
+
+    return pl.pallas_call(
+        _kernel_t,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, to), lambda i, bt, o: (bt, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to, tk), lambda i, bt, o: (o, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, tk), lambda i, bt, o: (bt, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, in_features), g.dtype),
+        scratch_shapes=[pltpu.VMEM((tb, tk), jnp.float32)],
+        interpret=interpret,
+    )(g, w8)
+
+
+def int8_matmul_transposed(g: jax.Array, w8: jax.Array, w_scale: jax.Array) -> jax.Array:
+    """dx = (g * w_scale) @ w8 — the backward of int8_matmul w.r.t. x.
+
+    TPU analogue of the reference's transposed-dequant backward ops
+    (cuda_kernel.cpp:303-354, kernel_selector.py:105-163). g: [..., OUT];
+    returns [..., IN_padded] (caller slices to the true in_features).
+    """
+    lead = g.shape[:-1]
+    gb = g.reshape(-1, g.shape[-1])
+    gb = (gb.astype(jnp.float32) * w_scale[None, :]).astype(jnp.bfloat16)
+    dx = _call_t(gb, w8, interpret=should_interpret())
+    return dx.reshape(*lead, -1)
+
+
+# ---------------------------------------------------------------------------
 # layer-indexed variant for scan-over-layers serving
 # ---------------------------------------------------------------------------
 

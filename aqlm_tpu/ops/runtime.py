@@ -28,7 +28,12 @@ import jax.numpy as jnp
 from aqlm_tpu.config import AqlmScheme
 from aqlm_tpu.ops import gather16, kernels
 from aqlm_tpu.ops.dequant import AqlmWeight, aqlm_matmul_reference, dequantize_weight
-from aqlm_tpu.ops.int8_matmul import int8_matmul, int8_matmul_indexed, pad_in_features
+from aqlm_tpu.ops.int8_matmul import (
+    int8_matmul,
+    int8_matmul_indexed,
+    int8_matmul_transposed,
+    pad_in_features,
+)
 
 __all__ = [
     "QuantizedLinear",
@@ -169,19 +174,7 @@ class QuantizedLinear:
         return dequantize_weight(w, dtype=dtype).T
 
 
-def quantized_matmul(x: jax.Array, q: QuantizedLinear) -> jax.Array:
-    """y = x @ W_q^T + b through the runtime-mode kernel.
-
-    Differentiable end-to-end only in "reference" mode (codebooks/scales get
-    gradients — that's the calibration path). "codes"/"int8" are serving
-    layouts; wrap with jax.lax.stop_gradient upstream if mixing.
-    """
-    if q.mode == "reference":
-        w = AqlmWeight(
-            codes=q.codes, codebooks=q.codebooks, scales=q.scales,
-            bias=q.bias, scheme=q.scheme,
-        )
-        return aqlm_matmul_reference(x, w)
+def _serving_matmul_impl(x: jax.Array, q: QuantizedLinear) -> jax.Array:
     if q.mode == "int8":
         # Pallas kernel: int8 tiles convert to bf16 in VMEM. The naive
         # `x @ w8.astype(bf16)` materializes the converted weight in HBM
@@ -196,6 +189,67 @@ def quantized_matmul(x: jax.Array, q: QuantizedLinear) -> jax.Array:
     return gather16.gather_matmul_16(
         x, q.codes, q.packed_cb, q.scales, q.bias, group=q.scheme.in_group_size
     )
+
+
+def _zero_cotangent(q: QuantizedLinear):
+    """Zero cotangents for the frozen quantized weight (ints get float0)."""
+    import numpy as np
+
+    from jax import dtypes
+
+    def zero(a):
+        if a is None:
+            return None
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            return jnp.zeros_like(a)
+        return np.zeros(a.shape, dtypes.float0)
+
+    return jax.tree.map(zero, q, is_leaf=lambda v: v is None)
+
+
+@jax.custom_vjp
+def _serving_matmul(x: jax.Array, q: QuantizedLinear) -> jax.Array:
+    return _serving_matmul_impl(x, q)
+
+
+def _serving_matmul_fwd(x, q):
+    return _serving_matmul_impl(x, q), (q, x.shape[-1])
+
+
+def _serving_matmul_bwd(res, g):
+    """Backward w.r.t. activations only — the weights are frozen serving
+    layouts (reference autograd wrapper, inference.py:99-142; transposed
+    CUDA ops, kernel_selector.py:105-163)."""
+    q, in_features = res
+    if q.mode == "int8":
+        dx = int8_matmul_transposed(g, q.w8, q.w8_scale)[..., :in_features]
+    else:
+        wt = q.dense_weight_t(dtype=jnp.bfloat16)  # [IN, OUT]
+        dx = jnp.einsum(
+            "...o,io->...i", g.astype(jnp.bfloat16), wt, preferred_element_type=jnp.float32
+        )
+    return dx.astype(g.dtype), _zero_cotangent(q)
+
+
+_serving_matmul.defvjp(_serving_matmul_fwd, _serving_matmul_bwd)
+
+
+def quantized_matmul(x: jax.Array, q: QuantizedLinear) -> jax.Array:
+    """y = x @ W_q^T + b through the runtime-mode kernel.
+
+    "reference" mode is natively differentiable end-to-end (codebooks/scales
+    get gradients — the calibration path). "codes"/"int8" serving layouts
+    carry a custom VJP that backpropagates to the activations through the
+    transposed kernels (weights receive zero cotangents) — enough for PEFT /
+    2-bit-backbone training, like the reference's autograd-wrapped kernels.
+    """
+    if q.mode == "reference":
+        w = AqlmWeight(
+            codes=q.codes, codebooks=q.codebooks, scales=q.scales,
+            bias=q.bias, scheme=q.scheme,
+        )
+        return aqlm_matmul_reference(x, w)
+    return _serving_matmul(x, q)
 
 
 # ---------------------------------------------------------------------------
