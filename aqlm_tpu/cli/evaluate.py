@@ -45,14 +45,19 @@ def main(argv=None) -> dict:
 
     if args.tasks:
         try:
-            import lm_eval  # noqa: F401
+            import lm_eval
         except ImportError:
             print("lm_eval not installed; skipping harness tasks")
         else:
-            raise NotImplementedError(
-                "lm-eval harness adapter requires a tokenizer-bound LM wrapper; "
-                "run perplexity datasets instead or add the adapter"
-            )
+            from aqlm_tpu.cli.common import load_tokenizer
+            from aqlm_tpu.data import make_lm_eval_adapter
+
+            tokenizer = load_tokenizer(args.model_path)
+            assert tokenizer is not None, "harness tasks need a tokenizer next to the model"
+            lm = make_lm_eval_adapter(params, cfg, tokenizer)
+            harness = lm_eval.simple_evaluate(model=lm, tasks=args.tasks)
+            results["lm_eval"] = harness["results"]
+            print(json.dumps(harness["results"], default=str))
 
     print(json.dumps(results))
     return results

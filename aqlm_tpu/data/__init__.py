@@ -2,5 +2,14 @@
 
 from aqlm_tpu.data.eval import evaluate_perplexity
 from aqlm_tpu.data.loaders import get_loaders, group_texts, split_long_texts
+from aqlm_tpu.data.scoring import make_lm_eval_adapter, score_batch, score_loglikelihood
 
-__all__ = ["evaluate_perplexity", "get_loaders", "group_texts", "split_long_texts"]
+__all__ = [
+    "evaluate_perplexity",
+    "get_loaders",
+    "group_texts",
+    "split_long_texts",
+    "make_lm_eval_adapter",
+    "score_batch",
+    "score_loglikelihood",
+]

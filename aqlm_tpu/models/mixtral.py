@@ -144,6 +144,36 @@ def _moe_mlp(xn: jax.Array, layer: dict, cfg: MixtralConfig, taps: dict | None =
     return out
 
 
+def stack_experts(layer: dict, cfg: MixtralConfig) -> dict:
+    """Stack per-expert dense FFN weights into [E, ...] arrays.
+
+    The expert-parallel serving form: with the E axis sharded over the mesh's
+    "model" axis, each device computes its experts over all tokens (static
+    shapes, no dispatch) and the combine is one psum — the TPU-idiomatic MoE
+    layout. Returns a layer dict with `experts_gate/up/down` [E, OUT, IN]
+    replacing the per-expert keys. Dense experts only (quantized stacked
+    experts ride the layer-indexed kernels, future work)."""
+    out = {k: v for k, v in layer.items() if not k.startswith("experts.")}
+    for proj in EXPERT_PROJS:
+        ws = [layer[f"experts.{e}.{proj}"] for e in range(cfg.num_experts)]
+        assert all(isinstance(w, DenseLinear) for w in ws), "stack_experts expects dense experts"
+        out[f"experts_{proj}"] = jnp.stack([w.weight for w in ws])
+    return out
+
+
+def moe_mlp_stacked(xn: jax.Array, layer: dict, cfg: MixtralConfig) -> jax.Array:
+    """Dense-expert MoE as single einsums over the stacked E axis."""
+    weights = _routing(xn, layer, cfg).astype(xn.dtype)  # [B, T, E]
+    gate_w = layer["experts_gate_proj"]  # [E, I, H]
+    up_w = layer["experts_up_proj"]
+    down_w = layer["experts_down_proj"]  # [E, H, I]
+    gate = jnp.einsum("bth,eih->btei", xn, gate_w.astype(xn.dtype))
+    up = jnp.einsum("bth,eih->btei", xn, up_w.astype(xn.dtype))
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+    act = act * weights[..., None]  # fold combine weights in before down-proj
+    return jnp.einsum("btei,ehi->bth", act, down_w.astype(xn.dtype))
+
+
 def block_forward_with_taps(x, layer, cfg: MixtralConfig, positions):
     """Mixtral block with calibration taps (pipeline contract, cf.
     llama.block_forward_with_taps)."""

@@ -1,5 +1,11 @@
 """Mesh construction and sharding specs (TP/DP over ICI+DCN)."""
 
+from aqlm_tpu.parallel.distributed import (
+    initialize_distributed,
+    is_multihost,
+    make_multihost_mesh,
+    sync_hosts,
+)
 from aqlm_tpu.parallel.mesh import (
     COLUMN_PARALLEL,
     ROW_PARALLEL,
@@ -16,4 +22,8 @@ __all__ = [
     "make_mesh",
     "model_param_specs",
     "shard_params",
+    "initialize_distributed",
+    "is_multihost",
+    "make_multihost_mesh",
+    "sync_hosts",
 ]
