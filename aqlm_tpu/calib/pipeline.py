@@ -58,31 +58,44 @@ class QuantizePipelineConfig:
     skip_names: tuple = ()  # projections to keep dense (e.g. mixtral .gate handled upstream)
     save_dir: str | None = None
     resume: bool = False
+    offload_activations: bool = False  # keep hidden states in host RAM
+    on_save: str | None = None  # python snippet exec'd after each layer save
     verbose: bool = True
 
 
-def _capture_taps(layer, cfg, hidden, positions, names, batch_size, taps_fn):
-    """One pass over all samples: accumulate XTX per tap + block outputs."""
+def _concat(parts, offload: bool):
+    if offload:
+        return np.concatenate([np.asarray(p) for p in parts], axis=0)
+    return jnp.concatenate(parts, axis=0)
+
+
+def _capture_taps(layer, cfg, hidden, positions, names, batch_size, taps_fn, offload=False):
+    """One pass over all samples: accumulate XTX per tap + block outputs.
+
+    With offload=True, `hidden` lives in host RAM (numpy) and only one batch
+    is resident on device at a time — the reference's --offload_activations
+    (/root/reference/main.py:105-113)."""
     jit_fn = jax.jit(lambda x, lyr: taps_fn(x, lyr, cfg, positions))
     accs = {}
     outs = []
     for start in range(0, hidden.shape[0], batch_size):
-        xb = hidden[start : start + batch_size]
+        xb = jnp.asarray(hidden[start : start + batch_size])
         out, taps = jit_fn(xb, layer)
-        outs.append(out)
+        outs.append(np.asarray(out) if offload else out)
         for name in names:
             if name not in accs:
                 accs[name] = XTXAccumulator.zeros(taps[name].shape[-1])
             accs[name] = accs[name].add(taps[name])
-    return accs, jnp.concatenate(outs, axis=0)
+    return accs, _concat(outs, offload)
 
 
-def _propagate(layer, cfg, hidden, positions, batch_size, taps_fn):
+def _propagate(layer, cfg, hidden, positions, batch_size, taps_fn, offload=False):
     fwd = jax.jit(lambda x, lyr: taps_fn(x, lyr, cfg, positions)[0])
-    outs = [
-        fwd(hidden[s : s + batch_size], layer) for s in range(0, hidden.shape[0], batch_size)
-    ]
-    return jnp.concatenate(outs, axis=0)
+    outs = []
+    for s in range(0, hidden.shape[0], batch_size):
+        out = fwd(jnp.asarray(hidden[s : s + batch_size]), layer)
+        outs.append(np.asarray(out) if offload else out)
+    return _concat(outs, offload)
 
 
 def quantize_model(
@@ -108,15 +121,22 @@ def quantize_model(
     seqlen = input_ids.shape[1]
     positions = jnp.arange(seqlen)[None, :]
 
+    offload = pipeline.offload_activations
+
     # layer-0 inputs: embedding lookup (the reference's Catcher, main.py:64-161)
     def embed(ids):
-        x = jnp.take(params["embed"], ids, axis=0)
-        if cfg.gemma_norm:
-            x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
-        return x
+        if ids is None:
+            return None
+        parts = []
+        for s in range(0, ids.shape[0], pipeline.batch_size):
+            x = jnp.take(params["embed"], jnp.asarray(ids[s : s + pipeline.batch_size]), axis=0)
+            if cfg.gemma_norm:
+                x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+            parts.append(np.asarray(x) if offload else x)
+        return _concat(parts, offload)
 
     hidden = embed(input_ids)
-    val_hidden = embed(val_input_ids) if val_input_ids is not None else None
+    val_hidden = embed(val_input_ids)
 
     stats = {"out_loss": [], "avg_bits": None}
     total_bits = 0.0
@@ -127,9 +147,9 @@ def quantize_model(
             loaded = load_layer_checkpoint(pipeline.save_dir, li, scheme)
             if loaded is not None:
                 params["layers"][li] = layer = loaded
-                hidden = _propagate(layer, cfg, hidden, positions, pipeline.batch_size, taps_fn)
+                hidden = _propagate(layer, cfg, hidden, positions, pipeline.batch_size, taps_fn, offload)
                 if val_hidden is not None:
-                    val_hidden = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size, taps_fn)
+                    val_hidden = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size, taps_fn, offload)
                 if pipeline.verbose:
                     print(f"layer {li}: loaded from checkpoint")
                 continue
@@ -152,13 +172,13 @@ def quantize_model(
         val_targets = None
         targets = None
         if val_hidden is not None:
-            val_targets = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size, taps_fn)
+            val_targets = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size, taps_fn, offload)
 
         for names in groups:
             if not names:
                 continue
             accs, targets = _capture_taps(
-                layer, cfg, hidden, positions, names, pipeline.batch_size, taps_fn
+                layer, cfg, hidden, positions, names, pipeline.batch_size, taps_fn, offload
             )
             for name in names:
                 dense: DenseLinear = layer[name]
@@ -190,21 +210,25 @@ def quantize_model(
                 )
                 params["layers"][li] = layer
 
-        new_hidden = _propagate(layer, cfg, hidden, positions, pipeline.batch_size, taps_fn)
+        new_hidden = _propagate(layer, cfg, hidden, positions, pipeline.batch_size, taps_fn, offload)
         # relative out loss vs the (last group's) pre-quantization targets
         out_loss = float("nan")
         if targets is not None:
-            out_loss = float(
-                jnp.mean((new_hidden.astype(jnp.float32) - targets.astype(jnp.float32)) ** 2)
-                / jnp.clip(jnp.mean(new_hidden.astype(jnp.float32) ** 2), 1e-6)
-            )
+            nh = np.asarray(new_hidden, np.float32) if offload else new_hidden.astype(jnp.float32)
+            tg = np.asarray(targets, np.float32) if offload else targets.astype(jnp.float32)
+            xp = np if offload else jnp
+            out_loss = float(xp.mean((nh - tg) ** 2) / max(float(xp.mean(nh ** 2)), 1e-6))
         stats["out_loss"].append(out_loss)
         hidden = new_hidden
         if val_hidden is not None:
-            val_hidden = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size, taps_fn)
+            val_hidden = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size, taps_fn, offload)
 
         if pipeline.save_dir:
             save_layer_checkpoint(pipeline.save_dir, li, layer)
+            if pipeline.on_save:
+                # arbitrary user callback after each layer save, for slurm /
+                # preemptible workflows (reference main.py:315-316, 632-638)
+                exec(pipeline.on_save, {"layer_index": li, "save_dir": pipeline.save_dir})
         if pipeline.verbose:
             print(f"layer {li}: out_loss={out_loss:.3e}")
 

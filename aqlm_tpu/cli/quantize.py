@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=4, help="activation-capture batch")
     p.add_argument("--save", type=str, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--offload_activations", action="store_true",
+                   help="keep layer activations in host RAM (large models)")
+    p.add_argument("--on_save", type=str, default=None,
+                   help="python snippet exec'd after each layer checkpoint")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", choices=["auto", "float32", "bfloat16"], default="auto")
     p.add_argument("--eval_datasets", nargs="*", default=[])
@@ -110,6 +114,8 @@ def main(argv=None) -> dict:
         batch_size=args.batch_size,
         save_dir=args.save,
         resume=args.resume,
+        offload_activations=args.offload_activations,
+        on_save=args.on_save,
     )
     t0 = time.time()
     params, stats = quantize_model(params, cfg, data, pipe, val_input_ids=val_data)

@@ -81,6 +81,31 @@ def test_quantize_model_resume(key, tmp_path):
     np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-5)
 
 
+def test_offload_activations_equivalent(key, tmp_path):
+    """Host-offloaded activations must produce the identical quantized model."""
+    cfg, params, calib_ids, pipe = _tiny_setup(key, num_layers=1)
+    import copy
+
+    q_dev, _ = quantize_model(copy.deepcopy(params), cfg, calib_ids, pipe)
+    pipe_off = dataclasses.replace(pipe, offload_activations=True)
+    q_off, _ = quantize_model(copy.deepcopy(params), cfg, calib_ids, pipe_off)
+    a, _ = llama.forward(q_dev, cfg, calib_ids)
+    b, _ = llama.forward(q_off, cfg, calib_ids)
+    np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-4)
+
+
+def test_on_save_callback(key, tmp_path):
+    cfg, params, calib_ids, pipe = _tiny_setup(key, num_layers=1)
+    marker = tmp_path / "marker.txt"
+    pipe = dataclasses.replace(
+        pipe,
+        save_dir=str(tmp_path / "ckpt"),
+        on_save=f"open(r'{marker}', 'a').write(str(layer_index) + ',')",
+    )
+    quantize_model(params, cfg, calib_ids, pipe)
+    assert marker.read_text() == "0,"
+
+
 def test_evaluate_perplexity_matches_manual(key):
     cfg = llama.ModelConfig.tiny(num_layers=1)
     params = llama.init_random_params(key, cfg, dtype=jnp.float32)
