@@ -96,7 +96,9 @@ def _quantize_kv(x: jax.Array):
 
 
 def _dequantize_kv(q: jax.Array, scale: jax.Array, dtype):
-    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+    # dequantize straight to the compute dtype; an f32 intermediate would
+    # double the HBM traffic of the whole cache per step
+    return q.astype(dtype) * scale[..., None].astype(dtype)
 
 
 def forward_stacked(

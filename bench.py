@@ -107,6 +107,45 @@ def main():
     dt = timed(DECODE_STEPS) - timed(0)
     toks_per_sec = DECODE_STEPS / dt
 
+    # secondary: batched decode throughput (B=8) and prefill rate
+    try:
+        cache8 = init_kv_cache(cfg, 8, 256, quantized=True)
+        tok8 = jnp.ones((8, 1), jnp.int32)
+        off8 = jnp.zeros((8,), jnp.int32)
+
+        def run8(n):
+            t, _ = decode_n(stacked, cache8, tok8, off8, n)
+            return int(jax.device_get(t)[0, 0])
+
+        run8(32); run8(0)  # compile both variants before timing
+
+        def timed8(n):
+            ts = []
+            for _ in range(3):
+                t0 = time.time(); run8(n); ts.append(time.time() - t0)
+            return sorted(ts)[1]
+
+        thpt = 8 * 32 / (timed8(32) - timed8(0))
+        log(f"batched decode (B=8): {thpt:.1f} tok/s aggregate")
+
+        del cache8
+        cachep = init_kv_cache(cfg, 1, 512, quantized=True)
+        ids = jnp.ones((1, 256), jnp.int32)
+
+        @jax.jit
+        def prefill(p, c, ids):
+            logits, c = forward_stacked(p, cfg, ids, cache=c, cache_offset=jnp.zeros((1,), jnp.int32))
+            return jnp.sum(logits[:, -1])
+
+        float(jax.device_get(prefill(stacked, cachep, ids)))
+        t0 = time.time()
+        for _ in range(4):
+            float(jax.device_get(prefill(stacked, cachep, ids)))
+        prefill_tps = 4 * 256 / (time.time() - t0)
+        log(f"prefill: {prefill_tps:.0f} tok/s (256-token prompt)")
+    except Exception as e:
+        log(f"secondary metrics failed: {e!r}")
+
     sol = dense_bf16_sol_tokens_per_sec(cfg)
     log(
         f"decode: {toks_per_sec:.2f} tok/s/chip ({1e3 * dt / DECODE_STEPS:.1f} ms/tok); "
