@@ -21,7 +21,15 @@ from aqlm_tpu.ops.runtime import (
     quantized_matmul_indexed,
 )
 
-__all__ = ["DenseLinear", "apply_linear", "rms_norm", "rope", "attention", "make_causal_mask"]
+__all__ = [
+    "DenseLinear",
+    "apply_linear",
+    "rms_norm",
+    "rope",
+    "attention",
+    "attention_headmajor",
+    "make_causal_mask",
+]
 
 
 @partial(
@@ -107,5 +115,29 @@ def attention(q, k, v, mask, *, scale: float | None = None):
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
         "bhrqk,bkhd->bqhrd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.reshape(b, tq, hq, d).astype(q.dtype)
+
+
+def attention_headmajor(q, k_hm, v_hm, mask, *, scale: float | None = None):
+    """GQA attention over a head-major KV cache.
+
+    q: [B,Tq,Hq,D]; k_hm/v_hm: [B,Hkv,S,D] (the serving cache layout —
+    contiguous per head, which both the flash-decode kernel's BlockSpecs and
+    the cache-write DMAs want); mask: [B,1,Tq,S] bool.
+    """
+    b, tq, hq, d = q.shape
+    hkv = k_hm.shape[1]
+    rep = hq // hkv
+    if scale is None:
+        scale = d ** -0.5
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(b, tq, hkv, rep, d)
+    logits = jnp.einsum(
+        "bqhrd,bhkd->bhrqk", qs, k_hm, preferred_element_type=jnp.float32
+    )
+    logits = jnp.where(mask[:, :, None, :, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhrqk,bhkd->bqhrd", probs.astype(v_hm.dtype), v_hm, preferred_element_type=jnp.float32
     )
     return out.reshape(b, tq, hq, d).astype(q.dtype)

@@ -22,7 +22,15 @@ import jax
 import jax.numpy as jnp
 
 from aqlm_tpu.models import llama
-from aqlm_tpu.models.common import apply_linear, attention, make_causal_mask, rms_norm, rope
+from aqlm_tpu.models.common import (
+    apply_linear,
+    attention,
+    attention_headmajor,
+    make_causal_mask,
+    rms_norm,
+    rope,
+)
+from aqlm_tpu.ops.flash_decode import flash_decode_attention
 
 __all__ = ["KVCache", "stack_layer_params", "forward_stacked", "init_kv_cache"]
 
@@ -34,8 +42,11 @@ __all__ = ["KVCache", "stack_layer_params", "forward_stacked", "init_kv_cache"]
 )
 @dataclasses.dataclass
 class KVCache:
-    """Stacked KV cache. k/v: [L, B, max_len, H_kv, D] (bf16 or int8);
-    scales: [L, B, max_len, H_kv] f32 when int8, else None."""
+    """Stacked head-major KV cache. k/v: [L, B, H_kv, max_len, D] (bf16 or
+    int8); scales: [L, B, H_kv, max_len, 1] f32 when int8, else None.
+
+    Head-major (sequence contiguous per head) so flash-decode BlockSpecs tile
+    [S, D] directly and cache-write DMAs are contiguous runs."""
 
     k: jax.Array
     v: jax.Array
@@ -44,7 +55,7 @@ class KVCache:
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def quantized(self) -> bool:
@@ -54,13 +65,13 @@ class KVCache:
 def init_kv_cache(
     cfg: llama.ModelConfig, batch: int, max_len: int, *, dtype=jnp.bfloat16, quantized: bool = False
 ) -> KVCache:
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.dim_per_head)
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.dim_per_head)
     if quantized:
         return KVCache(
             k=jnp.zeros(shape, jnp.int8),
             v=jnp.zeros(shape, jnp.int8),
-            k_scale=jnp.zeros(shape[:-1], jnp.float32),
-            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            k_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+            v_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
         )
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype), k_scale=None, v_scale=None)
 
@@ -96,9 +107,10 @@ def _quantize_kv(x: jax.Array):
 
 
 def _dequantize_kv(q: jax.Array, scale: jax.Array, dtype):
-    # dequantize straight to the compute dtype; an f32 intermediate would
-    # double the HBM traffic of the whole cache per step
-    return q.astype(dtype) * scale[..., None].astype(dtype)
+    # scale carries a trailing singleton dim that broadcasts over D;
+    # dequantize straight to the compute dtype (an f32 intermediate would
+    # double the HBM traffic of the whole cache)
+    return q.astype(dtype) * scale.astype(dtype)
 
 
 def forward_stacked(
@@ -109,12 +121,21 @@ def forward_stacked(
     cache: KVCache | None = None,
     cache_offset: jax.Array | int = 0,
     positions: jax.Array | None = None,
+    use_flash_decode: bool = False,
 ):
     """Causal LM forward over stacked layers. Returns (logits, new_cache).
 
     With a cache: writes K/V at [cache_offset, cache_offset+T) and attends
     over positions <= current. Shapes are static; `cache_offset` may be a
     traced scalar (decode loop friendly).
+
+    use_flash_decode routes single-token attention through the Pallas
+    flash-decode kernel. Off by default: inside lax.scan the per-layer cache
+    slice feeding an opaque pallas_call costs an HBM copy that outweighs the
+    kernel's dequant savings (measured +0.12 ms/layer at 2k ctx); the XLA
+    path fuses the slice+dequant into the attention dots. The kernel pays
+    off for unrolled/single-layer decoding and is the building block for an
+    in-place-carry cache design.
     """
     b, t = input_ids.shape
     offsets = jnp.broadcast_to(jnp.asarray(cache_offset), (b,))  # per-row cache offsets
@@ -122,10 +143,13 @@ def forward_stacked(
         positions = offsets[:, None] + jnp.arange(t)[None, :]
     positions = jnp.broadcast_to(positions, (b, t))
 
-    def write_rows(buf, new):  # [B, S, ...] <- [B, T, ...] at per-row offsets
+    def write_rows(buf, new):
+        """Head-major write: buf [B, H, S, ...] <- new [B, T, H, ...] at
+        per-row sequence offsets."""
+        new_hm = jnp.moveaxis(new, 1, 2)  # [B, H, T, ...]
         return jax.vmap(
-            lambda c, x, off: jax.lax.dynamic_update_slice_in_dim(c, x, off, axis=0)
-        )(buf, new, offsets)
+            lambda c, x, off: jax.lax.dynamic_update_slice_in_dim(c, x, off, axis=1)
+        )(buf, new_hm, offsets)
 
     x = jnp.take(params["embed"], input_ids, axis=0)
     if cfg.gemma_norm:
@@ -177,20 +201,27 @@ def forward_stacked(
                 v8, vs = _quantize_kv(v)
                 k_c = write_rows(k_c, k8)
                 v_c = write_rows(v_c, v8)
-                ks_c = write_rows(ks_c, ks)
-                vs_c = write_rows(vs_c, vs)
-                k_all = _dequantize_kv(k_c, ks_c, q.dtype)
-                v_all = _dequantize_kv(v_c, vs_c, q.dtype)
+                ks_c = write_rows(ks_c, ks[..., None])
+                vs_c = write_rows(vs_c, vs[..., None])
                 new_kv = (k_c, v_c, ks_c, vs_c)
+                if t == 1 and use_flash_decode:
+                    attn = flash_decode_attention(q, k_c, v_c, ks_c, vs_c, offsets + 1)
+                else:
+                    k_all = _dequantize_kv(k_c, ks_c, q.dtype)
+                    v_all = _dequantize_kv(v_c, vs_c, q.dtype)
+                    attn = attention_headmajor(q, k_all, v_all, mask)
             else:
                 k_c, v_c = kv
                 k_c = write_rows(k_c, k.astype(k_c.dtype))
                 v_c = write_rows(v_c, v.astype(v_c.dtype))
-                k_all, v_all = k_c.astype(q.dtype), v_c.astype(q.dtype)
                 new_kv = (k_c, v_c)
-            attn = attention(q, k_all, v_all, mask)
+                if t == 1 and use_flash_decode:
+                    attn = flash_decode_attention(q, k_c, v_c, None, None, offsets + 1)
+                else:
+                    attn = attention_headmajor(q, k_c.astype(q.dtype), v_c.astype(q.dtype), mask)
         else:
             attn = attention(q, k, v, mask)
+        attn = attn.astype(x.dtype)
 
         x = res + apply_linear(attn.reshape(b, t, -1), layer["o_proj"])
         res = x

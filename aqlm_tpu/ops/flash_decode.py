@@ -1,0 +1,143 @@
+"""Flash-decode attention: single-token GQA attention over an (optionally
+int8) head-major KV cache, online-softmax tiled over sequence.
+
+The XLA path must materialize the dequantized cache in HBM every step
+(int8 -> bf16 write + read triples the cache traffic); this kernel streams
+int8 KV tiles into VMEM, dequantizes in-register, and keeps the flash
+(m, l, acc) state in scratch — each cache byte is read exactly once.
+Patterned after the paged-attention kernels in
+jax.experimental.pallas.ops.tpu (see the guide's quantized variant); pages
+are not needed here because the cache is a dense preallocated ring.
+
+Layouts: q [B, Hkv, rep, D]; k/v [B, Hkv, S, D] (int8 or bf16);
+scales [B, Hkv, S, 1] f32 or None; lengths [B] i32 (attend to keys < length).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aqlm_tpu.ops.kernels import should_interpret
+
+__all__ = ["flash_decode_attention"]
+
+NEG_INF = -1e30
+
+
+def _kernel(lengths_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref, *, ts, scale, quantized, compute_dtype):
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0].astype(compute_dtype)  # [rep, D]
+    k = k_ref[0, 0]  # [ts, D] int8/bf16
+    v = v_ref[0, 0]
+    if quantized:
+        k = k.astype(compute_dtype) * ks_ref[0, 0].astype(compute_dtype)  # [ts, 1] scale
+        v = v.astype(compute_dtype) * vs_ref[0, 0].astype(compute_dtype)
+    else:
+        k = k.astype(compute_dtype)
+        v = v.astype(compute_dtype)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [rep, ts]
+
+    length = lengths_ref[b]
+    key_pos = s * ts + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(key_pos < length, logits, NEG_INF)
+
+    m_prev, l_prev = m_ref[:], l_ref[:]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)  # [rep, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)  # [rep, ts]
+    l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+        p.astype(compute_dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(s == pl.num_programs(2) - 1)
+    def _():
+        out_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "ts"))
+def _call(q, k, v, k_scale, v_scale, lengths, *, scale, interpret, ts=512):
+    b, hkv, rep, d = q.shape
+    s_len = k.shape[2]
+    ts = min(ts, s_len)
+    assert s_len % ts == 0, (s_len, ts)
+    quantized = k.dtype == jnp.int8
+    grid = (b, hkv, s_len // ts)
+
+    # CPU interpret mode lacks bf16xbf16->f32 dots; TPU uses bf16 on the MXU
+    compute_dtype = jnp.float32 if interpret else jnp.bfloat16
+    kern = functools.partial(
+        _kernel, ts=ts, scale=scale, quantized=quantized, compute_dtype=compute_dtype
+    )
+    if not quantized:
+        # dummy tiny scale operands keep one kernel signature
+        k_scale = jnp.zeros((b, hkv, s_len, 1), jnp.float32) if k_scale is None else k_scale
+        v_scale = jnp.zeros((b, hkv, s_len, 1), jnp.float32) if v_scale is None else v_scale
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, d), lambda bi, h, si, L: (bi, h, 0, 0)),
+            pl.BlockSpec((1, 1, ts, d), lambda bi, h, si, L: (bi, h, si, 0)),
+            pl.BlockSpec((1, 1, ts, d), lambda bi, h, si, L: (bi, h, si, 0)),
+            pl.BlockSpec((1, 1, ts, 1), lambda bi, h, si, L: (bi, h, si, 0)),
+            pl.BlockSpec((1, 1, ts, 1), lambda bi, h, si, L: (bi, h, si, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, d), lambda bi, h, si, L: (bi, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rep, 1), jnp.float32),
+            pltpu.VMEM((rep, 1), jnp.float32),
+            pltpu.VMEM((rep, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rep, d), jnp.bfloat16),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), q, k, v, k_scale, v_scale)
+
+
+def flash_decode_attention(
+    q: jax.Array,  # [B, T=1, Hq, D]
+    k_hm: jax.Array,  # [B, Hkv, S, D] int8 or float
+    v_hm: jax.Array,
+    k_scale,  # [B, Hkv, S, 1] f32 or None
+    v_scale,
+    lengths: jax.Array,  # [B] attend to key positions < lengths[b]
+    *,
+    scale: float | None = None,
+) -> jax.Array:
+    """Returns attention output [B, 1, Hq, D] bf16."""
+    b, t, hq, d = q.shape
+    assert t == 1, "flash decode is the single-token path"
+    hkv = k_hm.shape[1]
+    rep = hq // hkv
+    if scale is None:
+        scale = d ** -0.5
+    q_hm = q.reshape(b, 1, hkv, rep, d)[:, 0].astype(jnp.bfloat16)  # [B, Hkv, rep, D]
+    out = _call(
+        q_hm, k_hm, v_hm, k_scale, v_scale, lengths,
+        scale=scale, interpret=should_interpret(),
+    )
+    return out.reshape(b, 1, hq, d)
