@@ -29,6 +29,13 @@ def chain_time(
     to the jit as an argument) — if the step closes over them they are
     embedded as HLO constants and uploaded with the program, which both
     overstates VMEM residency and blows the remote-compile request limit.
+
+    HOISTING TRAP: any sub-computation that depends ONLY on ``consts`` is
+    loop-invariant and XLA lifts it out of the chained loop — e.g. a
+    dequantize feeding a matmul gets measured once instead of n times. If
+    the op under test transforms consts, inject a carry dependence into
+    them first (e.g. ``c = cs + (carry.ravel()[:1] * 0).astype(cs.dtype)``).
+    Opaque pallas_calls are not hoisted; pure-XLA subgraphs are.
     """
 
     @partial(jax.jit, static_argnames=("n",))
