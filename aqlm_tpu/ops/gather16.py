@@ -15,11 +15,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-from aqlm_tpu.ops.kernels import should_interpret
-
 __all__ = ["pack_codebook_rows", "gather_matmul_16", "dequantize_gather16"]
 
 
@@ -29,46 +24,6 @@ def pack_codebook_rows(codebook: jax.Array, group: int) -> jax.Array:
     per_row = 128 // group
     assert s % per_row == 0
     return codebook.reshape(s * group // 128, 128).astype(jnp.bfloat16)
-
-
-def _extract_kernel(rows_ref, off_ref, r_ref, out_ref, *, per_row, group):
-    """[tN, 128] gathered rows + entry offsets -> [tN, group] entries.
-
-    mask out everything but the selected entry's lanes (VPU compare+mul),
-    then compact 128 lanes -> group with a constant [128, group] matmul.
-    Reads the gathered rows exactly once — XLA's lowering of the same
-    extraction materializes them twice (measured 16.5 -> ~4.5 ms/layer)."""
-    rows = rows_ref[:]
-    lane_entry = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) // group
-    mask = (lane_entry == off_ref[:].reshape(-1, 1)).astype(rows.dtype)
-    out_ref[:] = jax.lax.dot_general(
-        rows * mask, r_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("group", "interpret"))
-def _extract16(rows, off, *, group, interpret):
-    """rows [N, 128] bf16, off [N] int32 (entry index within row) -> [N, group]."""
-    n = rows.shape[0]
-    per_row = 128 // group
-    tn = 1024
-    assert n % tn == 0, n
-    # constant compaction matrix: R[l, j] = 1 where l % group == j
-    r = (jnp.arange(128)[:, None] % group == jnp.arange(group)[None, :]).astype(jnp.bfloat16)
-    kern = functools.partial(_extract_kernel, per_row=per_row, group=group)
-    return pl.pallas_call(
-        kern,
-        grid=(n // tn,),
-        in_specs=[
-            pl.BlockSpec((tn, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, group), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tn, group), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, group), jnp.bfloat16),
-        interpret=interpret,
-    )(rows, off, r)
 
 
 def _dequant_rows(codes, packed_cb, group: int):
