@@ -1,12 +1,14 @@
 """Codes-resident matmul for 16-bit codebooks (1x16 schemes) — "memory mode".
 
-v5e's gather engine moves ~2.4 wide rows/cycle but only ~0.09 narrow rows/cycle
+v5e's gather engine moves ~2.4 G wide rows/s but only ~0.09 G narrow rows/s
 (NOTES.md), so the 65536-entry codebook is packed into 128-lane rows (16 g=8
-entries per row). Dequant = wide-row gather by the code's high bits + a
-static roll/select ladder to extract the entry by the low bits. This is the
-TPU replacement for Code1x16MatVec's warp-gather
-(/root/reference/.../cuda_kernel.cu:7-95); exact, ~15-25x slower than dense
-decode — the price of 2.2-bit HBM residency on this hardware.
+entries per row). Dequant = wide-row gather by the code's high bits + a fused
+(rows * onehot16).sum extraction by the low bits — 16.5 ms/layer honest on
+Llama-2-7B gate_proj (experiments/extract16_pallas.py records why two Pallas
+extraction variants lose to this XLA-fused form). This is the TPU
+replacement for Code1x16MatVec's warp-gather
+(/root/reference/.../cuda_kernel.cu:7-95); exact, the price of 2.2-bit HBM
+residency on this hardware.
 """
 
 from __future__ import annotations
@@ -31,9 +33,8 @@ def _dequant_rows(codes, packed_cb, group: int):
     one-hot entry extraction.
 
     Extraction is a (rows * onehot16).sum over the 16 entries per row — one
-    fused multiply-reduce, vs the previous roll/select ladder that rewrote
-    the [N, 128] tensor log2(16) times (measured 17 -> 5.5 ms/layer on
-    Llama-2-7B gate_proj)."""
+    fused multiply-reduce (a roll/select ladder that rewrites the [N, 128]
+    tensor log2(16) times measures 4x slower)."""
     per_row = 128 // group
     rows = jnp.take(packed_cb, codes // per_row, axis=0)  # [..., 128]
     rows = rows.reshape(*codes.shape, per_row, group)
@@ -46,11 +47,9 @@ def _dequant_weight_16(codes, packed_cb, *, group, chunk=None):
     """codes [OUT, IG] -> UNSCALED W [OUT, IN] bf16.
 
     XLA wide-row gather + fused one-hot-16 extraction (16.5 ms/layer honest
-    on gate_proj). A Pallas extraction variant exists (_extract16) but its
-    [N, group<128] output blocks waste 15/16 of store bandwidth and measure
-    slower (29.7 ms); a 128-lane-output redesign is future work — the row
-    read floor says ~4.5 ms is available. Set `chunk` to bound transient
-    memory on very large layers — the lax.map serializes."""
+    on gate_proj; the row-read floor says ~4.5 ms is available to a fused
+    gather+extract kernel, see experiments/extract16_pallas.py). Set `chunk`
+    to bound transient memory on very large layers — the lax.map serializes."""
     out_features, ig = codes.shape
 
     def one_chunk(c):
