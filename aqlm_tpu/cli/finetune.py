@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,10 +47,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--code_selection_temperature", type=float, default=0.0)
     p.add_argument("--force_code_update", action="store_true")
     p.add_argument("--stochastic_rounding_tau", type=float, default=0.0)
-    # eval / save
+    # optimizer variants (configurable_adam.py parity)
+    p.add_argument("--lamb", action="store_true")
+    p.add_argument("--amsgrad", action="store_true")
+    p.add_argument("--debias", action="store_true", default=None)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--exp_avg_dtype", choices=["float32", "bfloat16"], default=None,
+                   help="reduced-precision first moments")
+    p.add_argument("--exp_avg_sq_dtype", choices=["float32", "bfloat16"], default=None)
+    # eval / save / resume
     p.add_argument("--eval_every_steps", type=int, default=0)
     p.add_argument("--eval_datasets", nargs="*", default=[])
     p.add_argument("--save", type=str, default=None)
+    p.add_argument("--save_state_every", type=int, default=0,
+                   help="checkpoint the full training state every N steps")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <save>/train_state.npz if present")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", choices=["auto", "float32", "bfloat16"], default="auto")
     p.add_argument("--wandb", action="store_true")
@@ -79,25 +92,48 @@ def main(argv=None) -> dict:
         force_code_update=args.force_code_update,
         stochastic_rounding_tau=args.stochastic_rounding_tau,
     )
-    grad_step, code_step = make_pv_step(student_cfg, teacher_cfg, pv)
-    grad_step = jax.jit(grad_step)
-    state = init_pv_state(
-        student,
-        optax.adamw(pv.lr, b1=0.9, b2=0.95),
-        optax.adam(pv.code_lr, b1=0.9, b2=0.95),
+    from aqlm_tpu.pv import configurable_adamw
+
+    moment_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, None: None}
+    cont_opt = configurable_adamw(
+        pv.lr, b1=0.9, b2=0.95, weight_decay=args.weight_decay,
+        lamb=args.lamb, amsgrad=args.amsgrad, debias=args.debias,
+        exp_avg_dtype=moment_dtype[args.exp_avg_dtype],
+        exp_avg_sq_dtype=moment_dtype[args.exp_avg_sq_dtype],
     )
+    st_opt = configurable_adamw(pv.code_lr, b1=0.9, b2=0.95)
+    grad_step, code_step = make_pv_step(
+        student_cfg, teacher_cfg, pv, cont_opt=cont_opt, st_opt=st_opt
+    )
+    grad_step = jax.jit(grad_step)
+    state = init_pv_state(student, cont_opt, st_opt)
+
+    start_step = 0
+    state_path = os.path.join(args.save, "train_state.npz") if args.save else None
+    if args.resume and state_path and os.path.exists(state_path):
+        from aqlm_tpu.io import load_pytree
+
+        state, meta = load_pytree(state_path, state)
+        start_step = int(meta.get("step", 0))
+        print(f"resumed training state at step {start_step}")
 
     rng = np.random.RandomState(args.seed)
     key = jax.random.PRNGKey(args.seed)
-    losses = []
     n = data.shape[0]
-    for step in range(args.total_steps):
+    for _ in range(start_step):  # replay the batch stream up to the resume point
+        rng.randint(0, n, size=args.batch_size)
+    losses = []
+    for step in range(start_step, args.total_steps):
         idx = rng.randint(0, n, size=args.batch_size)
         state, loss = grad_step(state, teacher, data[idx])
         losses.append(float(loss))
         if args.code_update_every and (step + 1) % args.code_update_every == 0:
             key, sub = jax.random.split(key)
             state = code_step(state, sub)
+        if args.save_state_every and state_path and (step + 1) % args.save_state_every == 0:
+            from aqlm_tpu.io import save_pytree
+
+            save_pytree(state_path, state, metadata={"step": step + 1})
         if step % 10 == 0:
             logger.log({"kl_loss": losses[-1]}, step=step)
             print(f"step {step}: kl={losses[-1]:.5f}")

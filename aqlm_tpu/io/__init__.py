@@ -11,6 +11,7 @@ from aqlm_tpu.io.hf_import import (
     load_hf_aqlm_checkpoint,
     model_config_from_hf,
 )
+from aqlm_tpu.io.train_state import load_pytree, save_pytree
 
 __all__ = [
     "load_layer_checkpoint",
@@ -20,4 +21,6 @@ __all__ = [
     "export_hf_aqlm_state_dict",
     "load_hf_aqlm_checkpoint",
     "model_config_from_hf",
+    "load_pytree",
+    "save_pytree",
 ]

@@ -1,5 +1,6 @@
 """PV-tuning: distillation losses, continuous-param trainer, straight-through code updates."""
 
+from aqlm_tpu.pv.configurable_adam import ConfigurableAdamState, configurable_adamw
 from aqlm_tpu.pv.losses import chunked_kl_loss, cross_entropy_loss, kl_divergence_loss
 from aqlm_tpu.pv.straight_through import (
     PVConfig,
@@ -17,6 +18,8 @@ from aqlm_tpu.pv.trainer import (
 )
 
 __all__ = [
+    "ConfigurableAdamState",
+    "configurable_adamw",
     "PVConfig",
     "PVState",
     "init_pv_state",

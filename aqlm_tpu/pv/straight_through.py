@@ -128,6 +128,8 @@ def make_pv_step(
     pv: PVConfig,
     *,
     forward_fn=llama.forward,
+    cont_opt: optax.GradientTransformation | None = None,
+    st_opt: optax.GradientTransformation | None = None,
 ):
     """Returns (grad_step, code_step).
 
@@ -136,9 +138,13 @@ def make_pv_step(
       projection + delta-decay buffer mixing (discrete updates stay out of
       the differentiable program, like the reference separates super().step()
       from _optimize_quantized_weights).
+
+    cont_opt/st_opt override the default AdamW/Adam (e.g. with
+    configurable_adamw for Lamb/AMSGrad/reduced-precision moments); the same
+    transformations must be passed to init_pv_state.
     """
-    cont_opt = optax.adamw(pv.lr, b1=0.9, b2=0.95)
-    st_opt = optax.adam(pv.code_lr, b1=0.9, b2=0.95)
+    cont_opt = cont_opt or optax.adamw(pv.lr, b1=0.9, b2=0.95)
+    st_opt = st_opt or optax.adam(pv.code_lr, b1=0.9, b2=0.95)
 
     def loss_fn(trainable, st, frozen, teacher_params, input_ids, mask):
         params = merge_trainable(trainable, frozen)

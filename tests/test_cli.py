@@ -60,6 +60,25 @@ def test_finetune_cli(quantized_dir, tmp_path):
     assert os.path.exists(os.path.join(out, "config.json"))
 
 
+def test_finetune_resume(quantized_dir, tmp_path):
+    out = str(tmp_path / "pv_resume")
+    common = [
+        "--base_model", "random:tiny:1",
+        "--quantized_model", quantized_dir,
+        "--dataset", "random", "--nsamples", "4", "--model_seqlen", "16",
+        "--batch_size", "2", "--code_update_every", "0",
+        "--save", out, "--save_state_every", "2",
+    ]
+    # run 4 steps in one go
+    full = cli_finetune.main(common + ["--total_steps", "4"])
+    # run 2 steps, then resume for the remaining 2
+    out2 = str(tmp_path / "pv_resume2")
+    common2 = [a if a != out else out2 for a in common]
+    cli_finetune.main(common2 + ["--total_steps", "2"])
+    resumed = cli_finetune.main(common2 + ["--total_steps", "4", "--resume"])
+    np.testing.assert_allclose(resumed["final_kl"], full["final_kl"], rtol=1e-4)
+
+
 def test_convert_cli(quantized_dir, tmp_path):
     hf_dir = str(tmp_path / "hf")
     cli_convert.main([quantized_dir, hf_dir, "--to", "hf"])
