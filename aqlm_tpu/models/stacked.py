@@ -30,7 +30,7 @@ from aqlm_tpu.models.common import (
     rms_norm,
     rope,
 )
-from aqlm_tpu.ops.flash_decode import flash_decode_attention
+from aqlm_tpu.ops.flash_decode import flash_decode_attention, flash_decode_attention_indexed
 
 __all__ = ["KVCache", "stack_layer_params", "forward_stacked", "init_kv_cache"]
 
@@ -129,13 +129,14 @@ def forward_stacked(
     over positions <= current. Shapes are static; `cache_offset` may be a
     traced scalar (decode loop friendly).
 
-    use_flash_decode routes single-token attention through the Pallas
-    flash-decode kernel. Off by default: inside lax.scan the per-layer cache
-    slice feeding an opaque pallas_call costs an HBM copy that outweighs the
-    kernel's dequant savings (measured +0.12 ms/layer at 2k ctx); the XLA
-    path fuses the slice+dequant into the attention dots. The kernel pays
-    off for unrolled/single-layer decoding and is the building block for an
-    in-place-carry cache design.
+    use_flash_decode routes single-token attention through the layer-indexed
+    Pallas flash-decode kernel with the cache carried through the scan
+    (scalar-prefetch index maps read the stacked cache in place). Measured on
+    v5e (8 layers, int8 KV): wins at batch 1 / 2k ctx (3.62 vs 4.11 ms/step)
+    but loses badly at batch 8 (67 vs 18 ms) — XLA stops proving the carried
+    cache updates in-place at larger shapes and copies the full cache per
+    layer. Off by default; a fused write+attend kernel with explicit
+    input/output aliasing is the round-2 fix.
     """
     b, t = input_ids.shape
     offsets = jnp.broadcast_to(jnp.asarray(cache_offset), (b,))  # per-row cache offsets
@@ -174,8 +175,19 @@ def forward_stacked(
     rest = {n: v for n, v in stacked_layers.items() if n not in qnames}
     layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
 
-    def block(x, scan_in):
-        i, rest_i, kv = scan_in
+    # flash path: the cache rides the scan CARRY (full stacked arrays) and
+    # the kernel indexes layer i via scalar prefetch — scan-xs slices feeding
+    # an opaque pallas_call would copy the layer's cache to HBM every step
+    flash = cache is not None and t == 1 and use_flash_decode
+
+    def block(carry, scan_in):
+        if flash:
+            x, kv_full = carry
+            i, rest_i = scan_in
+            kv = None
+        else:
+            x = carry
+            i, rest_i, kv = scan_in
         layer = dict(rest_i)
         for n in qnames:
             layer[n] = IndexedQuantizedLinear(stacked=stacked_layers[n], idx=i)
@@ -194,7 +206,30 @@ def forward_stacked(
         q, k = rope(q, k, positions, cfg.rope_theta)
 
         new_kv = None
-        if kv is not None:
+        if flash:
+            pick = lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+            put = lambda a, val: jax.lax.dynamic_update_index_in_dim(a, val, i, 0)
+            if cache.quantized:
+                k_all, v_all, ks_all, vs_all = kv_full
+                k8, ks = _quantize_kv(k)
+                v8, vs = _quantize_kv(v)
+                k_all = put(k_all, write_rows(pick(k_all), k8))
+                v_all = put(v_all, write_rows(pick(v_all), v8))
+                ks_all = put(ks_all, write_rows(pick(ks_all), ks[..., None]))
+                vs_all = put(vs_all, write_rows(pick(vs_all), vs[..., None]))
+                kv_full = (k_all, v_all, ks_all, vs_all)
+                attn = flash_decode_attention_indexed(
+                    q, k_all, v_all, ks_all, vs_all, i, offsets + 1
+                )
+            else:
+                k_all, v_all = kv_full
+                k_all = put(k_all, write_rows(pick(k_all), k.astype(k_all.dtype)))
+                v_all = put(v_all, write_rows(pick(v_all), v.astype(v_all.dtype)))
+                kv_full = (k_all, v_all)
+                attn = flash_decode_attention_indexed(
+                    q, k_all, v_all, None, None, i, offsets + 1
+                )
+        elif kv is not None:
             if len(kv) == 4:  # int8
                 k_c, v_c, ks_c, vs_c = kv
                 k8, ks = _quantize_kv(k)
@@ -235,9 +270,22 @@ def forward_stacked(
         x = res + apply_linear(
             jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up, layer["down_proj"]
         )
+        if flash:
+            return (x, kv_full), None
         return x, new_kv
 
-    if cache is not None:
+    if flash:
+        kv0 = (
+            (cache.k, cache.v, cache.k_scale, cache.v_scale)
+            if cache.quantized
+            else (cache.k, cache.v)
+        )
+        (x, kv_out), _ = jax.lax.scan(block, (x, kv0), (layer_ids, rest))
+        if cache.quantized:
+            new_cache = KVCache(k=kv_out[0], v=kv_out[1], k_scale=kv_out[2], v_scale=kv_out[3])
+        else:
+            new_cache = KVCache(k=kv_out[0], v=kv_out[1], k_scale=None, v_scale=None)
+    elif cache is not None:
         kv_in = (
             (cache.k, cache.v, cache.k_scale, cache.v_scale)
             if cache.quantized

@@ -141,3 +141,123 @@ def flash_decode_attention(
         scale=scale, interpret=should_interpret(),
     )
     return out.reshape(b, 1, hq, d)
+
+
+# ---------------------------------------------------------------------------
+# layer-indexed variant over the full stacked cache (scan-over-layers serving)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_idx(scalars_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref, *, ts, scale, quantized, compute_dtype):
+    # scalars_ref = [layer_idx, length_0, ..., length_{B-1}]
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0].astype(compute_dtype)
+    k = k_ref[0, 0, 0]
+    v = v_ref[0, 0, 0]
+    if quantized:
+        k = k.astype(compute_dtype) * ks_ref[0, 0, 0].astype(compute_dtype)
+        v = v.astype(compute_dtype) * vs_ref[0, 0, 0].astype(compute_dtype)
+    else:
+        k = k.astype(compute_dtype)
+        v = v.astype(compute_dtype)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    length = scalars_ref[1 + b]
+    key_pos = s * ts + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(key_pos < length, logits, NEG_INF)
+
+    m_prev, l_prev = m_ref[:], l_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)
+    l_ref[:] = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+        p.astype(compute_dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+
+    @pl.when(s == pl.num_programs(2) - 1)
+    def _():
+        out_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "ts"))
+def _call_idx(q, k_all, v_all, ks_all, vs_all, scalars, *, scale, interpret, ts=512):
+    b, hkv, rep, d = q.shape
+    L, b2, hkv2, s_len, _ = k_all.shape
+    ts = min(ts, s_len)
+    assert s_len % ts == 0
+    quantized = k_all.dtype == jnp.int8
+    grid = (b, hkv, s_len // ts)
+    compute_dtype = jnp.float32 if interpret else jnp.bfloat16
+    kern = functools.partial(
+        _kernel_idx, ts=ts, scale=scale, quantized=quantized, compute_dtype=compute_dtype
+    )
+    if not quantized:
+        ks_all = jnp.zeros((L, b, hkv, s_len, 1), jnp.float32) if ks_all is None else ks_all
+        vs_all = jnp.zeros((L, b, hkv, s_len, 1), jnp.float32) if vs_all is None else vs_all
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, d), lambda bi, h, si, sc: (bi, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, ts, d), lambda bi, h, si, sc: (sc[0], bi, h, si, 0)),
+            pl.BlockSpec((1, 1, 1, ts, d), lambda bi, h, si, sc: (sc[0], bi, h, si, 0)),
+            pl.BlockSpec((1, 1, 1, ts, 1), lambda bi, h, si, sc: (sc[0], bi, h, si, 0)),
+            pl.BlockSpec((1, 1, 1, ts, 1), lambda bi, h, si, sc: (sc[0], bi, h, si, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, d), lambda bi, h, si, sc: (bi, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rep, 1), jnp.float32),
+            pltpu.VMEM((rep, 1), jnp.float32),
+            pltpu.VMEM((rep, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rep, d), jnp.bfloat16),
+        interpret=interpret,
+    )(scalars, q, k_all, v_all, ks_all, vs_all)
+
+
+def flash_decode_attention_indexed(
+    q: jax.Array,  # [B, 1, Hq, D]
+    k_all: jax.Array,  # [L, B, Hkv, S, D]
+    v_all: jax.Array,
+    ks_all,  # [L, B, Hkv, S, 1] or None
+    vs_all,
+    layer_idx: jax.Array,  # scalar
+    lengths: jax.Array,  # [B]
+    *,
+    scale: float | None = None,
+) -> jax.Array:
+    """Flash decode reading layer `layer_idx` straight out of the stacked
+    cache via scalar-prefetch index maps — no per-layer cache slice/copy
+    (the reason the plain kernel loses inside lax.scan)."""
+    b, t, hq, d = q.shape
+    assert t == 1
+    hkv = k_all.shape[2]
+    rep = hq // hkv
+    if scale is None:
+        scale = d ** -0.5
+    q_hm = q.reshape(b, 1, hkv, rep, d)[:, 0].astype(jnp.bfloat16)
+    scalars = jnp.concatenate(
+        [jnp.asarray(layer_idx, jnp.int32).reshape(1), lengths.astype(jnp.int32)]
+    )
+    out = _call_idx(
+        q_hm, k_all, v_all, ks_all, vs_all, scalars,
+        scale=scale, interpret=should_interpret(),
+    )
+    return out.reshape(b, 1, hq, d)

@@ -42,8 +42,8 @@ def test_stacked_quantized_params(setup):
     )
 
 
-@pytest.mark.parametrize("quantized_kv", [False, True])
-def test_cached_decode_matches_full_forward(setup, quantized_kv):
+@pytest.mark.parametrize("quantized_kv,flash", [(False, False), (True, False), (False, True), (True, True)])
+def test_cached_decode_matches_full_forward(setup, quantized_kv, flash):
     cfg, params = setup
     stacked = stack_layer_params(params)
     t = 10
@@ -61,6 +61,7 @@ def test_cached_decode_matches_full_forward(setup, quantized_kv):
         logits, cache = forward_stacked(
             stacked, cfg, ids[:, pos : pos + 1], cache=cache,
             cache_offset=jnp.full((1,), pos, jnp.int32),
+            use_flash_decode=flash,
         )
         step_logits.append(logits[:, 0])
     got = jnp.stack(step_logits, axis=1)
