@@ -23,14 +23,33 @@ from aqlm_tpu.ops.runtime import QuantizedLinear
 __all__ = ["fuse_projections", "quantize_lm_head_int8", "int8_linear_from_dense"]
 
 
-def _concat_int8(lins: list[QuantizedLinear]) -> QuantizedLinear:
+def _concat_int8(lins: list[QuantizedLinear], tp: int = 1) -> QuantizedLinear:
+    """Concatenate int8 linears along OUT.
+
+    tp > 1 interleaves per-shard chunks ([q_s0, k_s0, v_s0, q_s1, ...]) so
+    that column-sharding the fused OUT dim over `tp` devices hands every
+    device its own (q, k, v) block — plain concatenation would give some
+    devices only k or only v heads."""
     assert all(l.mode == "int8" for l in lins)
-    w8 = jnp.concatenate([l.w8 for l in lins], axis=0)
-    w8_scale = jnp.concatenate([l.w8_scale for l in lins], axis=0)
+
+    def out_cat(parts_fn):
+        parts = [parts_fn(l) for l in lins]
+        if tp == 1:
+            return jnp.concatenate(parts, axis=0)
+        shards = []
+        for s in range(tp):
+            for p in parts:
+                n = p.shape[0]
+                assert n % tp == 0, (n, tp)
+                shards.append(p[s * (n // tp) : (s + 1) * (n // tp)])
+        return jnp.concatenate(shards, axis=0)
+
+    w8 = out_cat(lambda l: l.w8)
+    w8_scale = out_cat(lambda l: l.w8_scale)
     biases = [l.bias for l in lins]
     if any(b is not None for b in biases):
-        bias = jnp.concatenate(
-            [b if b is not None else jnp.zeros((l.w8.shape[0],), jnp.float32) for b, l in zip(biases, lins)]
+        bias = out_cat(
+            lambda l: l.bias if l.bias is not None else jnp.zeros((l.w8.shape[0],), jnp.float32)
         )
     else:
         bias = None
@@ -42,26 +61,28 @@ def _concat_int8(lins: list[QuantizedLinear]) -> QuantizedLinear:
     )
 
 
-def fuse_projections(params: dict, cfg: ModelConfig, donate: bool = False) -> dict:
+def fuse_projections(params: dict, cfg: ModelConfig, donate: bool = False, tp: int = 1) -> dict:
     """Replace q/k/v -> qkv_proj and gate/up -> gateup_proj where all parts
     are int8-mode QuantizedLinear. Returns a new params dict (same leaves for
     everything untouched); forward_stacked understands the fused keys.
 
     donate=True drops the original projections from the INPUT layer dicts as
-    each fused copy materializes (halves peak HBM during load)."""
+    each fused copy materializes (halves peak HBM during load).
+    tp > 1 lays the fused OUT dim out in per-shard interleaved order for
+    tensor-parallel serving (serve/tp.py)."""
     new_layers = []
     for orig in params["layers"]:
         layer = dict(orig)
         qkv = [layer.get(n) for n in ("q_proj", "k_proj", "v_proj")]
         if all(isinstance(l, QuantizedLinear) and l.mode == "int8" for l in qkv):
-            layer["qkv_proj"] = _concat_int8(qkv)
+            layer["qkv_proj"] = _concat_int8(qkv, tp=tp)
             for n in ("q_proj", "k_proj", "v_proj"):
                 del layer[n]
                 if donate:
                     orig[n] = None
         gu = [layer.get(n) for n in ("gate_proj", "up_proj")]
         if all(isinstance(l, QuantizedLinear) and l.mode == "int8" for l in gu):
-            layer["gateup_proj"] = _concat_int8(gu)
+            layer["gateup_proj"] = _concat_int8(gu, tp=tp)
             for n in ("gate_proj", "up_proj"):
                 del layer[n]
                 if donate:

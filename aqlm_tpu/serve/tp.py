@@ -1,0 +1,224 @@
+"""Tensor-parallel decode over the mesh: Pallas kernels under shard_map.
+
+The north-star deployment (BASELINE.json): a big AQLM model (e.g.
+Llama-3-70B 2-bit) served across a v5e slice with codes/weights and KV
+sharded. pjit's automatic partitioner cannot see inside opaque pallas_calls,
+so the serving step runs under `shard_map`: every device executes the same
+block code on its LOCAL shard of the stacked weights —
+
+- qkv / gate+up (column-parallel): OUT sharded -> local heads / local
+  intermediate, no communication;
+- o_proj / down_proj (row-parallel): IN sharded -> partial sums, one
+  `psum` over the model axis each (the two all-reduces per block of
+  megatron TP);
+- KV cache sharded over kv heads; attention is local to each shard;
+- lm_head vocab-sharded; logits all-gathered (tiny at decode).
+
+Layer weights stay in the scan-closure + layer-indexed kernels, exactly like
+the single-chip path — each device streams only its shard.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aqlm_tpu.models import llama
+from aqlm_tpu.models.common import apply_linear, attention_headmajor, make_causal_mask, rms_norm, rope
+from aqlm_tpu.models.stacked import KVCache, _dequantize_kv, _quantize_kv
+from aqlm_tpu.ops.runtime import IndexedQuantizedLinear, QuantizedLinear
+
+__all__ = ["tp_shard_serving_params", "make_tp_decode_step", "tp_kv_cache_spec"]
+
+# which stacked-layer weights shard which way (fused serving layout)
+_COLUMN = ("qkv_proj", "q_proj", "k_proj", "v_proj", "gateup_proj", "gate_proj", "up_proj")
+_ROW = ("o_proj", "down_proj")
+
+
+def _qlin_spec(name: str, q: QuantizedLinear, ma: str):
+    """PartitionSpec tree for one stacked (leading L) quantized linear."""
+    col = name in _COLUMN
+    assert q.mode == "int8", "TP serving currently ships the int8 runtime layout"
+    spec_w8 = P(None, ma, None) if col else P(None, None, ma)
+    out1 = P(None, ma) if col else P(None)
+    return QuantizedLinear(
+        codes=None, codes_t=None, codebooks=None, packed_cb=None,
+        w8=spec_w8, w8_scale=out1,
+        scales=out1,
+        bias=None if q.bias is None else (P(None, ma) if col else P(None)),
+        scheme=q.scheme, mode=q.mode,
+    )
+
+
+def tp_serving_param_specs(stacked: dict, ma: str = "model") -> dict:
+    """Specs for a fused, stacked serving params pytree."""
+    layer_specs = {}
+    for name, v in stacked["layers"].items():
+        if isinstance(v, QuantizedLinear):
+            layer_specs[name] = _qlin_spec(name, v, ma)
+        else:  # norms [L, H] replicated
+            layer_specs[name] = jax.tree.map(lambda _: P(None, None), v)
+    head = stacked.get("lm_head")
+    if isinstance(head, QuantizedLinear):
+        head_spec = QuantizedLinear(
+            codes=None, codes_t=None, codebooks=None, packed_cb=None,
+            w8=P(ma, None), w8_scale=P(ma), scales=P(ma),
+            bias=None if head.bias is None else P(ma),
+            scheme=head.scheme, mode=head.mode,
+        )
+    elif head is not None:
+        head_spec = jax.tree.map(lambda _: P(ma, None), head)
+    else:
+        head_spec = None
+    return {
+        "embed": P(None, None),  # replicated: the lookup is tiny
+        "layers": layer_specs,
+        "final_norm": P(None),
+        "lm_head": head_spec,
+    }
+
+
+def tp_kv_cache_spec(ma: str = "model"):
+    """[L, B, H, S, D] cache: kv heads sharded over the model axis."""
+    return KVCache(
+        k=P(None, None, ma, None, None), v=P(None, None, ma, None, None),
+        k_scale=P(None, None, ma, None, None), v_scale=P(None, None, ma, None, None),
+    )
+
+
+def tp_shard_serving_params(stacked: dict, mesh: Mesh, ma: str = "model") -> dict:
+    specs = tp_serving_param_specs(stacked, ma)
+    place = lambda x, s: None if x is None else jax.device_put(x, NamedSharding(mesh, s))
+    return jax.tree.map(place, stacked, specs, is_leaf=lambda x: x is None)
+
+
+def make_tp_decode_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
+    """Build the shard_map'd single-token decode step.
+
+    step(params, cache, tokens [B,1], offsets [B]) -> (logits [B,1,V], cache)
+    Requires num_kv_heads and num_heads divisible by the model-axis size.
+    """
+    tp = mesh.shape[ma]
+    assert cfg.num_kv_heads % tp == 0 and cfg.num_heads % tp == 0, (cfg, tp)
+    d = cfg.dim_per_head
+    hq_l, hkv_l = cfg.num_heads // tp, cfg.num_kv_heads // tp
+
+    def local_block(x, layer, kv, positions, offsets, mask, b, t):
+        res = x
+        xn = rms_norm(x, layer["input_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+        if "qkv_proj" in layer:
+            qkv = apply_linear(xn, layer["qkv_proj"])  # local heads
+            nq, nkv = hq_l * d, hkv_l * d
+            q = qkv[..., :nq].reshape(b, t, hq_l, d)
+            k = qkv[..., nq : nq + nkv].reshape(b, t, hkv_l, d)
+            v = qkv[..., nq + nkv :].reshape(b, t, hkv_l, d)
+        else:
+            q = apply_linear(xn, layer["q_proj"]).reshape(b, t, hq_l, d)
+            k = apply_linear(xn, layer["k_proj"]).reshape(b, t, hkv_l, d)
+            v = apply_linear(xn, layer["v_proj"]).reshape(b, t, hkv_l, d)
+        q, k = rope(q, k, positions, cfg.rope_theta)
+
+        def write_rows(buf, new):
+            new_hm = jnp.moveaxis(new, 1, 2)
+            return jax.vmap(
+                lambda c, xx, off: jax.lax.dynamic_update_slice_in_dim(c, xx, off, axis=1)
+            )(buf, new_hm, offsets)
+
+        if len(kv) == 4:  # int8 cache
+            k_c, v_c, ks_c, vs_c = kv
+            k8, ks = _quantize_kv(k)
+            v8, vs = _quantize_kv(v)
+            k_c = write_rows(k_c, k8)
+            v_c = write_rows(v_c, v8)
+            ks_c = write_rows(ks_c, ks[..., None])
+            vs_c = write_rows(vs_c, vs[..., None])
+            new_kv = (k_c, v_c, ks_c, vs_c)
+            k_all = _dequantize_kv(k_c, ks_c, q.dtype)
+            v_all = _dequantize_kv(v_c, vs_c, q.dtype)
+        else:
+            k_c, v_c = kv
+            k_c = write_rows(k_c, k.astype(k_c.dtype))
+            v_c = write_rows(v_c, v.astype(v_c.dtype))
+            new_kv = (k_c, v_c)
+            k_all, v_all = k_c.astype(q.dtype), v_c.astype(q.dtype)
+
+        attn = attention_headmajor(q, k_all, v_all, mask).reshape(b, t, -1)
+        # row-parallel o_proj: partial sums -> all-reduce (megatron AR #1)
+        o_part = apply_linear(attn, layer["o_proj"])
+        x = res + jax.lax.psum(o_part, ma)
+
+        res = x
+        xn = rms_norm(x, layer["post_attn_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+        if "gateup_proj" in layer:
+            gu = apply_linear(xn, layer["gateup_proj"])
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = apply_linear(xn, layer["gate_proj"])
+            up = apply_linear(xn, layer["up_proj"])
+        mlp = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        # row-parallel down_proj: all-reduce (megatron AR #2)
+        x = res + jax.lax.psum(apply_linear(mlp, layer["down_proj"]), ma)
+        return x, new_kv
+
+    def local_step(params, cache_kv, tokens, offsets):
+        b, t = tokens.shape
+        positions = offsets[:, None] + jnp.arange(t)[None, :]
+        x = jnp.take(params["embed"], tokens, axis=0)
+        if cfg.gemma_norm:
+            x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+
+        max_len = cache_kv[0].shape[3]
+        key_pos = jnp.broadcast_to(jnp.arange(max_len)[None, :], (b, max_len))
+        mask = make_causal_mask(positions, key_pos)
+
+        stacked_layers = params["layers"]
+        qnames = [n for n, v in stacked_layers.items() if isinstance(v, QuantizedLinear)]
+        rest = {n: v for n, v in stacked_layers.items() if n not in qnames}
+        layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+
+        def block(carry, scan_in):
+            x = carry
+            i, rest_i, kv = scan_in
+            layer = dict(rest_i)
+            for n in qnames:
+                layer[n] = IndexedQuantizedLinear(stacked=stacked_layers[n], idx=i)
+            x, new_kv = local_block(x, layer, kv, positions, offsets, mask, b, t)
+            return x, new_kv
+
+        x, kv_out = jax.lax.scan(block, x, (layer_ids, rest, cache_kv))
+
+        x = rms_norm(x, params["final_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+        head = params.get("lm_head")
+        assert head is not None, "TP serving needs an explicit (vocab-sharded) lm_head"
+        logits_local = apply_linear(x, head)  # vocab-sharded
+        logits = jax.lax.all_gather(logits_local, ma, axis=-1, tiled=True)
+        return logits, kv_out
+
+    def step(params, cache: KVCache, tokens, offsets):
+        specs = tp_serving_param_specs(params, ma)
+        cache_spec = tp_kv_cache_spec(ma)
+        if cache.quantized:
+            kv = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+            kv_specs = (cache_spec.k, cache_spec.v, cache_spec.k_scale, cache_spec.v_scale)
+        else:
+            kv = (cache.k, cache.v)
+            kv_specs = (cache_spec.k, cache_spec.v)
+        fn = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(specs, kv_specs, P(None, None), P(None)),
+            out_specs=(P(None, None, None), kv_specs),
+            check_vma=False,
+        )
+        logits, kv_out = fn(params, kv, tokens, offsets)
+        if cache.quantized:
+            new_cache = KVCache(k=kv_out[0], v=kv_out[1], k_scale=kv_out[2], v_scale=kv_out[3])
+        else:
+            new_cache = KVCache(k=kv_out[0], v=kv_out[1], k_scale=None, v_scale=None)
+        return logits, new_cache
+
+    return step

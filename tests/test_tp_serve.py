@@ -1,0 +1,59 @@
+"""Tensor-parallel serving tests on the 8-virtual-device CPU mesh: the
+shard_map'd decode step must reproduce the single-device decode exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aqlm_tpu.config import SCHEME_2X8
+from aqlm_tpu.models import llama
+from aqlm_tpu.models.quantize import random_quantized_params
+from aqlm_tpu.models.stacked import forward_stacked, init_kv_cache, stack_layer_params
+from aqlm_tpu.parallel import make_mesh
+from aqlm_tpu.serve.fuse import fuse_projections, quantize_lm_head_int8
+from aqlm_tpu.serve.tp import make_tp_decode_step, tp_shard_serving_params
+
+
+@pytest.mark.parametrize("quantized_kv", [True, False])
+@pytest.mark.parametrize("fused", [True, False])
+def test_tp_decode_matches_single_device(quantized_kv, fused):
+    cfg = llama.ModelConfig.tiny(num_layers=2, num_heads=8, num_kv_heads=4)
+    params = random_quantized_params(
+        jax.random.PRNGKey(0), cfg, SCHEME_2X8, mode="int8", dtype=jnp.float32
+    )
+    params = quantize_lm_head_int8(params)
+    stacked = stack_layer_params(params)
+
+    b, prompt_len = 2, 5
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, prompt_len + 3), 0, cfg.vocab_size)
+
+    # single-device rollout (standard layout)
+    cache = init_kv_cache(cfg, b, 16, quantized=quantized_kv)
+    logits_ref = []
+    for pos in range(ids.shape[1]):
+        lg, cache = forward_stacked(
+            stacked, cfg, ids[:, pos : pos + 1], cache=cache,
+            cache_offset=jnp.full((b,), pos, jnp.int32),
+        )
+        logits_ref.append(lg[:, 0])
+
+    # TP rollout on a model=4 mesh (fusion uses the shard-interleaved layout)
+    tp_params = fuse_projections(params, cfg, tp=4) if fused else params
+    tp_stacked = stack_layer_params(tp_params)
+    mesh = make_mesh(data=2, model=4)
+    with mesh:
+        sharded = tp_shard_serving_params(tp_stacked, mesh)
+        step = make_tp_decode_step(cfg, mesh)
+        cache_tp = init_kv_cache(cfg, b, 16, quantized=quantized_kv)
+        logits_tp = []
+        for pos in range(ids.shape[1]):
+            lg, cache_tp = step(
+                sharded, cache_tp, ids[:, pos : pos + 1], jnp.full((b,), pos, jnp.int32)
+            )
+            logits_tp.append(lg[:, 0])
+
+    for ref, got in zip(logits_ref, logits_tp):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=2e-3, rtol=2e-3
+        )
