@@ -33,7 +33,7 @@ from aqlm_tpu.config import AqlmScheme
 from aqlm_tpu.io.checkpoint import load_layer_checkpoint, save_layer_checkpoint
 from aqlm_tpu.models import llama
 from aqlm_tpu.models.common import DenseLinear
-from aqlm_tpu.models.llama import QUANTIZABLE_PROJS, ModelConfig
+from aqlm_tpu.models.llama import ModelConfig
 from aqlm_tpu.ops.dequant import AqlmWeight
 from aqlm_tpu.ops.runtime import QuantizedLinear
 

@@ -34,8 +34,6 @@ def main(argv=None):
 
         save_quantized_model(args.output, params, cfg)
     else:
-        import dataclasses
-
         from aqlm_tpu.io import export_hf_aqlm_state_dict
 
         sd, qcfg = export_hf_aqlm_state_dict(params, cfg)

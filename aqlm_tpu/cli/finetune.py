@@ -18,7 +18,6 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from aqlm_tpu.cli.common import dtype_from_str, load_calibration_data, resolve_model
 from aqlm_tpu.data import evaluate_perplexity

@@ -14,8 +14,6 @@ import argparse
 import json
 import time
 
-import jax.numpy as jnp
-
 from aqlm_tpu.calib import BlockFinetuneConfig, CalibConfig, QuantizePipelineConfig, quantize_model
 from aqlm_tpu.cli.common import dtype_from_str, load_calibration_data, resolve_model
 from aqlm_tpu.config import AqlmScheme

@@ -9,8 +9,6 @@ standalone (no lm_eval needed); `make_lm_eval_adapter` returns an
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,9 +11,6 @@ nn.Linear -> QuantizedLinear per layer (main.py:272-283).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

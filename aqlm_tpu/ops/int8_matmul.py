@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from aqlm_tpu.ops.kernels import _pick_tile, should_interpret
+from aqlm_tpu.ops.kernels import should_interpret
 
 __all__ = ["int8_matmul"]
 

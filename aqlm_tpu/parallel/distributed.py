@@ -11,7 +11,6 @@ ride the fabric (scaling-book recipe).
 from __future__ import annotations
 
 import jax
-import numpy as np
 from jax.sharding import Mesh
 
 __all__ = ["initialize_distributed", "make_multihost_mesh", "is_multihost", "sync_hosts"]

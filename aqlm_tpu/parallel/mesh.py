@@ -18,10 +18,7 @@ parameter pytree; XLA SPMD inserts the collectives (ICI intra-slice).
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

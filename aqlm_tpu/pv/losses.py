@@ -13,8 +13,6 @@ compiler-friendly static-shape control flow instead of a Python loop with
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from aqlm_tpu.models.common import DenseLinear
 from aqlm_tpu.models.llama import ModelConfig
 from aqlm_tpu.ops.int8_matmul import pad_in_features
 from aqlm_tpu.ops.runtime import QuantizedLinear
