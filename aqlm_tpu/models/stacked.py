@@ -261,15 +261,23 @@ def forward_stacked(
         x = res + apply_linear(attn.reshape(b, t, -1), layer["o_proj"])
         res = x
         xn = rms_norm(x, layer["post_attn_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
-        if "gateup_proj" in layer:  # fused (serve/fuse.py)
+        if "moe_gate" in layer:  # sparse-MoE block (mixtral); expert
+            # projections ride the same layer-indexed quantized kernels
+            from aqlm_tpu.models import mixtral
+
+            x = res + mixtral._moe_mlp(xn, layer, cfg)
+        elif "gateup_proj" in layer:  # fused (serve/fuse.py)
             gu = apply_linear(xn, layer["gateup_proj"])
             gate, up = jnp.split(gu, 2, axis=-1)
+            x = res + apply_linear(
+                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up, layer["down_proj"]
+            )
         else:
             gate = apply_linear(xn, layer["gate_proj"])
             up = apply_linear(xn, layer["up_proj"])
-        x = res + apply_linear(
-            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up, layer["down_proj"]
-        )
+            x = res + apply_linear(
+                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up, layer["down_proj"]
+            )
         if flash:
             return (x, kv_full), None
         return x, new_kv
