@@ -2,10 +2,10 @@
 
 TPU-native redesign of the reference's activation-MSE beam search
 (/root/reference/src/beam_search_xtx.py:13-345). Semantics match:
-- out rows are independent -> beam search runs vectorized over all rows;
+- out groups are independent -> beam search runs vectorized over all of them;
 - double loop over (in_group x codebook) positions, each step scoring every
   codebook entry as a replacement and keeping the `beam_size` best joint
-  hypotheses per row (loss bookkeeping identical to the reference's
+  hypotheses per out group (loss bookkeeping identical to the reference's
   square-of-difference expansion, beam_search_xtx.py:179-190).
 
 Architectural difference (the TPU-first part): the reference re-dequantizes
@@ -15,8 +15,6 @@ carry maintains R = (W_ref - W_beam) @ XTX and applies a rank-`g` incremental
 update per step — O(out*g*in) instead of O(out*in^2) FLOPs — and the whole
 sweep is one `lax.scan` of static-shape einsums + `top_k`, so XLA compiles a
 single fused program instead of relaunching kernels per position.
-
-Currently supports out_group_size == 1 (every published AQLM scheme).
 """
 
 from __future__ import annotations
@@ -58,85 +56,92 @@ def beam_search_optimal_codes(
     Args:
       XTX: [in, in] f32 — X^T X of calibration inputs (may be /nsamples).
       reference_weight: [out, in] — target weight.
-      codebooks: [K, S, 1, g].
-      prev_codes: [out, IG, K] integer codes to improve.
-      scales: [out] per-output scales (or None).
-      beam_size: hypotheses kept per output row.
+      codebooks: [K, S, og, g] (any out_group_size).
+      prev_codes: [OG, IG, K] integer codes to improve (OG = out // og).
+      scales: [OG] per-out-group, [OG, IG] per-group (scale_nbits>0), or None.
+      beam_size: hypotheses kept per out group.
       steps_order: [IG*K, 2] int32 (ig, k) visit order; natural order if None.
-      out_chunk: output rows scored per inner map step (memory knob; rows are
-        independent — this is also the natural TP shard axis, SURVEY.md §2.3).
+      out_chunk: out groups scored per inner map step (memory knob; out
+        groups are independent — also the natural TP shard axis, SURVEY §2.3).
 
     Returns:
-      (codes [out, IG, K] same dtype as prev_codes, final per-row losses [out]).
+      (codes [OG, IG, K] same dtype as prev_codes, final per-group losses [OG]).
     """
-    K, S, ogs, g = codebooks.shape
-    assert ogs == 1, "out_group_size > 1 not yet supported"
-    out, IG, K2 = prev_codes.shape
+    K, S, og, g = codebooks.shape
+    OG, IG, K2 = prev_codes.shape
     assert K2 == K
+    out = OG * og
     in_features = IG * g
     B = beam_size
 
     XTX = XTX.astype(jnp.float32)
     W = reference_weight.astype(jnp.float32)
-    cbs = codebooks[:, :, 0, :].astype(jnp.float32)  # [K, S, g]
-    # scales: None, [out] (per-out-group) or [out, IG] (scale_nbits>0 mode,
-    # reference beam_search_xtx.py:199-200 indexes them per input group)
+    cbs = codebooks.astype(jnp.float32)  # [K, S, og, g]
+    # scales: None, [OG] or [OG, IG] (scale_nbits>0 mode; the reference
+    # indexes them per input group, beam_search_xtx.py:199-200)
     if scales is None:
-        sc_full = jnp.ones((out, IG), jnp.float32)
+        sc_full = jnp.ones((OG, IG), jnp.float32)
     elif scales.ndim == 1:
-        sc_full = jnp.broadcast_to(scales.reshape(out, 1).astype(jnp.float32), (out, IG))
+        sc_full = jnp.broadcast_to(scales.reshape(OG, 1).astype(jnp.float32), (OG, IG))
     else:
         sc_full = scales.astype(jnp.float32)
 
     codes0 = prev_codes.astype(jnp.int32)
 
     # initial dequantized weight and residual products
-    def dequant(codes):  # [out, IG, K] -> [out, in]
-        parts = jnp.take(cbs.reshape(K * S, g), (jnp.arange(K) * S)[None, None, :] + codes, axis=0)
-        return (parts.sum(2) * sc_full[:, :, None]).reshape(out, in_features)
+    def dequant(codes):  # [OG, IG, K] -> [out, in]
+        flat = cbs.reshape(K * S, og, g)
+        idx = (jnp.arange(K) * S)[None, None, :] + codes
+        parts = jnp.take(flat, idx, axis=0).sum(2)  # [OG, IG, og, g]
+        parts = parts * sc_full[:, :, None, None]
+        return parts.transpose(0, 2, 1, 3).reshape(out, in_features)
 
     resid0 = W - dequant(codes0)
     RXTX0 = resid0 @ XTX  # [out, in]
-    losses0 = jnp.sum(RXTX0 * resid0, axis=-1)  # [out]
+    losses0 = jnp.sum(RXTX0 * resid0, axis=-1).reshape(OG, og).sum(-1)  # [OG]
 
-    beam_codes = jnp.broadcast_to(codes0[None], (B, out, IG, K)).astype(jnp.int32)
+    beam_codes = jnp.broadcast_to(codes0[None], (B, OG, IG, K)).astype(jnp.int32)
     beam_RXTX = jnp.broadcast_to(RXTX0[None], (B, out, in_features)).astype(jnp.float32)
-    beam_losses = jnp.broadcast_to(losses0[None], (B, out)).astype(jnp.float32)
+    beam_losses = jnp.broadcast_to(losses0[None], (B, OG)).astype(jnp.float32)
 
     if steps_order is None:
         ig_seq = jnp.repeat(jnp.arange(IG, dtype=jnp.int32), K)
         k_seq = jnp.tile(jnp.arange(K, dtype=jnp.int32), IG)
         steps_order = jnp.stack([ig_seq, k_seq], axis=1)
 
-    n_chunks = -(-out // out_chunk)
-    pad_out = n_chunks * out_chunk
+    n_chunks = -(-OG // out_chunk)
+    pad_og = n_chunks * out_chunk
 
-    def pad_rows(x):
-        return jnp.pad(x, [(0, pad_out - out)] + [(0, 0)] * (x.ndim - 1))
+    def pad_groups(x):
+        return jnp.pad(x, [(0, pad_og - OG)] + [(0, 0)] * (x.ndim - 1))
 
     def step(carry, step_and_idx):
         beam_codes, beam_RXTX, beam_losses = carry
         (ig, k), step_i = step_and_idx
         sl = ig * g
-        sc = jax.lax.dynamic_slice(sc_full, (0, ig), (out, 1)).reshape(out)
+        sc = jax.lax.dynamic_slice(sc_full, (0, ig), (OG, 1)).reshape(OG)
 
         XTX_cols = jax.lax.dynamic_slice(XTX, (0, sl), (in_features, g))  # [in, g]
         XTX_gg = jax.lax.dynamic_slice(XTX, (sl, sl), (g, g))
-        cb = jax.lax.dynamic_index_in_dim(cbs, k, axis=0, keepdims=False)  # [S, g]
+        cb = jax.lax.dynamic_index_in_dim(cbs, k, axis=0, keepdims=False)  # [S, og, g]
 
         prev_code = jax.lax.dynamic_slice(
-            beam_codes, (0, 0, ig, k), (B, out, 1, 1)
-        ).reshape(B, out)
-        prev_deq = jnp.take(cb, prev_code, axis=0)  # [B, out, g] unscaled
-        RXTX_sl = jax.lax.dynamic_slice(beam_RXTX, (0, 0, sl), (B, out, g))
+            beam_codes, (0, 0, ig, k), (B, OG, 1, 1)
+        ).reshape(B, OG)
+        prev_deq = jnp.take(cb, prev_code, axis=0)  # [B, OG, og, g] unscaled
+        RXTX_sl = jax.lax.dynamic_slice(beam_RXTX, (0, 0, sl), (B, out, g)).reshape(
+            B, OG, og, g
+        )
 
-        # dWTXTXg = (resid + scaled prev part embedded) @ XTX[:, slice]
-        dwx = RXTX_sl + sc[None, :, None] * jnp.einsum("bog,gh->boh", prev_deq, XTX_gg)
+        # dWTXTXg = (resid + scaled prev part embedded) @ XTX[:, slice];
+        # rows of a group only couple through the loss sum, so everything is
+        # row-wise with a final sum over the og axis
+        prev_x = jnp.einsum("boyg,gh->boyh", prev_deq, XTX_gg)
+        dwx = RXTX_sl + sc[None, :, None, None] * prev_x
 
-        # candidate norms ||X cand||^2 (shared across rows, scaled per row)
-        cand_norm = jnp.sum((cb @ XTX_gg) * cb, axis=-1)  # [S]
-        old_norm = jnp.sum(jnp.einsum("bog,gh->boh", prev_deq, XTX_gg) * prev_deq, -1)
-        prev_dot = jnp.sum(prev_deq * dwx, axis=-1)  # [B, out]
+        cand_norm = jnp.einsum("syg,gh,syh->s", cb, XTX_gg, cb)  # [S]
+        old_norm = jnp.einsum("boyh,boyh->bo", prev_x, prev_deq)
+        prev_dot = jnp.einsum("boyg,boyg->bo", prev_deq, dwx)
 
         # mask duplicate hypotheses: at step 0 every beam is identical, so
         # only beam 0 may contribute candidates (reference grows the beam
@@ -145,33 +150,33 @@ def beam_search_optimal_codes(
             (step_i == 0) & (jnp.arange(B) > 0), jnp.inf, 0.0
         )  # [B]
 
-        # score all candidates, chunked over rows to bound the [rows, S] buffer
-        dwx_p = pad_rows(dwx.transpose(1, 0, 2)).reshape(n_chunks, out_chunk, B, g)
-        base_p = pad_rows(
+        # score all candidates, chunked over out groups to bound [groups, S]
+        dwx_p = pad_groups(dwx.transpose(1, 0, 2, 3)).reshape(n_chunks, out_chunk, B, og, g)
+        base_p = pad_groups(
             (beam_losses + 2.0 * sc[None, :] * prev_dot - sc[None, :] ** 2 * old_norm).T
         ).reshape(n_chunks, out_chunk, B)
-        sc_p = pad_rows(sc).reshape(n_chunks, out_chunk)
+        sc_p = pad_groups(sc).reshape(n_chunks, out_chunk)
 
         def score_chunk(args):
-            dwx_c, base_c, sc_c = args  # [oc, B, g], [oc, B], [oc]
-            cand_dot = jnp.einsum("obg,sg->obs", dwx_c, cb)  # [oc, B, S]
+            dwx_c, base_c, sc_c = args  # [oc, B, og, g], [oc, B], [oc]
+            cand_dot = jnp.einsum("obyg,syg->obs", dwx_c, cb)  # [oc, B, S]
             cand = (
                 base_c[:, :, None]
                 - 2.0 * sc_c[:, None, None] * cand_dot
                 + (sc_c[:, None] ** 2)[:, :, None] * cand_norm[None, None, :]
                 + dup_penalty[None, :, None]
             )
-            # top beam_size over (B*S) joint candidates per row
+            # top beam_size over (B*S) joint candidates per out group
             vals, flat_idx = _topk_smallest(cand.reshape(out_chunk, B * S), B)
             return vals, flat_idx.astype(jnp.int32)  # [oc, B]
 
         vals, flat_idx = jax.lax.map(score_chunk, (dwx_p, base_p, sc_p))
-        new_losses = vals.reshape(pad_out, B)[:out].T  # [B, out]
-        flat_idx = flat_idx.reshape(pad_out, B)[:out].T  # [B, out]
-        src_beam = flat_idx // S  # [B, out]
-        new_code = flat_idx % S  # [B, out]
+        new_losses = vals.reshape(pad_og, B)[:OG].T  # [B, OG]
+        flat_idx = flat_idx.reshape(pad_og, B)[:OG].T  # [B, OG]
+        src_beam = flat_idx // S  # [B, OG]
+        new_code = flat_idx % S  # [B, OG]
 
-        # reorder beam per row and write the chosen code
+        # reorder beam per out group and write the chosen code
         gathered_codes = jnp.take_along_axis(
             beam_codes, src_beam[:, :, None, None], axis=0
         )
@@ -179,10 +184,12 @@ def beam_search_optimal_codes(
             gathered_codes, new_code[:, :, None, None].astype(jnp.int32), (0, 0, ig, k)
         )
 
-        old_deq_src = jnp.take_along_axis(prev_deq, src_beam[:, :, None], axis=0)
-        delta = (jnp.take(cb, new_code, axis=0) - old_deq_src) * sc[None, :, None]
-        gathered_RXTX = jnp.take_along_axis(beam_RXTX, src_beam[:, :, None], axis=0)
-        new_beam_RXTX = gathered_RXTX - jnp.einsum("bog,ng->bon", delta, XTX_cols)
+        old_deq_src = jnp.take_along_axis(prev_deq, src_beam[:, :, None, None], axis=0)
+        delta = (jnp.take(cb, new_code, axis=0) - old_deq_src) * sc[None, :, None, None]
+        delta_rows = delta.reshape(B, out, g)
+        src_rows = jnp.repeat(src_beam, og, axis=1)  # [B, out]
+        gathered_RXTX = jnp.take_along_axis(beam_RXTX, src_rows[:, :, None], axis=0)
+        new_beam_RXTX = gathered_RXTX - jnp.einsum("bog,ng->bon", delta_rows, XTX_cols)
 
         return (new_beam_codes, new_beam_RXTX, new_losses), None
 
@@ -193,7 +200,7 @@ def beam_search_optimal_codes(
         (steps_order, jnp.arange(n_steps, dtype=jnp.int32)),
     )
 
-    best = jnp.argmin(beam_losses, axis=0)  # [out]
+    best = jnp.argmin(beam_losses, axis=0)  # [OG]
     final_codes = jnp.take_along_axis(beam_codes, best[None, :, None, None], axis=0)[0]
     final_losses = jnp.take_along_axis(beam_losses, best[None, :], axis=0)[0]
     return final_codes.astype(prev_codes.dtype), final_losses

@@ -93,3 +93,18 @@ def test_weight_mse_mode(key):
     wq = AqlmWeight(codes=codes, codebooks=w.codebooks, scales=w.scales, bias=None, scheme=scheme)
     direct = jnp.sum((dequantize_weight(wq) - ref_w) ** 2, axis=1)
     np.testing.assert_allclose(np.asarray(losses), np.asarray(direct), rtol=1e-4, atol=1e-5)
+
+
+def test_out_group_size_two(key):
+    """og=2: losses are per out-GROUP; invariant vs recomputation holds and
+    the search improves the grouped activation MSE."""
+    scheme = AqlmScheme(num_codebooks=2, nbits_per_codebook=4, in_group_size=4, out_group_size=2)
+    w, XTX, ref_w = _setup(key, scheme, out_f=16, in_f=32)
+    before = _true_loss(w.codes.astype(jnp.int32), w, XTX, ref_w).reshape(8, 2).sum(-1)
+    codes, losses = beam_search_optimal_codes(
+        XTX, ref_w, w.codebooks, w.codes, w.scales, beam_size=2, out_chunk=8
+    )
+    assert losses.shape == (8,)
+    after = _true_loss(codes, w, XTX, ref_w).reshape(8, 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(after), rtol=2e-4, atol=1e-4)
+    assert np.all(np.asarray(after) <= np.asarray(before) + 1e-5)
