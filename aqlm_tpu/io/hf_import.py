@@ -171,7 +171,10 @@ def load_hf_dense_checkpoint(path: str, *, dtype=jnp.float32) -> tuple[dict, Mod
     """Load an UNquantized HF llama-family checkpoint into dense params.
 
     The input side of the quantization pipeline (the reference's get_model,
-    /root/reference/src/modelutils.py:48-114).
+    /root/reference/src/modelutils.py:48-114). phi3-style checkpoints store
+    fused `qkv_proj` / `gate_up_proj`; those are split into our per-projection
+    layout on load (the reference quantizes them fused; splitting is exact
+    and quantizes each part independently — at worst equal quality).
     """
     with open(os.path.join(path, "config.json")) as f:
         hf_config = json.load(f)
@@ -187,6 +190,9 @@ def load_hf_dense_checkpoint(path: str, *, dtype=jnp.float32) -> tuple[dict, Mod
             bias=arr(f"{base}.bias") if f"{base}.bias" in sd else None,
         )
 
+    d = cfg.dim_per_head
+    nq, nkv = cfg.num_heads * d, cfg.num_kv_heads * d
+
     params = {
         "embed": arr("model.embed_tokens.weight"),
         "final_norm": arr("model.norm.weight"),
@@ -199,8 +205,20 @@ def load_hf_dense_checkpoint(path: str, *, dtype=jnp.float32) -> tuple[dict, Mod
             "input_norm": arr(f"{p}.input_layernorm.weight"),
             "post_attn_norm": arr(f"{p}.post_attention_layernorm.weight"),
         }
-        for ours, hf in _PROJ_MAP.items():
-            layer[ours] = lin(f"{p}.{hf}")
+        if f"{p}.self_attn.qkv_proj.weight" in sd:  # phi3-style fused qkv
+            qkv = arr(f"{p}.self_attn.qkv_proj.weight")
+            layer["q_proj"] = DenseLinear(weight=qkv[:nq], bias=None)
+            layer["k_proj"] = DenseLinear(weight=qkv[nq : nq + nkv], bias=None)
+            layer["v_proj"] = DenseLinear(weight=qkv[nq + nkv :], bias=None)
+            layer["o_proj"] = lin(f"{p}.self_attn.o_proj")
+            gu = arr(f"{p}.mlp.gate_up_proj.weight")
+            half = gu.shape[0] // 2
+            layer["gate_proj"] = DenseLinear(weight=gu[:half], bias=None)
+            layer["up_proj"] = DenseLinear(weight=gu[half:], bias=None)
+            layer["down_proj"] = lin(f"{p}.mlp.down_proj")
+        else:
+            for ours, hf in _PROJ_MAP.items():
+                layer[ours] = lin(f"{p}.{hf}")
         params["layers"].append(layer)
     return params, cfg
 

@@ -100,3 +100,46 @@ def test_model_config_from_hf_llama2():
     }
     cfg = model_config_from_hf(hf)
     assert cfg == llama.ModelConfig.llama2_7b()
+
+
+def test_phi3_style_fused_checkpoint(key, tmp_path):
+    """phi3-style fused qkv_proj / gate_up_proj splits into our layout."""
+    import numpy as np
+
+    from aqlm_tpu.io.hf_import import load_hf_dense_checkpoint
+
+    cfg = llama.ModelConfig.tiny(num_layers=1, num_heads=4, num_kv_heads=2)
+    d = cfg.dim_per_head
+    h, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    rng = np.random.RandomState(0)
+    nq, nkv = cfg.num_heads * d, cfg.num_kv_heads * d
+    sd = {
+        "model.embed_tokens.weight": rng.randn(v, h).astype(np.float32),
+        "model.norm.weight": np.ones(h, np.float32),
+        "lm_head.weight": rng.randn(v, h).astype(np.float32),
+        "model.layers.0.input_layernorm.weight": np.ones(h, np.float32),
+        "model.layers.0.post_attention_layernorm.weight": np.ones(h, np.float32),
+        "model.layers.0.self_attn.qkv_proj.weight": rng.randn(nq + 2 * nkv, h).astype(np.float32),
+        "model.layers.0.self_attn.o_proj.weight": rng.randn(h, nq).astype(np.float32),
+        "model.layers.0.mlp.gate_up_proj.weight": rng.randn(2 * i, h).astype(np.float32),
+        "model.layers.0.mlp.down_proj.weight": rng.randn(h, i).astype(np.float32),
+    }
+    hf_cfg = {
+        "model_type": "phi3", "vocab_size": v, "hidden_size": h,
+        "intermediate_size": i, "num_hidden_layers": 1,
+        "num_attention_heads": cfg.num_heads, "num_key_value_heads": cfg.num_kv_heads,
+        "rms_norm_eps": 1e-5, "max_position_embeddings": 128,
+    }
+    path = str(tmp_path / "phi3")
+    _write_checkpoint(path, sd, hf_cfg, use_safetensors=False)
+    params, loaded_cfg = load_hf_dense_checkpoint(path)
+    np.testing.assert_array_equal(
+        np.asarray(params["layers"][0]["q_proj"].weight),
+        sd["model.layers.0.self_attn.qkv_proj.weight"][:nq],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["layers"][0]["up_proj"].weight),
+        sd["model.layers.0.mlp.gate_up_proj.weight"][i:],
+    )
+    logits, _ = llama.forward(params, loaded_cfg, jnp.ones((1, 4), jnp.int32))
+    assert bool(jnp.isfinite(logits).all())
