@@ -3,6 +3,7 @@
 from aqlm_tpu.calib.beam_search_l2 import beam_search_optimal_codes_l2, find_optimal_codebooks
 from aqlm_tpu.calib.beam_search_xtx import beam_search_optimal_codes, channelwise_squared_error
 from aqlm_tpu.calib.blockwise import BlockFinetuneConfig, finetune_block
+from aqlm_tpu.calib.parallel import beam_search_optimal_codes_sharded, shard_calibration_batch
 from aqlm_tpu.calib.pipeline import QuantizePipelineConfig, SEQUENTIAL_GROUPS, quantize_model
 from aqlm_tpu.calib.engine import (
     CalibConfig,
@@ -21,6 +22,8 @@ __all__ = [
     "QuantizePipelineConfig",
     "SEQUENTIAL_GROUPS",
     "quantize_model",
+    "beam_search_optimal_codes_sharded",
+    "shard_calibration_batch",
     "beam_search_optimal_codes",
     "channelwise_squared_error",
     "CalibConfig",
