@@ -1,0 +1,109 @@
+"""LUT-GEMM decode kernel for Kx8 codes-resident serving.
+
+The TPU realization of the reference's Numba LUT strategy
+(/root/reference/inference_lib/src/aqlm/inference_kernels/numba_kernel.py:38-48):
+precompute lut[b, k, ig, s] = x_group[b, ig] . codebook[k, s] (a trivial MXU
+einsum — S*g FLOPs per GROUP), then each output unit is a sum of per-code
+table lookups:
+
+    y[b, o] = sum_{k, ig} lut[b, k, ig, codes[k, ig, o]]
+
+The lookup maps onto the VPU lane gather: the [K*IG, 256] LUT is held in VMEM
+as two 128-lane halves, and `take_along_axis(axis=1)` + select does a
+per-(row, lane) gather at ~62 G/s — one gather per CODE (g=8 fewer than any
+per-weight scheme, and 256x fewer FLOPs than the one-hot-MXU kernel, which
+costs S*g MACs per weight).
+
+Decode-path kernel (small B); the one-hot kernel remains the prefill path
+where its MXU cost amortizes over many tokens.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aqlm_tpu.ops.kernels import should_interpret
+
+__all__ = ["lut_gemv_kx8", "LUT_GEMV_MAX_BATCH"]
+
+LUT_GEMV_MAX_BATCH = 8
+
+
+def _kernel(codes_ref, lo_ref, hi_ref, out_ref, *, B, tn, two_halves):
+    kig = codes_ref.shape[0]
+    for c in range(tn // 128):
+        idx = codes_ref[:, c * 128 : (c + 1) * 128].astype(jnp.int32)  # [K*IG, 128]
+        lane = idx % 128 if two_halves else idx
+        for b in range(B):
+            g_lo = jnp.take_along_axis(lo_ref[b], lane, axis=1)
+            if two_halves:
+                g_hi = jnp.take_along_axis(hi_ref[b], lane, axis=1)
+                gathered = jnp.where(idx < 128, g_lo, g_hi)
+            else:
+                gathered = g_lo
+            out_ref[b, c * 128 : (c + 1) * 128] = jnp.sum(gathered, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call(codes2, lut_lo, lut_hi, *, interpret):
+    kig, out_features = codes2.shape
+    B = lut_lo.shape[0]
+    two_halves = lut_hi is not None
+    tn = 512 if out_features % 512 == 0 else 128
+    assert out_features % tn == 0, out_features
+
+    kern = functools.partial(_kernel, B=B, tn=tn, two_halves=two_halves)
+    in_specs = [
+        pl.BlockSpec((kig, tn), lambda o: (0, o), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = [codes2, lut_lo, lut_hi if two_halves else lut_lo]
+    return pl.pallas_call(
+        kern,
+        grid=(out_features // tn,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((B, tn), lambda o: (0, o), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, out_features), jnp.float32),
+        interpret=interpret,
+    )(*args)
+
+
+def lut_gemv_kx8(x, codes_t, codebooks, scales, bias=None, *, group: int):
+    """y = x @ dequant(codes)^T * scales + bias for nbits<=8 schemes, B small.
+
+    x: [..., IN]; codes_t: [K, IG, OUT] uint8; codebooks: [K, S<=256, g];
+    scales: [OUT]. Exact (same math as the one-hot kernel), gather-bound
+    instead of FLOP-bound: ~20x faster at decode batch sizes.
+    """
+    lead = x.shape[:-1]
+    xb = x.reshape(-1, x.shape[-1])
+    B, in_features = xb.shape
+    K, IG, out_features = codes_t.shape
+    S = codebooks.shape[1]
+    assert S <= 256, "lut_gemv is the Kx8 path"
+    xg = xb.reshape(B, IG, group).astype(jnp.float32)
+    lut = jnp.einsum(
+        "big,ksg->bkis", xg, codebooks.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, K * IG, S)
+    if S > 128:
+        lut_lo = lut[..., :128]
+        lut_hi = lut[..., 128:]
+        if S < 256:
+            lut_hi = jnp.pad(lut_hi, ((0, 0), (0, 0), (0, 256 - S)))
+    else:
+        lut_lo = jnp.pad(lut, ((0, 0), (0, 0), (0, 128 - S))) if S < 128 else lut
+        lut_hi = None
+
+    codes2 = codes_t.reshape(K * IG, out_features)
+    y = _call(codes2, lut_lo, lut_hi, interpret=should_interpret())
+    y = y * scales[None, :].astype(y.dtype)
+    if bias is not None:
+        y = y + bias[None, :].astype(y.dtype)
+    return y.astype(x.dtype).reshape(*lead, -1)

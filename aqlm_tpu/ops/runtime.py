@@ -34,6 +34,7 @@ from aqlm_tpu.ops.int8_matmul import (
     int8_matmul_transposed,
     pad_in_features,
 )
+from aqlm_tpu.ops.lut_gemv import LUT_GEMV_MAX_BATCH, lut_gemv_kx8
 
 __all__ = [
     "QuantizedLinear",
@@ -182,6 +183,16 @@ def _serving_matmul_impl(x: jax.Array, q: QuantizedLinear) -> jax.Array:
         return int8_matmul(x, q.w8, q.w8_scale, q.bias)
     # codes mode
     if q.scheme.nbits_per_codebook <= 8:
+        batch = 1
+        for dim in x.shape[:-1]:
+            batch *= dim
+        if batch <= LUT_GEMV_MAX_BATCH:
+            # decode: gather-bound LUT-GEMM (one lane gather per code)
+            return lut_gemv_kx8(
+                x, q.codes_t, q.codebooks, q.scales, q.bias,
+                group=q.scheme.in_group_size,
+            )
+        # prefill/training: one-hot MXU dequant amortizes over many tokens
         return kernels.fused_onehot_matmul(
             x, q.codes_t, q.codebooks, q.scales, q.bias,
             group=q.scheme.in_group_size,
