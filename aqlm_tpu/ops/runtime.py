@@ -186,8 +186,9 @@ def _serving_matmul_impl(x: jax.Array, q: QuantizedLinear) -> jax.Array:
         batch = 1
         for dim in x.shape[:-1]:
             batch *= dim
-        if batch <= LUT_GEMV_MAX_BATCH:
-            # decode: gather-bound LUT-GEMM (one lane gather per code)
+        if batch <= LUT_GEMV_MAX_BATCH and q.codes_t.shape[2] % 128 == 0:
+            # decode: gather-bound LUT-GEMM (one lane gather per code);
+            # sub-128 out_features (tiny tests) take the one-hot path
             return lut_gemv_kx8(
                 x, q.codes_t, q.codebooks, q.scales, q.bias,
                 group=q.scheme.in_group_size,
