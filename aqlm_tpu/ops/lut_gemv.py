@@ -34,10 +34,20 @@ __all__ = ["lut_gemv_kx8", "LUT_GEMV_MAX_BATCH"]
 LUT_GEMV_MAX_BATCH = 8
 
 
-def _kernel(codes_ref, lo_ref, hi_ref, out_ref, *, B, tn, two_halves):
-    kig = codes_ref.shape[0]
+def _kernel(codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halves):
+    """grid = (out_tiles, row_tiles); the K*IG row dim accumulates innermost.
+
+    Row tiling bounds the Mosaic stack: each chunk's gather temporaries are
+    a handful of [kr, 128] f32 arrays; K*IG reaches 4096 for 8x8, which
+    overflows the 16 MB scoped-vmem limit unsplit."""
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
     for c in range(tn // 128):
-        idx = codes_ref[:, c * 128 : (c + 1) * 128].astype(jnp.int32)  # [K*IG, 128]
+        idx = codes_ref[:, c * 128 : (c + 1) * 128].astype(jnp.int32)  # [kr, 128]
         lane = idx % 128 if two_halves else idx
         for b in range(B):
             g_lo = jnp.take_along_axis(lo_ref[b], lane, axis=1)
@@ -46,7 +56,11 @@ def _kernel(codes_ref, lo_ref, hi_ref, out_ref, *, B, tn, two_halves):
                 gathered = jnp.where(idx < 128, g_lo, g_hi)
             else:
                 gathered = g_lo
-            out_ref[b, c * 128 : (c + 1) * 128] = jnp.sum(gathered, axis=0)
+            acc_ref[b, c * 128 : (c + 1) * 128] += jnp.sum(gathered, axis=0)
+
+    @pl.when(r == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -56,20 +70,25 @@ def _call(codes2, lut_lo, lut_hi, *, interpret):
     two_halves = lut_hi is not None
     tn = 512 if out_features % 512 == 0 else 128
     assert out_features % tn == 0, out_features
+    kr = kig
+    while kr > 1024:
+        assert kr % 2 == 0, kig
+        kr //= 2
 
     kern = functools.partial(_kernel, B=B, tn=tn, two_halves=two_halves)
     in_specs = [
-        pl.BlockSpec((kig, tn), lambda o: (0, o), memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((kr, tn), lambda o, r: (r, o), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, kr, 128), lambda o, r: (0, r, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, kr, 128), lambda o, r: (0, r, 0), memory_space=pltpu.VMEM),
     ]
     args = [codes2, lut_lo, lut_hi if two_halves else lut_lo]
     return pl.pallas_call(
         kern,
-        grid=(out_features // tn,),
+        grid=(out_features // tn, kig // kr),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((B, tn), lambda o: (0, o), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((B, tn), lambda o, r: (0, o), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, out_features), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, tn), jnp.float32)],
         interpret=interpret,
     )(*args)
 
