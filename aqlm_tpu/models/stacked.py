@@ -30,7 +30,11 @@ from aqlm_tpu.models.common import (
     rms_norm,
     rope,
 )
-from aqlm_tpu.ops.flash_decode import flash_decode_attention, flash_decode_attention_indexed
+from aqlm_tpu.ops.flash_decode import (
+    flash_decode_attention,
+    flash_decode_attention_indexed,
+    kv_write_inplace,
+)
 
 __all__ = ["KVCache", "stack_layer_params", "forward_stacked", "init_kv_cache"]
 
@@ -121,7 +125,7 @@ def forward_stacked(
     cache: KVCache | None = None,
     cache_offset: jax.Array | int = 0,
     positions: jax.Array | None = None,
-    use_flash_decode: bool = False,
+    use_flash_decode: bool | None = None,
 ):
     """Causal LM forward over stacked layers. Returns (logits, new_cache).
 
@@ -130,13 +134,14 @@ def forward_stacked(
     traced scalar (decode loop friendly).
 
     use_flash_decode routes single-token attention through the layer-indexed
-    Pallas flash-decode kernel with the cache carried through the scan
-    (scalar-prefetch index maps read the stacked cache in place). Measured on
-    v5e (8 layers, int8 KV): wins at batch 1 / 2k ctx (3.62 vs 4.11 ms/step)
-    but loses badly at batch 8 (67 vs 18 ms) — XLA stops proving the carried
-    cache updates in-place at larger shapes and copies the full cache per
-    layer. Off by default; a fused write+attend kernel with explicit
-    input/output aliasing is the round-2 fix.
+    Pallas flash-decode kernel: the cache rides the scan carry, writes go
+    through an input/output-ALIASED pallas kernel (plain dynamic_update_slice
+    on the carry stops aliasing at batch>=8 and copies the whole cache per
+    layer), and reads index the stacked cache in place via scalar prefetch.
+    Measured on v5e (8 layers, int8 KV) vs the fused-XLA path: 3.72 vs 4.10
+    ms/step at b1/2k ctx, 12.6 vs 17.6 at b8/2k, but ~0.6 ms/token SLOWER on
+    a 32-layer model at 256 ctx (4 extra kernel launches per layer dominate
+    tiny caches). Default (None) picks flash when max_len >= 1024.
     """
     b, t = input_ids.shape
     offsets = jnp.broadcast_to(jnp.asarray(cache_offset), (b,))  # per-row cache offsets
@@ -178,6 +183,8 @@ def forward_stacked(
     # flash path: the cache rides the scan CARRY (full stacked arrays) and
     # the kernel indexes layer i via scalar prefetch — scan-xs slices feeding
     # an opaque pallas_call would copy the layer's cache to HBM every step
+    if use_flash_decode is None:
+        use_flash_decode = cache is not None and cache.max_len >= 1024
     flash = cache is not None and t == 1 and use_flash_decode
 
     def block(carry, scan_in):
@@ -207,24 +214,23 @@ def forward_stacked(
 
         new_kv = None
         if flash:
-            pick = lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
-            put = lambda a, val: jax.lax.dynamic_update_index_in_dim(a, val, i, 0)
+            hm = lambda a: jnp.moveaxis(a, 1, 2)  # [B, T, H, ...] -> [B, H, T, ...]
             if cache.quantized:
                 k_all, v_all, ks_all, vs_all = kv_full
                 k8, ks = _quantize_kv(k)
                 v8, vs = _quantize_kv(v)
-                k_all = put(k_all, write_rows(pick(k_all), k8))
-                v_all = put(v_all, write_rows(pick(v_all), v8))
-                ks_all = put(ks_all, write_rows(pick(ks_all), ks[..., None]))
-                vs_all = put(vs_all, write_rows(pick(vs_all), vs[..., None]))
+                k_all = kv_write_inplace(k_all, hm(k8), i, offsets)
+                v_all = kv_write_inplace(v_all, hm(v8), i, offsets)
+                ks_all = kv_write_inplace(ks_all, hm(ks[..., None]), i, offsets)
+                vs_all = kv_write_inplace(vs_all, hm(vs[..., None]), i, offsets)
                 kv_full = (k_all, v_all, ks_all, vs_all)
                 attn = flash_decode_attention_indexed(
                     q, k_all, v_all, ks_all, vs_all, i, offsets + 1
                 )
             else:
                 k_all, v_all = kv_full
-                k_all = put(k_all, write_rows(pick(k_all), k.astype(k_all.dtype)))
-                v_all = put(v_all, write_rows(pick(v_all), v.astype(v_all.dtype)))
+                k_all = kv_write_inplace(k_all, hm(k), i, offsets)
+                v_all = kv_write_inplace(v_all, hm(v), i, offsets)
                 kv_full = (k_all, v_all)
                 attn = flash_decode_attention_indexed(
                     q, k_all, v_all, None, None, i, offsets + 1

@@ -144,6 +144,69 @@ def flash_decode_attention(
 
 
 # ---------------------------------------------------------------------------
+# in-place cache write (aliased pallas) — the companion of the indexed kernel
+# ---------------------------------------------------------------------------
+
+
+_WRITE_SB = 32  # S-dim block rows (Mosaic sublane tiling, int8-safe)
+
+
+def _write_kernel(scalars_ref, new_ref, cache_ref, out_ref):
+    """Read-modify-write one 32-row cache block: replace row offsets[b] % 32.
+
+    A single-row block is not a legal Mosaic block shape; the merge is a
+    static-store vector select instead."""
+    b = pl.program_id(0)
+    row = scalars_ref[1 + b] % _WRITE_SB
+    block = cache_ref[0, 0, 0]  # [SB, D]
+    sel = jax.lax.broadcasted_iota(jnp.int32, block.shape, 0) == row
+    out_ref[0, 0, 0] = jnp.where(sel, new_ref[0, 0, 0], block)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def _kv_write(cache_all, new, scalars, *, interpret):
+    """Write new [B, H, 1, D] into cache_all [L, B, H, S, D] at
+    (layer_idx, b, h, offsets[b]) IN PLACE via input/output aliasing.
+
+    XLA's dynamic_update_slice on a scan carry stops aliasing at larger
+    shapes and copies the whole cache per layer (measured 67 vs 18 ms/step
+    at batch 8); an explicitly aliased pallas write cannot copy."""
+    L, b, h, s, d = cache_all.shape
+    assert s % _WRITE_SB == 0, s
+    grid = (b, h)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, d), lambda bi, hi, sc: (bi, hi, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, 1, _WRITE_SB, d),
+                lambda bi, hi, sc: (sc[0], bi, hi, sc[1 + bi] // _WRITE_SB, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, _WRITE_SB, d),
+            lambda bi, hi, sc: (sc[0], bi, hi, sc[1 + bi] // _WRITE_SB, 0),
+        ),
+    )
+    return pl.pallas_call(
+        _write_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(cache_all.shape, cache_all.dtype),
+        input_output_aliases={2: 0},  # cache operand (scalars count too) -> output
+        interpret=interpret,
+    )(scalars, new, cache_all)
+
+
+def kv_write_inplace(cache_all, new, layer_idx, offsets):
+    """cache_all [L, B, H, S, D] <- new [B, H, T=1, D] at per-row offsets."""
+    scalars = jnp.concatenate(
+        [jnp.asarray(layer_idx, jnp.int32).reshape(1), offsets.astype(jnp.int32)]
+    )
+    return _kv_write(cache_all, new.astype(cache_all.dtype), scalars, interpret=should_interpret())
+
+
+# ---------------------------------------------------------------------------
 # layer-indexed variant over the full stacked cache (scan-over-layers serving)
 # ---------------------------------------------------------------------------
 
