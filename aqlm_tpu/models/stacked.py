@@ -33,6 +33,7 @@ from aqlm_tpu.models.common import (
 from aqlm_tpu.ops.flash_decode import (
     flash_decode_attention,
     flash_decode_attention_indexed,
+    kv_write4_inplace,
     kv_write_inplace,
 )
 
@@ -219,10 +220,11 @@ def forward_stacked(
                 k_all, v_all, ks_all, vs_all = kv_full
                 k8, ks = _quantize_kv(k)
                 v8, vs = _quantize_kv(v)
-                k_all = kv_write_inplace(k_all, hm(k8), i, offsets)
-                v_all = kv_write_inplace(v_all, hm(v8), i, offsets)
-                ks_all = kv_write_inplace(ks_all, hm(ks[..., None]), i, offsets)
-                vs_all = kv_write_inplace(vs_all, hm(vs[..., None]), i, offsets)
+                k_all, v_all, ks_all, vs_all = kv_write4_inplace(
+                    k_all, v_all, ks_all, vs_all,
+                    hm(k8), hm(v8), hm(ks[..., None]), hm(vs[..., None]),
+                    i, offsets,
+                )
                 kv_full = (k_all, v_all, ks_all, vs_all)
                 attn = flash_decode_attention_indexed(
                     q, k_all, v_all, ks_all, vs_all, i, offsets + 1

@@ -206,6 +206,77 @@ def kv_write_inplace(cache_all, new, layer_idx, offsets):
     return _kv_write(cache_all, new.astype(cache_all.dtype), scalars, interpret=should_interpret())
 
 
+def _write4_kernel(scalars_ref, nk_ref, nv_ref, nks_ref, nvs_ref,
+                   k_ref, v_ref, ks_ref, vs_ref,
+                   ok_ref, ov_ref, oks_ref, ovs_ref):
+    b = pl.program_id(0)
+    row = scalars_ref[1 + b] % _WRITE_SB
+
+    def merge(new_ref, cache_ref, out_ref):
+        block = cache_ref[0, 0, 0]
+        sel = jax.lax.broadcasted_iota(jnp.int32, block.shape, 0) == row
+        out_ref[0, 0, 0] = jnp.where(sel, new_ref[0, 0, 0], block)
+
+    merge(nk_ref, k_ref, ok_ref)
+    merge(nv_ref, v_ref, ov_ref)
+    merge(nks_ref, ks_ref, oks_ref)
+    merge(nvs_ref, vs_ref, ovs_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0, 1, 2, 3))
+def _kv_write4(k_all, v_all, ks_all, vs_all, nk, nv, nks, nvs, scalars, *, interpret):
+    """One launch updating all four int8-cache arrays in place (k, v and
+    their scale planes) — 4x fewer kernel launches per layer than separate
+    kv_write_inplace calls (~0.6 ms/token on 32 layers at short contexts)."""
+    L, b, h, s, d = k_all.shape
+    assert s % _WRITE_SB == 0, s
+
+    def blkspec(dd):
+        return pl.BlockSpec(
+            (1, 1, 1, _WRITE_SB, dd),
+            lambda bi, hi, sc: (sc[0], bi, hi, sc[1 + bi] // _WRITE_SB, 0),
+        )
+
+    def newspec(dd):
+        return pl.BlockSpec((1, 1, 1, dd), lambda bi, hi, sc: (bi, hi, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h),
+        in_specs=[
+            newspec(d), newspec(d), newspec(1), newspec(1),
+            blkspec(d), blkspec(d), blkspec(1), blkspec(1),
+        ],
+        out_specs=[blkspec(d), blkspec(d), blkspec(1), blkspec(1)],
+    )
+    return pl.pallas_call(
+        _write4_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+            jax.ShapeDtypeStruct(ks_all.shape, ks_all.dtype),
+            jax.ShapeDtypeStruct(vs_all.shape, vs_all.dtype),
+        ],
+        # scalars is operand 0; news are 1-4; caches are 5-8
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        interpret=interpret,
+    )(scalars, nk, nv, nks, nvs, k_all, v_all, ks_all, vs_all)
+
+
+def kv_write4_inplace(k_all, v_all, ks_all, vs_all, nk, nv, nks, nvs, layer_idx, offsets):
+    """Fused in-place write of (k, v, k_scale, v_scale) for one decode token."""
+    scalars = jnp.concatenate(
+        [jnp.asarray(layer_idx, jnp.int32).reshape(1), offsets.astype(jnp.int32)]
+    )
+    return _kv_write4(
+        k_all, v_all, ks_all, vs_all,
+        nk.astype(k_all.dtype), nv.astype(v_all.dtype),
+        nks.astype(ks_all.dtype), nvs.astype(vs_all.dtype),
+        scalars, interpret=should_interpret(),
+    )
+
+
 # ---------------------------------------------------------------------------
 # layer-indexed variant over the full stacked cache (scan-over-layers serving)
 # ---------------------------------------------------------------------------
