@@ -1,0 +1,165 @@
+"""Minimal HTTP serving daemon over the continuous-batching engine.
+
+The reference delegates serving to vLLM (notebooks/aqlm_vllm.ipynb); this is
+the native equivalent: a stdlib HTTP server feeding requests into the Engine,
+which batches them continuously across clients.
+
+    python -m aqlm_tpu.cli.serve MODEL_DIR --port 8900 --mode int8 --kv_int8
+
+    POST /generate {"prompt": "...", "max_new_tokens": 64, "temperature": 0.7}
+      or {"prompt_ids": [1, 2, 3], ...}
+    GET  /health
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from aqlm_tpu.cli.common import dtype_from_str, load_tokenizer, resolve_model
+from aqlm_tpu.serve import Engine, SamplingParams, ServeConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model_path")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8900)
+    p.add_argument("--max_batch", type=int, default=4)
+    p.add_argument("--max_len", type=int, default=2048)
+    p.add_argument("--prefill_buckets", nargs="+", type=int, default=[64, 256, 1024])
+    p.add_argument("--kv_int8", action="store_true")
+    p.add_argument("--mode", choices=["reference", "codes", "int8"], default="int8")
+    p.add_argument("--dtype", choices=["auto", "float32", "bfloat16"], default="bfloat16")
+    return p
+
+
+class _Server:
+    """Single background loop drives Engine.step(); requests enqueue and wait."""
+
+    def __init__(self, engine: Engine, tokenizer):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self._submissions: "queue.Queue" = queue.Queue()
+        self._done: dict[int, threading.Event] = {}
+        self._lock = threading.Lock()
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        while self._running:
+            try:
+                while True:
+                    prompt, sampling, box = self._submissions.get_nowait()
+                    rid = self.engine.submit(prompt, sampling)
+                    with self._lock:
+                        self._done[rid] = box
+                    box["rid"] = rid
+                    box["accepted"].set()
+            except queue.Empty:
+                pass
+            if self.engine._active or self.engine._pending:
+                self.engine.step()
+                with self._lock:
+                    for rid, box in list(self._done.items()):
+                        req = self.engine.get_request(rid)
+                        if req.done:
+                            box["tokens"] = req.generated
+                            box["finished"].set()
+                            del self._done[rid]
+            else:
+                import time
+
+                time.sleep(0.005)
+
+    def generate(self, prompt_ids, sampling: SamplingParams, timeout: float = 600.0):
+        box = {"accepted": threading.Event(), "finished": threading.Event()}
+        self._submissions.put((prompt_ids, sampling, box))
+        if not box["finished"].wait(timeout):
+            raise TimeoutError("generation timed out")
+        return box["tokens"]
+
+    def stop(self):
+        self._running = False
+
+
+def make_handler(server: _Server):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._reply(200, {"status": "ok"})
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if "prompt_ids" in req:
+                    ids = np.asarray(req["prompt_ids"], np.int32)
+                else:
+                    assert server.tokenizer is not None, "text prompts need a tokenizer"
+                    ids = np.asarray(server.tokenizer(req["prompt"]).input_ids, np.int32)
+                sampling = SamplingParams(
+                    temperature=float(req.get("temperature", 0.0)),
+                    top_p=float(req.get("top_p", 1.0)),
+                    max_new_tokens=int(req.get("max_new_tokens", 128)),
+                    eos_token_id=getattr(server.tokenizer, "eos_token_id", None)
+                    if server.tokenizer
+                    else None,
+                )
+                tokens = server.generate(ids, sampling)
+                out = {"tokens": [int(t) for t in tokens]}
+                if server.tokenizer is not None:
+                    out["text"] = server.tokenizer.decode(tokens)
+                self._reply(200, out)
+            except Exception as e:  # surface errors to the client
+                self._reply(500, {"error": repr(e)})
+
+    return Handler
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    params, cfg, _ = resolve_model(args.model_path, dtype=dtype_from_str(args.dtype), mode=args.mode)
+    tokenizer = load_tokenizer(args.model_path)
+    engine = Engine(
+        params, cfg,
+        ServeConfig(
+            max_batch=args.max_batch, max_len=args.max_len,
+            prefill_buckets=tuple(args.prefill_buckets), kv_quantized=args.kv_int8,
+        ),
+    )
+    server = _Server(engine, tokenizer)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
+    print(f"serving on http://{args.host}:{args.port} (POST /generate, GET /health)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()
