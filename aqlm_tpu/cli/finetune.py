@@ -3,10 +3,20 @@
 Teacher-student KL distillation with straight-through code updates. Flag
 names follow the reference (/root/reference/finetune.py:52-467). Instead of
 torchrun+FSDP, parallelism is a ("data", "model") mesh over all visible
-devices (jax.distributed handles multi-host).
+devices (jax.distributed handles multi-host), and the large-model memory
+design is host-offload based (see pv/straight_through.py docstring):
+
+- --microbatch_size < --batch_size accumulates gradients over microbatches
+  (reference: no_sync + accumulation, finetune.py:1136);
+- --loss_tokens_per_chunk chunks the lm_head+KL (memory_efficient_loss.py);
+- --st_window N keeps only N layers' straight-through buffers on device per
+  step, rotating round-robin with host-RAM Adam (HostSTManager) — the
+  single-chip analogue of the reference's owner-computes sharding;
+- --offload_teacher keeps teacher weights in host RAM and streams the
+  forward layer-by-layer (HostTeacher), so the teacher never occupies HBM.
 
     python -m aqlm_tpu.cli.finetune --base_model DENSE --quantized_model QDIR \
-        --dataset random --total_steps 100 --update_codes ...
+        --dataset random --total_steps 100 ...
 """
 
 from __future__ import annotations
@@ -32,8 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantized_model", required=True, help="quantized student (canonical or HF AQLM)")
     p.add_argument("--dataset", default="random")
     p.add_argument("--nsamples", type=int, default=256)
+    p.add_argument("--val_size", type=int, default=0,
+                   help="held-out sequences for eval (split off the dataset)")
     p.add_argument("--model_seqlen", type=int, default=4096)
-    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=4, help="global batch per step")
+    p.add_argument("--microbatch_size", type=int, default=None,
+                   help="per-forward batch; < batch_size accumulates gradients")
     p.add_argument("--total_steps", type=int, default=1000)
     p.add_argument("--code_update_every", type=int, default=1, help="V steps per P step")
     # optimizer flags (finetune.py:190-467)
@@ -46,6 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--code_selection_temperature", type=float, default=0.0)
     p.add_argument("--force_code_update", action="store_true")
     p.add_argument("--stochastic_rounding_tau", type=float, default=0.0)
+    # memory design
+    p.add_argument("--loss_tokens_per_chunk", type=int, default=256,
+                   help="chunked lm_head+KL (0 = full logits)")
+    p.add_argument("--st_window", type=int, default=0,
+                   help=">0: only N layers' ST buffers on device per step "
+                        "(host-RAM Adam + round-robin rotation)")
+    p.add_argument("--offload_teacher", action="store_true",
+                   help="teacher weights in host RAM, layer-streamed forward")
     # optimizer variants (configurable_adam.py parity)
     p.add_argument("--lamb", action="store_true")
     p.add_argument("--amsgrad", action="store_true")
@@ -72,6 +94,9 @@ def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
     dtype = dtype_from_str(args.dtype)
     logger = MetricLogger(use_wandb=args.wandb, config=vars(args))
+    micro = args.microbatch_size or args.batch_size
+    assert args.batch_size % micro == 0, "batch_size must divide by microbatch_size"
+    n_micro = args.batch_size // micro
 
     teacher, teacher_cfg, kind = resolve_model(args.base_model, dtype=dtype)
     assert kind == "dense", "teacher must be a dense model"
@@ -79,8 +104,13 @@ def main(argv=None) -> dict:
     assert kind == "quantized", "student must be a quantized model"
 
     data = load_calibration_data(
-        args.dataset, args.nsamples, args.model_seqlen, args.base_model, teacher_cfg, seed=args.seed
+        args.dataset, args.nsamples + args.val_size, args.model_seqlen,
+        args.base_model, teacher_cfg, seed=args.seed,
     )
+    # held-out val split (the reference evaluates real datasets via
+    # perplexity_eval; without hub access the val split is the honest signal)
+    val_data = data[: args.val_size] if args.val_size else None
+    data = data[args.val_size :]
 
     pv = PVConfig(
         lr=args.lr, code_lr=args.code_lr, beam_size=args.beam_size,
@@ -90,6 +120,7 @@ def main(argv=None) -> dict:
         code_selection_temperature=args.code_selection_temperature,
         force_code_update=args.force_code_update,
         stochastic_rounding_tau=args.stochastic_rounding_tau,
+        chunk_tokens=args.loss_tokens_per_chunk,
     )
     from aqlm_tpu.pv import configurable_adamw
 
@@ -101,11 +132,42 @@ def main(argv=None) -> dict:
         exp_avg_sq_dtype=moment_dtype[args.exp_avg_sq_dtype],
     )
     st_opt = configurable_adamw(pv.code_lr, b1=0.9, b2=0.95)
-    grad_step, code_step = make_pv_step(
-        student_cfg, teacher_cfg, pv, cont_opt=cont_opt, st_opt=st_opt
+
+    host_teacher = None
+    teacher_kind = "params"
+    if args.offload_teacher:
+        from aqlm_tpu.pv.teacher import HostTeacher
+
+        host_teacher = HostTeacher(teacher, teacher_cfg)
+        teacher = None  # free the device copy reference
+        teacher_kind = "hidden"
+
+    st_mgr = None
+    active = None
+    if args.st_window:
+        import optax
+
+        from aqlm_tpu.pv.host import HostSTManager
+
+        # buffer Adam runs on host (HostSTManager); the device-side st
+        # transform must be structure-independent (the active window's pytree
+        # changes on rotation) and a no-op (grads for it are zeroed below)
+        st_opt = optax.identity()
+
+        np_moment = {None: np.float32, jnp.float32: np.float32,
+                     jnp.bfloat16: np.float16}[moment_dtype[args.exp_avg_dtype]]
+        st_mgr = HostSTManager(
+            student, window=args.st_window, lr=pv.code_lr, moment_dtype=np_moment
+        )
+        active = st_mgr.active_window(0)
+
+    fns = make_pv_step(
+        student_cfg, teacher_cfg, pv, cont_opt=cont_opt, st_opt=st_opt,
+        teacher_kind=teacher_kind,
     )
-    grad_step = jax.jit(grad_step)
-    state = init_pv_state(student, cont_opt, st_opt)
+    grad_fn = jax.jit(fns.grad_fn)
+    apply_fn = jax.jit(fns.apply_fn)
+    state = init_pv_state(student, cont_opt, st_opt, active_layers=active)
 
     start_step = 0
     state_path = os.path.join(args.save, "train_state.npz") if args.save else None
@@ -116,19 +178,49 @@ def main(argv=None) -> dict:
         start_step = int(meta.get("step", 0))
         print(f"resumed training state at step {start_step}")
 
+    import dataclasses as _dc
+
     rng = np.random.RandomState(args.seed)
     key = jax.random.PRNGKey(args.seed)
     n = data.shape[0]
-    for _ in range(start_step):  # replay the batch stream up to the resume point
-        rng.randint(0, n, size=args.batch_size)
+    for _ in range(start_step * n_micro):  # replay the batch stream to the resume point
+        rng.randint(0, n, size=micro)
     losses = []
     for step in range(start_step, args.total_steps):
-        idx = rng.randint(0, n, size=args.batch_size)
-        state, loss = grad_step(state, teacher, data[idx])
-        losses.append(float(loss))
+        if st_mgr is not None:
+            active = st_mgr.active_window(step)
+            state = _dc.replace(state, st_buffers=[
+                {k: jnp.asarray(v) for k, v in e.items()} for e in st_mgr.fetch(active)
+            ])
+        # gradient accumulation over microbatches
+        acc, loss_sum = None, 0.0
+        for _ in range(n_micro):
+            idx = rng.randint(0, n, size=micro)
+            batch = data[idx]
+            t_in = host_teacher.batch(batch) if host_teacher is not None else teacher
+            loss, grads = grad_fn(state, t_in, batch)
+            loss_sum += float(loss)
+            acc = grads if acc is None else jax.tree.map(jnp.add, acc, grads)
+        if st_mgr is not None:
+            # buffers update on host; zero their device-side grads so
+            # apply_fn's st_opt is a no-op for them
+            g_tr, g_st = acc
+            st_mgr.adam_update(active, [
+                {k: np.asarray(v) / n_micro for k, v in e.items()} for e in g_st
+            ])
+            state = _dc.replace(state, st_buffers=[
+                {k: jnp.asarray(v) for k, v in e.items()} for e in st_mgr.fetch(active)
+            ])
+            acc = (g_tr, jax.tree.map(jnp.zeros_like, g_st))
+        state = apply_fn(state, acc, 1.0 / n_micro)
+        losses.append(loss_sum / n_micro)
         if args.code_update_every and (step + 1) % args.code_update_every == 0:
             key, sub = jax.random.split(key)
-            state = code_step(state, sub)
+            state = fns.code_step(state, sub)
+            if st_mgr is not None:  # persist delta-decay-mixed buffers
+                st_mgr.store(active, [
+                    {k: np.asarray(v) for k, v in e.items()} for e in state.st_buffers
+                ])
         if args.save_state_every and state_path and (step + 1) % args.save_state_every == 0:
             from aqlm_tpu.io import save_pytree
 
@@ -138,8 +230,14 @@ def main(argv=None) -> dict:
             print(f"step {step}: kl={losses[-1]:.5f}")
         if args.eval_every_steps and (step + 1) % args.eval_every_steps == 0:
             params = merge_trainable(state.trainable, state.frozen)
+            if val_data is not None:
+                ppl = evaluate_perplexity(params, student_cfg, val_data)
+                logger.log({"ppl_val": ppl}, step=step)
+                print(f"step {step}: val ppl={ppl:.4f}")
             for ds in args.eval_datasets:
-                ids = load_calibration_data(ds, 8, args.model_seqlen, args.base_model, teacher_cfg, eval_mode=True)[:8]
+                ids = load_calibration_data(
+                    ds, 8, args.model_seqlen, args.base_model, teacher_cfg, eval_mode=True
+                )[:8]
                 ppl = evaluate_perplexity(params, student_cfg, ids)
                 logger.log({f"ppl_{ds}": ppl}, step=step)
                 print(f"step {step}: {ds} ppl={ppl:.4f}")

@@ -226,6 +226,8 @@ def forward(
     positions: jax.Array | None = None,
     kv_caches: list | None = None,
     cache_offset: jax.Array | None = None,
+    return_hidden: bool = False,
+    remat_blocks: bool = False,
 ):
     """Causal LM forward.
 
@@ -233,6 +235,15 @@ def forward(
     when cache is written separately). With kv_caches + cache_offset: writes
     new K/V at [cache_offset, cache_offset+T) and attends over the cache.
     Returns (logits [B,T,V], new_kv_caches).
+
+    return_hidden=True skips the lm_head and returns the post-final-norm
+    hidden states instead of logits — the input contract of
+    `pv.losses.chunked_kl_loss` (head applied per token-chunk under remat).
+    remat_blocks=True wraps each transformer block in jax.checkpoint so a
+    backward pass recomputes block internals instead of keeping them live —
+    required for codes-resident PV training, where every block transiently
+    dequantizes its weights (reference analogue: --use_checkpointing /
+    gradient_checkpointing, finetune.py:318-321).
     """
     b, t = input_ids.shape
     if positions is None:
@@ -255,12 +266,17 @@ def forward(
         kv_len_mask = make_causal_mask(positions, key_pos)
 
     new_caches = []
+    block = _block
+    if remat_blocks:
+        block = jax.checkpoint(_block, static_argnums=(2,))
     for li, layer in enumerate(params["layers"]):
         kv = kv_caches[li] if kv_caches is not None else None
-        x, new_kv = _block(x, layer, cfg, positions, kv, cache_positions, kv_len_mask)
+        x, new_kv = block(x, layer, cfg, positions, kv, cache_positions, kv_len_mask)
         new_caches.append(new_kv)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+    if return_hidden:
+        return x, (new_caches if kv_caches is not None else None)
     if params.get("lm_head") is not None:
         logits = apply_linear(x, params["lm_head"])
     else:

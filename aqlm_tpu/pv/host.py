@@ -1,0 +1,112 @@
+"""Host-RAM straight-through buffer manager with round-robin activation.
+
+A 7B student's dense-f32 ST buffers are ~27 GB — they cannot live in a
+16 GB chip's HBM alongside the student. The reference solves the analogous
+GPU problem with owner-computes sharding: each rank materializes only the
+QuantizedWeights it owns and ships grads/weights around with isend/irecv
+(/root/reference/src/pv_optimizer.py:309-424, pv_utils.py:139-196), plus
+CPU-offloaded optimizer state (src/configurable_adam.py:164-188).
+
+The single-chip TPU analogue: ALL buffers + Adam moments live in host RAM;
+each PV step activates a WINDOW of layers (round-robin) whose buffers are
+staged to the device. The jitted grad step returns straight-through grads
+only for the active window; Adam for the buffers runs on host (numpy). Over
+`ceil(L / window)` steps every layer's codes receive a beam-search update —
+the same total code-update throughput as the reference's every-step sweep
+bounded by max_code_change_per_step, scheduled by layer instead of by
+fraction. Continuous params (codebooks/scales/norms) still update on-device
+every step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aqlm_tpu.models.llama import QUANTIZABLE_PROJS
+from aqlm_tpu.ops.dequant import AqlmWeight, dequantize_weight
+from aqlm_tpu.ops.runtime import QuantizedLinear
+
+__all__ = ["HostSTManager"]
+
+
+class HostSTManager:
+    """Full-model ST buffers + Adam moments in host RAM.
+
+    Usage per training step (see cli/finetune.py):
+        active = mgr.active_window(step)          # layer indices
+        st = mgr.fetch(active)                    # device-ready buffers list
+        ... run grad_fn with state.st_buffers=st, get g_st ...
+        mgr.adam_update(active, g_st)             # host Adam, stores moments
+        st_new = mgr.fetch(active)                # updated buffers for V step
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        *,
+        window: int = 1,
+        lr: float = 1e-3,
+        b1: float = 0.9,
+        b2: float = 0.95,
+        eps: float = 1e-8,
+        moment_dtype=np.float32,
+    ):
+        self.window = window
+        self.lr, self.b1, self.b2, self.eps = lr, b1, b2, eps
+        self.n_layers = len(params["layers"])
+        self.buffers: list[dict[str, np.ndarray]] = []
+        self.m: list[dict[str, np.ndarray]] = []
+        self.v: list[dict[str, np.ndarray]] = []
+        self.t: list[dict[str, int]] = []
+        for layer in params["layers"]:
+            entry, me, ve, te = {}, {}, {}, {}
+            for name in QUANTIZABLE_PROJS:
+                lin = layer.get(name)
+                if isinstance(lin, QuantizedLinear):
+                    w = dequantize_weight(
+                        AqlmWeight(codes=lin.codes, codebooks=lin.codebooks,
+                                   scales=lin.scales, bias=None, scheme=lin.scheme),
+                        dtype=np.float32,
+                    )
+                    entry[name] = np.array(w, np.float32)  # owned, writable copy
+                    me[name] = np.zeros(entry[name].shape, moment_dtype)
+                    ve[name] = np.zeros(entry[name].shape, moment_dtype)
+                    te[name] = 0
+            self.buffers.append(entry)
+            self.m.append(me)
+            self.v.append(ve)
+            self.t.append(te)
+
+    def active_window(self, step: int) -> tuple[int, ...]:
+        """Round-robin window of layer indices active at `step`."""
+        n_windows = -(-self.n_layers // self.window)
+        w = step % n_windows
+        return tuple(range(w * self.window, min((w + 1) * self.window, self.n_layers)))
+
+    def fetch(self, active: tuple[int, ...]) -> list[dict]:
+        """st_buffers list for PVState: active layers' buffers, {} elsewhere."""
+        return [
+            {k: v.copy() for k, v in self.buffers[li].items()} if li in active else {}
+            for li in range(self.n_layers)
+        ]
+
+    def adam_update(self, active: tuple[int, ...], g_st: list[dict]) -> None:
+        """Debiased Adam on the active buffers (host, numpy)."""
+        for li in active:
+            for name, g in g_st[li].items():
+                g = np.asarray(g, np.float32)
+                self.t[li][name] += 1
+                t = self.t[li][name]
+                m = self.m[li][name].astype(np.float32) * self.b1 + (1 - self.b1) * g
+                v = self.v[li][name].astype(np.float32) * self.b2 + (1 - self.b2) * g * g
+                self.m[li][name] = m.astype(self.m[li][name].dtype)
+                self.v[li][name] = v.astype(self.v[li][name].dtype)
+                mhat = m / (1 - self.b1 ** t)
+                vhat = v / (1 - self.b2 ** t)
+                self.buffers[li][name] -= self.lr * mhat / (np.sqrt(vhat) + self.eps)
+
+    def store(self, active: tuple[int, ...], st_buffers: list[dict]) -> None:
+        """Write back (e.g. after delta-decay mixing in the V step)."""
+        for li in active:
+            for name, buf in st_buffers[li].items():
+                self.buffers[li][name] = np.array(buf, np.float32)

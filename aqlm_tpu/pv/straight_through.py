@@ -16,6 +16,23 @@ the reference's optimizer.step() does (:213-222):
 4. delta-decay mixing: buffer <- delta * dequant(new codes) + (1-delta) * buffer
    (:344-348).
 
+Memory design (how a 7B student fits one 16 GB chip):
+- the KL loss is CHUNKED (pv.losses.chunked_kl_loss): student forward returns
+  final hidden states and the lm_head is applied per token-chunk under remat,
+  so the two full [B,T,V] logit tensors never coexist
+  (reference: src/memory_efficient_loss.py:15-58);
+- ST buffers are materialized only for the ACTIVE layer subset
+  (`active_layers`); inactive quantized layers forward codes-resident through
+  the differentiable reference-mode dequant under per-block rematerialization,
+  so their dense weights are transient. A host-side rotation
+  (pv.host.HostSTManager) keeps the full-model buffers + moments in host RAM
+  and cycles the active window round-robin — the single-chip analogue of the
+  reference's owner-computes sharding (src/pv_optimizer.py:309-424), which
+  also only materializes each rank's owned subset;
+- the teacher can be passed as precomputed hidden states
+  (teacher_kind="hidden", produced by pv.teacher.stream_teacher_hidden with
+  host-resident weights), so teacher params never occupy HBM.
+
 Instead of FSDP grad-gather + isend/irecv weight scatter (:378-409), the
 params and buffers live on the ("data", "model") mesh and XLA SPMD moves the
 bytes.
@@ -25,7 +42,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -37,10 +54,10 @@ from aqlm_tpu.models.common import DenseLinear
 from aqlm_tpu.models.llama import QUANTIZABLE_PROJS
 from aqlm_tpu.ops.dequant import AqlmWeight, dequantize_weight
 from aqlm_tpu.ops.runtime import QuantizedLinear
-from aqlm_tpu.pv.losses import kl_divergence_loss
+from aqlm_tpu.pv.losses import chunked_kl_loss, kl_divergence_loss
 from aqlm_tpu.pv.trainer import merge_trainable, split_trainable
 
-__all__ = ["PVConfig", "PVState", "init_pv_state", "make_pv_step", "pv_code_update"]
+__all__ = ["PVConfig", "PVState", "PVStepFns", "init_pv_state", "make_pv_step", "pv_code_update"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +74,11 @@ class PVConfig:
     code_selection_temperature: float = 0.0
     force_code_update: bool = False
     stochastic_rounding_tau: float = 0.0
+    # memory-efficient loss (reference --loss_tokens_per_chunk,
+    # finetune.py:359-365); 0 disables chunking (full [B,T,V] logits)
+    chunk_tokens: int = 256
+    # rematerialize each transformer block in the student backward pass
+    remat_blocks: bool = True
 
 
 @partial(
@@ -68,10 +90,23 @@ class PVConfig:
 class PVState:
     trainable: Any
     frozen: Any
-    st_buffers: Any  # [layers] of {proj_name: [out, in] f32}
+    st_buffers: Any  # [layers] of {proj_name: [out, in] f32} (empty dict = inactive layer)
     cont_opt_state: Any
     st_opt_state: Any
     step: jax.Array
+
+
+class PVStepFns(NamedTuple):
+    """grad_step(state, teacher, ids[, mask]) -> (state, loss) — fused
+    grad+apply (jittable). code_step(state, key) -> state — the V phase.
+    grad_fn(state, teacher, ids[, mask]) -> (loss, grads) and
+    apply_fn(state, grads, scale) -> state split the step for gradient
+    accumulation (reference: no_sync + accumulation, finetune.py:1136)."""
+
+    grad_step: Callable
+    code_step: Callable
+    grad_fn: Callable
+    apply_fn: Callable
 
 
 def _quantized_weight_of(q: QuantizedLinear) -> AqlmWeight:
@@ -79,20 +114,26 @@ def _quantized_weight_of(q: QuantizedLinear) -> AqlmWeight:
     return AqlmWeight(codes=q.codes, codebooks=q.codebooks, scales=q.scales, bias=q.bias, scheme=q.scheme)
 
 
-def _st_init(params: dict):
+def _st_init(params: dict, active_layers=None):
     buffers = []
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
         entry = {}
-        for name in QUANTIZABLE_PROJS:
-            lin = layer.get(name)
-            if isinstance(lin, QuantizedLinear):
-                entry[name] = dequantize_weight(_quantized_weight_of(lin), dtype=jnp.float32)
+        if active_layers is None or li in active_layers:
+            for name in QUANTIZABLE_PROJS:
+                lin = layer.get(name)
+                if isinstance(lin, QuantizedLinear):
+                    entry[name] = dequantize_weight(_quantized_weight_of(lin), dtype=jnp.float32)
         buffers.append(entry)
     return buffers
 
 
 def materialize_st_params(params: dict, st_buffers) -> dict:
-    """Swap quantized projections for DenseLinear(W_eff) with the ST trick."""
+    """Swap ST-active quantized projections for DenseLinear(W_eff).
+
+    Layers whose st_buffers entry is empty stay QuantizedLinear — their
+    forward dequantizes codes-resident (differentiably, so codebooks/scales
+    still receive gradients) and, under remat, their dense weights are
+    transient instead of held for backward."""
     out = dict(params)
     layers = []
     for layer, bufs in zip(params["layers"], st_buffers):
@@ -108,10 +149,14 @@ def materialize_st_params(params: dict, st_buffers) -> dict:
 
 
 def init_pv_state(
-    params: dict, cont_opt: optax.GradientTransformation, st_opt: optax.GradientTransformation
+    params: dict,
+    cont_opt: optax.GradientTransformation,
+    st_opt: optax.GradientTransformation,
+    *,
+    active_layers=None,
 ) -> PVState:
     trainable, frozen = split_trainable(params)
-    st = _st_init(params)
+    st = _st_init(params, active_layers)
     return PVState(
         trainable=trainable,
         frozen=frozen,
@@ -122,6 +167,13 @@ def init_pv_state(
     )
 
 
+def _head_and_embed(params):
+    head = params.get("lm_head")
+    if head is not None:
+        return head.weight, None
+    return None, params["embed"]
+
+
 def make_pv_step(
     student_cfg: llama.ModelConfig,
     teacher_cfg: llama.ModelConfig,
@@ -130,53 +182,79 @@ def make_pv_step(
     forward_fn=llama.forward,
     cont_opt: optax.GradientTransformation | None = None,
     st_opt: optax.GradientTransformation | None = None,
-):
-    """Returns (grad_step, code_step).
+    teacher_kind: str = "params",
+) -> PVStepFns:
+    """Build the PV step functions (see PVStepFns).
 
-    grad_step: jittable — KL loss, grads, Adam on continuous + ST buffers.
-    code_step: host loop over quantized weights — jitted L2 beam search per
-      projection + delta-decay buffer mixing (discrete updates stay out of
-      the differentiable program, like the reference separates super().step()
-      from _optimize_quantized_weights).
+    teacher_kind="params": `teacher` is a params pytree, forwarded in-step.
+    teacher_kind="hidden": `teacher` is a dict {hidden [B,T,H], head [V,H]
+      or None, embed (for tied heads) or None} precomputed outside the step
+      (pv.teacher.stream_teacher_hidden) — the teacher never resides in HBM.
 
     cont_opt/st_opt override the default AdamW/Adam (e.g. with
     configurable_adamw for Lamb/AMSGrad/reduced-precision moments); the same
     transformations must be passed to init_pv_state.
     """
+    assert teacher_kind in ("params", "hidden"), teacher_kind
     cont_opt = cont_opt or optax.adamw(pv.lr, b1=0.9, b2=0.95)
     st_opt = st_opt or optax.adam(pv.code_lr, b1=0.9, b2=0.95)
 
-    def loss_fn(trainable, st, frozen, teacher_params, input_ids, mask):
+    def loss_fn(trainable, st, frozen, teacher, input_ids, mask):
         params = merge_trainable(trainable, frozen)
         eff = materialize_st_params(params, st)
-        student_logits, _ = forward_fn(eff, student_cfg, input_ids)
-        teacher_logits, _ = forward_fn(teacher_params, teacher_cfg, input_ids)
+        if pv.chunk_tokens:
+            s_hidden, _ = forward_fn(
+                eff, student_cfg, input_ids,
+                return_hidden=True, remat_blocks=pv.remat_blocks,
+            )
+            if teacher_kind == "hidden":
+                t_hidden = teacher["hidden"]
+                t_head, t_embed = teacher.get("head"), teacher.get("embed")
+            else:
+                t_hidden, _ = forward_fn(teacher, teacher_cfg, input_ids, return_hidden=True)
+                t_head, t_embed = _head_and_embed(teacher)
+            s_head, s_embed = _head_and_embed(eff)
+            return chunked_kl_loss(
+                s_hidden, jax.lax.stop_gradient(t_hidden), s_head, t_head,
+                student_embed=s_embed, teacher_embed=t_embed, mask=mask,
+                chunk_tokens=pv.chunk_tokens, softcap=student_cfg.logit_softcap,
+            )
+        assert teacher_kind == "params", "full-logit KL needs teacher params"
+        student_logits, _ = forward_fn(
+            eff, student_cfg, input_ids, remat_blocks=pv.remat_blocks
+        )
+        teacher_logits, _ = forward_fn(teacher, teacher_cfg, input_ids)
         return kl_divergence_loss(student_logits, jax.lax.stop_gradient(teacher_logits), mask)
 
-    def grad_step(state: PVState, teacher_params, input_ids, mask=None):
-        loss, (g_tr, g_st) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            state.trainable, state.st_buffers, state.frozen, teacher_params, input_ids, mask
+    def grad_fn(state: PVState, teacher, input_ids, mask=None):
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            state.trainable, state.st_buffers, state.frozen, teacher, input_ids, mask
         )
+        return loss, grads
+
+    def apply_fn(state: PVState, grads, scale=1.0):
+        g_tr, g_st = jax.tree.map(lambda g: g * scale, grads)
         upd_tr, cont_opt_state = cont_opt.update(g_tr, state.cont_opt_state, state.trainable)
         trainable = optax.apply_updates(state.trainable, upd_tr)
         upd_st, st_opt_state = st_opt.update(g_st, state.st_opt_state, state.st_buffers)
         st = optax.apply_updates(state.st_buffers, upd_st)
-        return (
-            PVState(
-                trainable=trainable,
-                frozen=state.frozen,
-                st_buffers=st,
-                cont_opt_state=cont_opt_state,
-                st_opt_state=st_opt_state,
-                step=state.step + 1,
-            ),
-            loss,
+        return PVState(
+            trainable=trainable,
+            frozen=state.frozen,
+            st_buffers=st,
+            cont_opt_state=cont_opt_state,
+            st_opt_state=st_opt_state,
+            step=state.step + 1,
         )
+
+    def grad_step(state: PVState, teacher, input_ids, mask=None):
+        loss, grads = grad_fn(state, teacher, input_ids, mask)
+        return apply_fn(state, grads), loss
 
     def code_step(state: PVState, key: jax.Array) -> PVState:
         return pv_code_update(state, pv, key)
 
-    return grad_step, code_step
+    return PVStepFns(grad_step, code_step, grad_fn, apply_fn)
 
 
 def pv_code_update(state: PVState, pv: PVConfig, key: jax.Array) -> PVState:

@@ -40,16 +40,45 @@ _ROW = ("o_proj", "down_proj")
 
 
 def _qlin_spec(name: str, q: QuantizedLinear, ma: str):
-    """PartitionSpec tree for one stacked (leading L) quantized linear."""
+    """PartitionSpec tree for one stacked (leading L) quantized linear.
+
+    int8 layout: w8 [L, OUT, INpad] — column-parallel shards OUT,
+    row-parallel shards IN. codes layout (nbits<=8): codes_t [L, K, IG, OUT]
+    — column shards OUT (last axis), row shards the in-group axis; codebooks
+    are tiny and replicated (parallel/mesh.py specs for the canonical layout
+    follow the same geometry). 16-bit codes layout: codes [L, OUT, IG]."""
     col = name in _COLUMN
-    assert q.mode == "int8", "TP serving currently ships the int8 runtime layout"
-    spec_w8 = P(None, ma, None) if col else P(None, None, ma)
     out1 = P(None, ma) if col else P(None)
+    if q.mode == "int8":
+        spec_w8 = P(None, ma, None) if col else P(None, None, ma)
+        return QuantizedLinear(
+            codes=None, codes_t=None, codebooks=None, packed_cb=None,
+            w8=spec_w8, w8_scale=out1,
+            scales=out1,
+            bias=None if q.bias is None else (P(None, ma) if col else P(None)),
+            scheme=q.scheme, mode=q.mode,
+        )
+    assert q.mode == "codes", q.mode
+    assert q.bias is None or col, (
+        "row-parallel codes TP would add the bias once per shard before the "
+        "psum; fold biases into the column-parallel projections instead"
+    )
+    if q.codes_t is not None:  # nbits <= 8
+        spec_codes_t = P(None, None, None, ma) if col else P(None, None, ma, None)
+        return QuantizedLinear(
+            codes=None, codes_t=spec_codes_t,
+            codebooks=P(None, None, None, None), packed_cb=None,
+            w8=None, w8_scale=None, scales=out1,
+            bias=None if q.bias is None else P(None, ma),
+            scheme=q.scheme, mode=q.mode,
+        )
+    # 16-bit single-codebook layout: codes [L, OUT, IG] + packed_cb replicated
+    spec_codes = P(None, ma, None) if col else P(None, None, ma)
     return QuantizedLinear(
-        codes=None, codes_t=None, codebooks=None, packed_cb=None,
-        w8=spec_w8, w8_scale=out1,
-        scales=out1,
-        bias=None if q.bias is None else (P(None, ma) if col else P(None)),
+        codes=spec_codes, codes_t=None, codebooks=None,
+        packed_cb=P(None, None, None),
+        w8=None, w8_scale=None, scales=out1,
+        bias=None if q.bias is None else P(None, ma),
         scheme=q.scheme, mode=q.mode,
     )
 
@@ -64,12 +93,29 @@ def tp_serving_param_specs(stacked: dict, ma: str = "model") -> dict:
             layer_specs[name] = jax.tree.map(lambda _: P(None, None), v)
     head = stacked.get("lm_head")
     if isinstance(head, QuantizedLinear):
-        head_spec = QuantizedLinear(
-            codes=None, codes_t=None, codebooks=None, packed_cb=None,
-            w8=P(ma, None), w8_scale=P(ma), scales=P(ma),
-            bias=None if head.bias is None else P(ma),
-            scheme=head.scheme, mode=head.mode,
-        )
+        if head.mode == "int8":
+            head_spec = QuantizedLinear(
+                codes=None, codes_t=None, codebooks=None, packed_cb=None,
+                w8=P(ma, None), w8_scale=P(ma), scales=P(ma),
+                bias=None if head.bias is None else P(ma),
+                scheme=head.scheme, mode=head.mode,
+            )
+        elif head.codes_t is not None:  # codes mode, vocab-sharded
+            head_spec = QuantizedLinear(
+                codes=None, codes_t=P(None, None, ma),
+                codebooks=P(None, None, None), packed_cb=None,
+                w8=None, w8_scale=None, scales=P(ma),
+                bias=None if head.bias is None else P(ma),
+                scheme=head.scheme, mode=head.mode,
+            )
+        else:  # 16-bit codes layout
+            head_spec = QuantizedLinear(
+                codes=P(ma, None), codes_t=None, codebooks=None,
+                packed_cb=P(None, None),
+                w8=None, w8_scale=None, scales=P(ma),
+                bias=None if head.bias is None else P(ma),
+                scheme=head.scheme, mode=head.mode,
+            )
     elif head is not None:
         head_spec = jax.tree.map(lambda _: P(ma, None), head)
     else:

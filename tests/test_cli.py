@@ -45,6 +45,7 @@ def test_evaluate_cli(quantized_dir):
     assert np.isfinite(results["ppl_random"])
 
 
+@pytest.mark.slow
 def test_finetune_cli(quantized_dir, tmp_path):
     out = str(tmp_path / "pv")
     result = cli_finetune.main(
@@ -60,6 +61,7 @@ def test_finetune_cli(quantized_dir, tmp_path):
     assert os.path.exists(os.path.join(out, "config.json"))
 
 
+@pytest.mark.slow
 def test_finetune_resume(quantized_dir, tmp_path):
     out = str(tmp_path / "pv_resume")
     common = [
@@ -96,3 +98,24 @@ def test_convert_cli(quantized_dir, tmp_path):
     )
     # fp16 hub serialization costs a little ppl drift, nothing more
     np.testing.assert_allclose(results["ppl_random"], ref["ppl_random"], rtol=0.05)
+
+
+@pytest.mark.slow
+def test_finetune_cli_memory_design(quantized_dir, tmp_path):
+    """grad accumulation + host ST window + host-streamed teacher together."""
+    out = str(tmp_path / "pv_mem")
+    result = cli_finetune.main(
+        [
+            "--base_model", "random:tiny:1",
+            "--quantized_model", quantized_dir,
+            "--dataset", "random", "--nsamples", "4", "--model_seqlen", "16",
+            "--batch_size", "4", "--microbatch_size", "2",
+            "--total_steps", "3", "--code_update_every", "1",
+            "--max_code_change_per_step", "0.2",
+            "--st_window", "1", "--offload_teacher",
+            "--val_size", "2", "--eval_every_steps", "2",
+            "--save", out,
+        ]
+    )
+    assert np.isfinite(result["final_kl"])
+    assert os.path.exists(os.path.join(out, "config.json"))

@@ -4,6 +4,7 @@ end-to-end quantization with the generic pipeline (moe_gate stays dense)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from aqlm_tpu.calib import BlockFinetuneConfig, CalibConfig, QuantizePipelineConfig, quantize_model
 from aqlm_tpu.config import AqlmScheme
@@ -57,6 +58,7 @@ def test_taps_are_routing_masked(key):
     np.testing.assert_array_equal(per_expert.sum(0)[0], cfg.num_experts_per_tok)
 
 
+@pytest.mark.slow
 def test_quantize_mixtral_end_to_end(key):
     cfg = mixtral.MixtralConfig.tiny_moe(num_layers=1, num_experts=2)
     params = mixtral.init_random_params(key, cfg, dtype=jnp.float32)

@@ -53,6 +53,7 @@ def test_sharded_forward_matches_single_device(mesh, mode):
     )
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 

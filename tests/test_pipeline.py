@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from aqlm_tpu.calib import BlockFinetuneConfig, CalibConfig, QuantizePipelineConfig, quantize_model
 from aqlm_tpu.config import AqlmScheme
 from aqlm_tpu.data import evaluate_perplexity, get_loaders, group_texts

@@ -17,16 +17,16 @@ from aqlm_tpu.pv.trainer import merge_trainable
 import optax
 
 
-def _setup(key, **pv_kwargs):
-    cfg = llama.ModelConfig.tiny(num_layers=1)
+def _setup(key, n_layers=1, active_layers=None, teacher_kind="params", **pv_kwargs):
+    cfg = llama.ModelConfig.tiny(num_layers=n_layers)
     student = random_quantized_params(key, cfg, SCHEME_2X8, mode="reference")
     teacher = llama.init_random_params(jax.random.PRNGKey(42), cfg)
     pv = PVConfig(lr=1e-3, code_lr=3e-3, **pv_kwargs)
-    grad_step, code_step = make_pv_step(cfg, cfg, pv)
+    fns = make_pv_step(cfg, cfg, pv, teacher_kind=teacher_kind)
     cont_opt = optax.adamw(pv.lr, b1=0.9, b2=0.95)
     st_opt = optax.adam(pv.code_lr, b1=0.9, b2=0.95)
-    state = init_pv_state(student, cont_opt, st_opt)
-    return cfg, student, teacher, state, jax.jit(grad_step), code_step
+    state = init_pv_state(student, cont_opt, st_opt, active_layers=active_layers)
+    return cfg, student, teacher, state, jax.jit(fns.grad_step), fns.code_step
 
 
 def test_st_materialization_value_equals_dequant(key):
@@ -109,3 +109,104 @@ def test_max_code_change_respected_in_v_step(key):
         new = np.asarray(state.frozen["layers"][0][name].codes)
         frac = np.any(prev != new, axis=-1).mean()
         assert frac <= 0.1 + 1e-6, (name, frac)
+
+
+def test_chunked_kl_matches_full_logit_loss(key):
+    """chunk_tokens>0 (the real path) must equal the full-logit KL."""
+    cfg = llama.ModelConfig.tiny(num_layers=1)
+    student = random_quantized_params(key, cfg, SCHEME_2X8, mode="reference")
+    teacher = llama.init_random_params(jax.random.PRNGKey(42), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    losses = {}
+    for chunk in (0, 8):
+        pv = PVConfig(chunk_tokens=chunk)
+        fns = make_pv_step(cfg, cfg, pv)
+        cont_opt = optax.adamw(pv.lr)
+        st_opt = optax.adam(pv.code_lr)
+        state = init_pv_state(student, cont_opt, st_opt)
+        losses[chunk], _ = jax.jit(fns.grad_fn)(state, teacher, ids)
+    np.testing.assert_allclose(float(losses[0]), float(losses[8]), rtol=1e-3)
+
+
+def test_active_layer_subset(key):
+    """Only active layers carry ST buffers; inactive codebooks still train."""
+    cfg, student, teacher, state, grad_step, code_step = _setup(
+        key, n_layers=2, active_layers=(1,)
+    )
+    assert state.st_buffers[0] == {} and "q_proj" in state.st_buffers[1]
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    cb_before = np.asarray(state.trainable["layers"][0]["q_proj"].codebooks)
+    state, loss = grad_step(state, teacher, ids)
+    assert np.isfinite(float(loss))
+    # inactive layer 0's codebooks still received gradients (P phase)
+    cb_after = np.asarray(state.trainable["layers"][0]["q_proj"].codebooks)
+    assert not np.allclose(cb_before, cb_after)
+    # V step touches only the active layer's codes
+    codes0 = np.asarray(state.frozen["layers"][0]["q_proj"].codes)
+    state = code_step(state, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        codes0, np.asarray(state.frozen["layers"][0]["q_proj"].codes)
+    )
+
+
+def test_teacher_hidden_matches_params_path(key):
+    """Precomputed teacher hidden (host-teacher contract) == in-step teacher."""
+    from aqlm_tpu.pv.teacher import HostTeacher
+
+    cfg = llama.ModelConfig.tiny(num_layers=1)
+    student = random_quantized_params(key, cfg, SCHEME_2X8, mode="reference")
+    teacher = llama.init_random_params(jax.random.PRNGKey(42), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    pv = PVConfig()
+    cont_opt, st_opt = optax.adamw(pv.lr), optax.adam(pv.code_lr)
+
+    fns_p = make_pv_step(cfg, cfg, pv, teacher_kind="params")
+    state = init_pv_state(student, cont_opt, st_opt)
+    loss_p, _ = jax.jit(fns_p.grad_fn)(state, teacher, ids)
+
+    fns_h = make_pv_step(cfg, cfg, pv, teacher_kind="hidden")
+    tbatch = HostTeacher(teacher, cfg).batch(ids)
+    loss_h, _ = jax.jit(fns_h.grad_fn)(state, tbatch, ids)
+    np.testing.assert_allclose(float(loss_p), float(loss_h), rtol=2e-4)
+
+
+def test_grad_accumulation_equals_big_batch(key):
+    """Two microbatches with scale 1/2 == one combined batch (KL is a mean)."""
+    cfg, student, teacher, state, _, _ = _setup(key)
+    pv = PVConfig(lr=1e-3, code_lr=3e-3)
+    fns = make_pv_step(cfg, cfg, pv)
+    grad_fn = jax.jit(fns.grad_fn)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, cfg.vocab_size)
+
+    _, g_full = grad_fn(state, teacher, ids)
+    _, g_a = grad_fn(state, teacher, ids[:2])
+    _, g_b = grad_fn(state, teacher, ids[2:])
+    g_acc = jax.tree.map(lambda a, b: (a + b) * 0.5, g_a, g_b)
+    flat_full = jax.tree.leaves(g_full)
+    flat_acc = jax.tree.leaves(g_acc)
+    for a, b in zip(flat_full, flat_acc):
+        # bf16 forward: per-microbatch rounding differs from the fused batch
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=2e-2, atol=1e-4
+        )
+
+
+def test_host_st_manager_round_robin(key):
+    from aqlm_tpu.pv.host import HostSTManager
+
+    cfg = llama.ModelConfig.tiny(num_layers=3)
+    student = random_quantized_params(key, cfg, SCHEME_2X8, mode="reference")
+    mgr = HostSTManager(student, window=2, lr=0.1)
+    assert mgr.active_window(0) == (0, 1)
+    assert mgr.active_window(1) == (2,)
+    assert mgr.active_window(2) == (0, 1)
+    st = mgr.fetch((0, 1))
+    assert "q_proj" in st[0] and st[2] == {}
+    # adam moves only active buffers
+    g = [{k: np.ones_like(v) for k, v in e.items()} if i < 2 else {}
+         for i, e in enumerate(st)]
+    before2 = {k: v.copy() for k, v in mgr.buffers[2].items()}
+    mgr.adam_update((0, 1), g)
+    assert not np.allclose(mgr.buffers[0]["q_proj"], st[0]["q_proj"])
+    for k, v in before2.items():
+        np.testing.assert_array_equal(v, mgr.buffers[2][k])

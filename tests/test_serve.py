@@ -85,6 +85,7 @@ def test_sampler_greedy_and_topp(key):
     np.testing.assert_array_equal(np.asarray(toks), [1, 2])
 
 
+@pytest.mark.slow
 def test_engine_matches_manual_greedy(setup):
     cfg, params = setup
     engine = Engine(params, cfg, ServeConfig(max_batch=2, max_len=64, prefill_buckets=(8, 16)))
@@ -103,6 +104,7 @@ def test_engine_matches_manual_greedy(setup):
     assert out == manual, (out, manual)
 
 
+@pytest.mark.slow
 def test_engine_continuous_batching(setup):
     cfg, params = setup
     engine = Engine(params, cfg, ServeConfig(max_batch=2, max_len=64, prefill_buckets=(8,)))
@@ -117,6 +119,7 @@ def test_engine_continuous_batching(setup):
         assert o == solo, (o, solo)
 
 
+@pytest.mark.slow
 def test_engine_eos_stops(setup):
     cfg, params = setup
     engine = Engine(params, cfg, ServeConfig(max_batch=1, max_len=64, prefill_buckets=(8,)))

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from aqlm_tpu.config import SCHEME_2X8
 from aqlm_tpu.models import llama
 from aqlm_tpu.models.quantize import random_quantized_params
@@ -16,13 +18,16 @@ from aqlm_tpu.serve.tp import make_tp_decode_step, tp_shard_serving_params
 
 
 @pytest.mark.parametrize("quantized_kv", [True, False])
-@pytest.mark.parametrize("fused", [True, False])
-def test_tp_decode_matches_single_device(quantized_kv, fused):
+@pytest.mark.parametrize("mode,fused", [
+    ("int8", True), ("int8", False), ("codes", False),
+])
+def test_tp_decode_matches_single_device(quantized_kv, mode, fused):
     cfg = llama.ModelConfig.tiny(num_layers=2, num_heads=8, num_kv_heads=4)
     params = random_quantized_params(
-        jax.random.PRNGKey(0), cfg, SCHEME_2X8, mode="int8", dtype=jnp.float32
+        jax.random.PRNGKey(0), cfg, SCHEME_2X8, mode=mode, dtype=jnp.float32
     )
-    params = quantize_lm_head_int8(params)
+    if mode == "int8":
+        params = quantize_lm_head_int8(params)  # codes mode: dense vocab-sharded head
     stacked = stack_layer_params(params)
 
     b, prompt_len = 2, 5
@@ -53,7 +58,10 @@ def test_tp_decode_matches_single_device(quantized_kv, fused):
             )
             logits_tp.append(lg[:, 0])
 
+    # codes mode: bf16 luts/codebooks accumulate in different shard groupings
+    # under row-parallel splits -> bf16-epsilon-level deviations
+    tol = 2e-2 if mode == "codes" else 2e-3
     for ref, got in zip(logits_ref, logits_tp):
         np.testing.assert_allclose(
-            np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=2e-3, rtol=2e-3
+            np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=tol, rtol=tol
         )
