@@ -15,8 +15,10 @@ import jax
 import jax.numpy as jnp
 
 from aqlm_tpu.ops.runtime import (
+    IndexedFusedCodesLinear,
     IndexedQuantizedLinear,
     QuantizedLinear,
+    fused_codes_matmul_indexed,
     quantized_matmul,
     quantized_matmul_indexed,
 )
@@ -53,6 +55,8 @@ def apply_linear(x: jax.Array, lin) -> jax.Array:
     """x [..., IN] @ W^T for a DenseLinear, QuantizedLinear, or indexed view."""
     if isinstance(lin, IndexedQuantizedLinear):
         return quantized_matmul_indexed(x, lin)
+    if isinstance(lin, IndexedFusedCodesLinear):
+        return fused_codes_matmul_indexed(x, lin)
     if isinstance(lin, QuantizedLinear):
         return quantized_matmul(x, lin)
     y = jnp.einsum(

@@ -144,27 +144,69 @@ def _moe_mlp(xn: jax.Array, layer: dict, cfg: MixtralConfig, taps: dict | None =
     return out
 
 
+@dataclasses.dataclass
+class StackedInt8Experts:
+    """All experts of one projection as a single [E, OUT, IN_padded] int8
+    array + per-(expert, out) scale — the operand of
+    ops.int8_matmul.int8_moe_matmul (one kernel launch for all experts)."""
+
+    w8: jax.Array
+    scale: jax.Array
+
+
+jax.tree_util.register_dataclass(
+    StackedInt8Experts, data_fields=["w8", "scale"], meta_fields=[]
+)
+
+
 def stack_experts(layer: dict, cfg: MixtralConfig) -> dict:
-    """Stack per-expert dense FFN weights into [E, ...] arrays.
+    """Stack per-expert FFN weights into [E, ...] arrays.
 
     The expert-parallel serving form: with the E axis sharded over the mesh's
     "model" axis, each device computes its experts over all tokens (static
     shapes, no dispatch) and the combine is one psum — the TPU-idiomatic MoE
-    layout. Returns a layer dict with `experts_gate/up/down` [E, OUT, IN]
-    replacing the per-expert keys. Dense experts only (quantized stacked
-    experts ride the layer-indexed kernels, future work)."""
+    layout. Returns a layer dict with `experts_gate/up/down` replacing the
+    per-expert keys: [E, OUT, IN] dense arrays for dense experts, or
+    StackedInt8Experts for int8-mode QuantizedLinear experts (served through
+    int8_moe_matmul instead of a per-expert python loop)."""
+    from aqlm_tpu.ops.runtime import QuantizedLinear
+
     out = {k: v for k, v in layer.items() if not k.startswith("experts.")}
     for proj in EXPERT_PROJS:
         ws = [layer[f"experts.{e}.{proj}"] for e in range(cfg.num_experts)]
-        assert all(isinstance(w, DenseLinear) for w in ws), "stack_experts expects dense experts"
-        out[f"experts_{proj}"] = jnp.stack([w.weight for w in ws])
+        if all(isinstance(w, DenseLinear) for w in ws):
+            out[f"experts_{proj}"] = jnp.stack([w.weight for w in ws])
+        elif all(isinstance(w, QuantizedLinear) and w.mode == "int8" for w in ws):
+            assert all(w.bias is None for w in ws), "expert biases unsupported"
+            out[f"experts_{proj}"] = StackedInt8Experts(
+                w8=jnp.stack([w.w8 for w in ws]),
+                scale=jnp.stack([w.w8_scale for w in ws]),
+            )
+        else:
+            raise NotImplementedError(
+                "stack_experts supports dense or int8-mode experts; transcode "
+                "codes-mode experts to int8 for stacked serving"
+            )
     return out
 
 
 def moe_mlp_stacked(xn: jax.Array, layer: dict, cfg: MixtralConfig) -> jax.Array:
-    """Dense-expert MoE as single einsums over the stacked E axis."""
+    """MoE FFN as single all-expert contractions over the stacked E axis."""
     weights = _routing(xn, layer, cfg).astype(xn.dtype)  # [B, T, E]
-    gate_w = layer["experts_gate_proj"]  # [E, I, H]
+    gate_w = layer["experts_gate_proj"]
+    if isinstance(gate_w, StackedInt8Experts):
+        from aqlm_tpu.ops.int8_matmul import int8_moe_matmul
+
+        b, t, h = xn.shape
+        flat = xn.reshape(b * t, h)
+        gate = int8_moe_matmul(flat, gate_w.w8, gate_w.scale)        # [E, N, I]
+        upq = layer["experts_up_proj"]
+        up = int8_moe_matmul(flat, upq.w8, upq.scale)
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        dq = layer["experts_down_proj"]
+        down = int8_moe_matmul(act, dq.w8, dq.scale)                 # [E, N, H]
+        down = down.reshape(-1, b, t, h)
+        return jnp.einsum("ebth,bte->bth", down.astype(xn.dtype), weights)
     up_w = layer["experts_up_proj"]
     down_w = layer["experts_down_proj"]  # [E, H, I]
     gate = jnp.einsum("bth,eih->btei", xn, gate_w.astype(xn.dtype))
@@ -172,6 +214,29 @@ def moe_mlp_stacked(xn: jax.Array, layer: dict, cfg: MixtralConfig) -> jax.Array
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
     act = act * weights[..., None]  # fold combine weights in before down-proj
     return jnp.einsum("btei,ehi->bth", act, down_w.astype(xn.dtype))
+
+
+def moe_mlp_stacked_indexed(xn, layer, stacked_layers, idx, cfg: MixtralConfig):
+    """Scan-over-layers MoE FFN: all experts of layer `idx` in one kernel.
+
+    `layer` is the scan-sliced per-layer dict (supplies moe_gate for
+    routing); `stacked_layers` holds [L, E, OUT, IN] StackedInt8Experts
+    accessed via scalar-prefetch layer indexing (a scan-xs slice would copy
+    all experts' weights to HBM each step)."""
+    from aqlm_tpu.ops.int8_matmul import int8_moe_matmul_indexed
+
+    weights = _routing(xn, layer, cfg).astype(xn.dtype)  # [B, T, E]
+    b, t, h = xn.shape
+    flat = xn.reshape(b * t, h)
+    gw = stacked_layers["experts_gate_proj"]
+    uw = stacked_layers["experts_up_proj"]
+    dw = stacked_layers["experts_down_proj"]
+    gate = int8_moe_matmul_indexed(flat, gw.w8, gw.scale, idx)  # [E, N, I]
+    up = int8_moe_matmul_indexed(flat, uw.w8, uw.scale, idx)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+    down = int8_moe_matmul_indexed(act, dw.w8, dw.scale, idx)  # [E, N, H]
+    down = down.reshape(-1, b, t, h)
+    return jnp.einsum("ebth,bte->bth", down.astype(xn.dtype), weights)
 
 
 def block_forward_with_taps(x, layer, cfg: MixtralConfig, positions):

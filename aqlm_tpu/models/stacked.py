@@ -176,9 +176,19 @@ def forward_stacked(
     # leaves (norms, dense weights, kv slices) go through scan xs as usual.
     from aqlm_tpu.ops.runtime import IndexedQuantizedLinear, QuantizedLinear
 
+    from aqlm_tpu.models.mixtral import StackedInt8Experts
+    from aqlm_tpu.ops.runtime import FusedCodesLinear, IndexedFusedCodesLinear
+
     stacked_layers = params["layers"]
     qnames = [n for n, v in stacked_layers.items() if isinstance(v, QuantizedLinear)]
-    rest = {n: v for n, v in stacked_layers.items() if n not in qnames}
+    fnames = [n for n, v in stacked_layers.items() if isinstance(v, FusedCodesLinear)]
+    # StackedInt8Experts / FusedCodesLinear are accessed via scalar-prefetch
+    # layer indexing, not scanned (a scan-xs slice would copy the weights to
+    # HBM every step)
+    rest = {
+        n: v for n, v in stacked_layers.items()
+        if n not in qnames and n not in fnames and not isinstance(v, StackedInt8Experts)
+    }
     layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
 
     # flash path: the cache rides the scan CARRY (full stacked arrays) and
@@ -199,6 +209,8 @@ def forward_stacked(
         layer = dict(rest_i)
         for n in qnames:
             layer[n] = IndexedQuantizedLinear(stacked=stacked_layers[n], idx=i)
+        for n in fnames:
+            layer[n] = IndexedFusedCodesLinear(stacked=stacked_layers[n], idx=i)
         res = x
         xn = rms_norm(x, layer["input_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
         if "qkv_proj" in layer:  # fused (serve/fuse.py)
@@ -269,11 +281,16 @@ def forward_stacked(
         x = res + apply_linear(attn.reshape(b, t, -1), layer["o_proj"])
         res = x
         xn = rms_norm(x, layer["post_attn_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
-        if "moe_gate" in layer:  # sparse-MoE block (mixtral); expert
-            # projections ride the same layer-indexed quantized kernels
+        if "moe_gate" in layer:  # sparse-MoE block (mixtral)
             from aqlm_tpu.models import mixtral
 
-            x = res + mixtral._moe_mlp(xn, layer, cfg)
+            if "experts_gate_proj" in stacked_layers:
+                # stacked int8 experts: ONE all-expert kernel per projection,
+                # layer picked via scalar prefetch (serve/moe.py stacking)
+                x = res + mixtral.moe_mlp_stacked_indexed(xn, layer, stacked_layers, i, cfg)
+            else:
+                # per-expert loop over layer-indexed quantized kernels
+                x = res + mixtral._moe_mlp(xn, layer, cfg)
         elif "gateup_proj" in layer:  # fused (serve/fuse.py)
             gu = apply_linear(xn, layer["gateup_proj"])
             gate, up = jnp.split(gu, 2, axis=-1)

@@ -252,3 +252,146 @@ def int8_matmul_indexed(
         bias = jax.lax.dynamic_index_in_dim(bias_all, layer_idx, 0, keepdims=False)
         y = y + bias[None, :].astype(y.dtype)
     return y.reshape(*lead, -1)
+
+
+# ---------------------------------------------------------------------------
+# expert-stacked variant for MoE serving
+# ---------------------------------------------------------------------------
+
+
+def _kernel_moe(x_ref, w_ref, scale_ref, out_ref, acc_ref):
+    """grid = (E, out_tiles, b_tiles, k_tiles); k innermost accumulates.
+    x block may be shared across experts or per-expert (same kernel body —
+    the difference is only in x's index_map)."""
+
+    @pl.when(pl.program_id(3) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[0].astype(jnp.bfloat16)  # [tn, tk]
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[0], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(3) == pl.num_programs(3) - 1)
+    def _():
+        out_ref[0] = (acc_ref[:] * scale_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "x_per_expert"))
+def _call_moe(x, w8_all, scale_all, *, x_per_expert, interpret):
+    E, out_features, in_features = w8_all.shape
+    b = x.shape[-2]
+    tn = _tile(out_features, 512, 128)
+    tk = _tile(in_features, 2048, 128)
+    tb = b if b < 8 else _tile(b, 256, 8)
+    grid = (E, out_features // tn, b // tb, in_features // tk)
+
+    if x_per_expert:
+        x_spec = pl.BlockSpec((1, tb, tk), lambda e, o, bt, k: (e, bt, k))
+    else:
+        x_spec = pl.BlockSpec((1, tb, tk), lambda e, o, bt, k: (0, bt, k))
+    return pl.pallas_call(
+        _kernel_moe,
+        grid=grid,
+        in_specs=[
+            x_spec,
+            pl.BlockSpec((1, tn, tk), lambda e, o, bt, k: (e, o, k)),
+            pl.BlockSpec((1, 1, tn), lambda e, o, bt, k: (e, 0, o)),
+        ],
+        out_specs=pl.BlockSpec((1, tb, tn), lambda e, o, bt, k: (e, bt, o)),
+        out_shape=jax.ShapeDtypeStruct((E, b, out_features), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tb, tn), jnp.float32)],
+        interpret=interpret,
+    )(x if x_per_expert else x[None] if x.ndim == 2 else x, w8_all, scale_all.reshape(E, 1, out_features))
+
+
+def int8_moe_matmul(x, w8_all, scale_all):
+    """All-experts int8 matmul: y[e] = x @ w8_all[e].T * scale_all[e].
+
+    x: [N, IN] (shared across experts) or [E, N, IN] (per-expert inputs);
+    w8_all: [E, OUT, IN_padded] int8. Returns [E, N, OUT]. This is the MoE
+    serving dense-dispatch form: every token through every expert with
+    static shapes (the combine weights zero out non-routed experts), one
+    kernel launch for all E — replaces the per-expert python loop.
+    """
+    x_per_expert = x.ndim == 3
+    pad = w8_all.shape[2]
+    if x.shape[-1] != pad:
+        widths = [(0, 0)] * (x.ndim - 1) + [(0, pad - x.shape[-1])]
+        x = jnp.pad(x, widths)
+    return _call_moe(
+        x, w8_all, scale_all, x_per_expert=x_per_expert, interpret=should_interpret()
+    )
+
+
+def _kernel_moe_indexed(idx_ref, x_ref, w_ref, scale_ref, out_ref, acc_ref):
+    del idx_ref
+
+    @pl.when(pl.program_id(3) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[0, 0].astype(jnp.bfloat16)  # [tn, tk]
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[0], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(3) == pl.num_programs(3) - 1)
+    def _():
+        out_ref[0] = (acc_ref[:] * scale_ref[0, 0].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "x_per_expert"))
+def _call_moe_indexed(x, w8_all, scale_all, layer_idx, *, x_per_expert, interpret):
+    """All-experts matmul with the LAYER picked inside the kernel
+    (scalar-prefetch index maps over [L, E, OUT, IN] weights)."""
+    L, E, out_features, in_features = w8_all.shape
+    b = x.shape[-2]
+    tn = _tile(out_features, 512, 128)
+    tk = _tile(in_features, 2048, 128)
+    tb = b if b < 8 else _tile(b, 256, 8)
+    grid = (E, out_features // tn, b // tb, in_features // tk)
+
+    if x_per_expert:
+        x_spec = pl.BlockSpec((1, tb, tk), lambda e, o, bt, k, li: (e, bt, k))
+    else:
+        x_spec = pl.BlockSpec((1, tb, tk), lambda e, o, bt, k, li: (0, bt, k))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            x_spec,
+            pl.BlockSpec((1, 1, tn, tk), lambda e, o, bt, k, li: (li[0], e, o, k)),
+            pl.BlockSpec((1, 1, 1, tn), lambda e, o, bt, k, li: (li[0], e, 0, o)),
+        ],
+        out_specs=pl.BlockSpec((1, tb, tn), lambda e, o, bt, k, li: (e, bt, o)),
+        scratch_shapes=[pltpu.VMEM((tb, tn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _kernel_moe_indexed,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((E, b, out_features), x.dtype),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        x if x_per_expert else x[None],
+        w8_all,
+        scale_all.reshape(L, E, 1, out_features),
+    )
+
+
+def int8_moe_matmul_indexed(x, w8_all, scale_all, layer_idx):
+    """y[e] = x @ w8_all[layer_idx, e].T * scale_all[layer_idx, e].
+
+    Scan-over-layers MoE serving: w8_all [L, E, OUT, IN_padded], x [N, IN]
+    (shared) or [E, N, IN] (per-expert). Returns [E, N, OUT]."""
+    x_per_expert = x.ndim == 3
+    pad = w8_all.shape[3]
+    if x.shape[-1] != pad:
+        widths = [(0, 0)] * (x.ndim - 1) + [(0, pad - x.shape[-1])]
+        x = jnp.pad(x, widths)
+    return _call_moe_indexed(
+        x, w8_all, scale_all, jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        x_per_expert=x_per_expert, interpret=should_interpret(),
+    )

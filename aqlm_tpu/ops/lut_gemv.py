@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from aqlm_tpu.ops.kernels import should_interpret
 
-__all__ = ["lut_gemv_kx8", "LUT_GEMV_MAX_BATCH"]
+__all__ = ["lut_gemv_kx8", "lut_gemv_kx8_indexed", "LUT_GEMV_MAX_BATCH"]
 
 LUT_GEMV_MAX_BATCH = 8
 
@@ -125,4 +125,232 @@ def lut_gemv_kx8(x, codes_t, codebooks, scales, bias=None, *, group: int):
     y = y * scales[None, :].astype(y.dtype)
     if bias is not None:
         y = y + bias[None, :].astype(y.dtype)
+    return y.astype(x.dtype).reshape(*lead, -1)
+
+
+# ---------------------------------------------------------------------------
+# layer-indexed variant for scan-over-layers serving
+# ---------------------------------------------------------------------------
+
+
+def _kernel_indexed(idx_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halves):
+    """Same loop as _kernel; codes block has a leading layer dim of 1 that the
+    scalar-prefetch index map points at the active layer."""
+    del idx_ref
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for c in range(tn // 128):
+        idx = codes_ref[0, :, c * 128 : (c + 1) * 128].astype(jnp.int32)  # [kr, 128]
+        lane = idx % 128 if two_halves else idx
+        for b in range(B):
+            g_lo = jnp.take_along_axis(lo_ref[b], lane, axis=1)
+            if two_halves:
+                g_hi = jnp.take_along_axis(hi_ref[b], lane, axis=1)
+                gathered = jnp.where(idx < 128, g_lo, g_hi)
+            else:
+                gathered = g_lo
+            acc_ref[b, c * 128 : (c + 1) * 128] += jnp.sum(gathered, axis=0)
+
+    @pl.when(r == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call_indexed(codes3, lut_lo, lut_hi, layer_idx, *, interpret):
+    """codes3: [L, K*IG, OUT]; the layer is selected INSIDE the kernel via a
+    scalar-prefetch index map. A lax.scan-sliced (or dynamic_index_in_dim'd)
+    codes operand feeding an opaque pallas_call costs an HBM copy of the
+    layer's codes every step (~100 MB of traffic per 7B layer); indexing in
+    the BlockSpec reads each code byte exactly once (same design as
+    ops/int8_matmul._call_indexed)."""
+    L, kig, out_features = codes3.shape
+    B = lut_lo.shape[0]
+    two_halves = lut_hi is not None
+    tn = 512 if out_features % 512 == 0 else 128
+    assert out_features % tn == 0, out_features
+    kr = kig
+    while kr > 1024:
+        assert kr % 2 == 0, kig
+        kr //= 2
+
+    kern = functools.partial(_kernel_indexed, B=B, tn=tn, two_halves=two_halves)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(out_features // tn, kig // kr),
+        in_specs=[
+            pl.BlockSpec((1, kr, tn), lambda o, r, li: (li[0], r, o)),
+            pl.BlockSpec((B, kr, 128), lambda o, r, li: (0, r, 0)),
+            pl.BlockSpec((B, kr, 128), lambda o, r, li: (0, r, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, tn), lambda o, r, li: (0, o)),
+        scratch_shapes=[pltpu.VMEM((B, tn), jnp.float32)],
+    )
+    args = [codes3, lut_lo, lut_hi if two_halves else lut_lo]
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, out_features), jnp.float32),
+        interpret=interpret,
+    )(layer_idx.reshape(1), *args)
+
+
+def lut_gemv_kx8_indexed(
+    x, codes_t_all, codebooks_all, scales_all, layer_idx, bias_all=None, *, group: int
+):
+    """Layer-indexed lut_gemv_kx8 for stacked serving params.
+
+    codes_t_all: [L, K, IG, OUT] uint8; codebooks_all: [L, K, S<=256, g];
+    scales_all: [L, OUT]; layer_idx: scalar int. The tiny per-layer arrays
+    (codebooks/scales/bias) are sliced outside; the big codes array is
+    indexed inside the kernel."""
+    lead = x.shape[:-1]
+    xb = x.reshape(-1, x.shape[-1])
+    B, in_features = xb.shape
+    L, K, IG, out_features = codes_t_all.shape
+    S = codebooks_all.shape[2]
+    assert S <= 256, "lut_gemv is the Kx8 path"
+    li = jnp.asarray(layer_idx, jnp.int32)
+    cbs = jax.lax.dynamic_index_in_dim(codebooks_all, li, 0, keepdims=False)
+    scales = jax.lax.dynamic_index_in_dim(scales_all, li, 0, keepdims=False)
+    xg = xb.reshape(B, IG, group).astype(jnp.float32)
+    lut = jnp.einsum(
+        "big,ksg->bkis", xg, cbs.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, K * IG, S)
+    if S > 128:
+        lut_lo = lut[..., :128]
+        lut_hi = lut[..., 128:]
+        if S < 256:
+            lut_hi = jnp.pad(lut_hi, ((0, 0), (0, 0), (0, 256 - S)))
+    else:
+        lut_lo = jnp.pad(lut, ((0, 0), (0, 0), (0, 128 - S))) if S < 128 else lut
+        lut_hi = None
+
+    codes3 = codes_t_all.reshape(L, K * IG, out_features)
+    y = _call_indexed(codes3, lut_lo, lut_hi, li, interpret=should_interpret())
+    y = y * scales[None, :].astype(y.dtype)
+    if bias_all is not None:
+        bias = jax.lax.dynamic_index_in_dim(bias_all, li, 0, keepdims=False)
+        y = y + bias[None, :].astype(y.dtype)
+    return y.astype(x.dtype).reshape(*lead, -1)
+
+
+# ---------------------------------------------------------------------------
+# grouped (fused-projection) + layer-indexed variant
+# ---------------------------------------------------------------------------
+
+
+def _kernel_grouped(idx_ref, pt_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halves):
+    """Fused projections: the codes block is the natural OUT-concatenation;
+    each out-tile gathers from ITS projection's LUT (lo/hi blocks are indexed
+    by the prefetch proj-map, so q/k/v outputs see q/k/v codebook LUTs)."""
+    del idx_ref, pt_ref
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for c in range(tn // 128):
+        idx = codes_ref[0, :, c * 128 : (c + 1) * 128].astype(jnp.int32)
+        lane = idx % 128 if two_halves else idx
+        for b in range(B):
+            g_lo = jnp.take_along_axis(lo_ref[b, 0], lane, axis=1)
+            if two_halves:
+                g_hi = jnp.take_along_axis(hi_ref[b, 0], lane, axis=1)
+                gathered = jnp.where(idx < 128, g_lo, g_hi)
+            else:
+                gathered = g_lo
+            acc_ref[b, c * 128 : (c + 1) * 128] += jnp.sum(gathered, axis=0)
+
+    @pl.when(r == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tn"))
+def _call_grouped(codes3, lut_lo, lut_hi, proj_map, layer_idx, *, tn, interpret):
+    """codes3: [L, K*IG, OUT_total]; lut_lo/hi: [B, P, K*IG, 128];
+    proj_map: [n_out_tiles] int32 prefetch array mapping out-tile -> projection."""
+    L, kig, out_features = codes3.shape
+    B = lut_lo.shape[0]
+    two_halves = lut_hi is not None
+    assert out_features % tn == 0, out_features
+    kr = kig
+    while kr > 1024:
+        assert kr % 2 == 0, kig
+        kr //= 2
+
+    kern = functools.partial(_kernel_grouped, B=B, tn=tn, two_halves=two_halves)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(out_features // tn, kig // kr),
+        in_specs=[
+            pl.BlockSpec((1, kr, tn), lambda o, r, li, pt: (li[0], r, o)),
+            pl.BlockSpec((B, 1, kr, 128), lambda o, r, li, pt: (0, pt[o], r, 0)),
+            pl.BlockSpec((B, 1, kr, 128), lambda o, r, li, pt: (0, pt[o], r, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, tn), lambda o, r, li, pt: (0, o)),
+        scratch_shapes=[pltpu.VMEM((B, tn), jnp.float32)],
+    )
+    args = [codes3, lut_lo, lut_hi if two_halves else lut_lo]
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, out_features), jnp.float32),
+        interpret=interpret,
+    )(layer_idx.reshape(1), proj_map, *args)
+
+
+def lut_gemv_kx8_grouped_indexed(
+    x, codes_t_all, codebooks_all, scales_all, out_sizes, layer_idx, *, group: int
+):
+    """Fused-projection Kx8 LUT-GEMM decode over stacked layers.
+
+    Projections sharing an input (q/k/v; gate/up) are fused into ONE kernel
+    launch: codes_t_all [L, K, IG, OUT_total] is the natural concatenation
+    along OUT, codebooks_all [L, P, K, S, g] keeps each projection's
+    codebooks, and every out-tile gathers from its own projection's LUT via
+    a prefetch proj-map (out_sizes: static per-projection output widths).
+    Cuts decode from 7 to 4 kernel launches per transformer block — the
+    per-launch overhead is a large fraction of a 7B block's decode time.
+    """
+    lead = x.shape[:-1]
+    xb = x.reshape(-1, x.shape[-1])
+    B, in_features = xb.shape
+    L, K, IG, out_total = codes_t_all.shape
+    P, S = codebooks_all.shape[1], codebooks_all.shape[3]
+    assert S <= 256 and P == len(out_sizes) and sum(out_sizes) == out_total
+    li = jnp.asarray(layer_idx, jnp.int32)
+    cbs = jax.lax.dynamic_index_in_dim(codebooks_all, li, 0, keepdims=False)
+    scales = jax.lax.dynamic_index_in_dim(scales_all, li, 0, keepdims=False)
+    xg = xb.reshape(B, IG, group).astype(jnp.float32)
+    lut = jnp.einsum(
+        "big,pksg->bpkis", xg, cbs.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, P, K * IG, S)
+    if S > 128:
+        lut_lo = lut[..., :128]
+        lut_hi = lut[..., 128:]
+        if S < 256:
+            lut_hi = jnp.pad(lut_hi, ((0, 0), (0, 0), (0, 0), (0, 256 - S)))
+    else:
+        lut_lo = jnp.pad(lut, ((0, 0), (0, 0), (0, 0), (0, 128 - S))) if S < 128 else lut
+        lut_hi = None
+
+    tn = 512 if all(sz % 512 == 0 for sz in out_sizes) else 128
+    assert all(sz % tn == 0 for sz in out_sizes), (out_sizes, tn)
+    pm = []
+    for p, sz in enumerate(out_sizes):
+        pm += [p] * (sz // tn)
+    proj_map = jnp.asarray(pm, jnp.int32)
+
+    codes3 = codes_t_all.reshape(L, K * IG, out_total)
+    y = _call_grouped(codes3, lut_lo, lut_hi, proj_map, li, tn=tn, interpret=should_interpret())
+    y = y * scales[None, :].astype(y.dtype)
     return y.astype(x.dtype).reshape(*lead, -1)

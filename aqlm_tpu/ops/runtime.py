@@ -34,7 +34,7 @@ from aqlm_tpu.ops.int8_matmul import (
     int8_matmul_transposed,
     pad_in_features,
 )
-from aqlm_tpu.ops.lut_gemv import LUT_GEMV_MAX_BATCH, lut_gemv_kx8
+from aqlm_tpu.ops.lut_gemv import LUT_GEMV_MAX_BATCH, lut_gemv_kx8, lut_gemv_kx8_indexed
 
 __all__ = [
     "QuantizedLinear",
@@ -301,8 +301,90 @@ def quantized_matmul_indexed(x: jax.Array, iq: IndexedQuantizedLinear) -> jax.Ar
     q = iq.stacked
     if q.mode == "int8":
         return int8_matmul_indexed(x, q.w8, q.w8_scale, iq.idx, q.bias)
-    # other modes: per-layer arrays are small (codes ~2 bit/weight) — the
-    # scan-slice copy is cheap relative to their compute
+    if q.mode == "codes" and q.scheme.nbits_per_codebook <= 8:
+        batch = 1
+        for dim in x.shape[:-1]:
+            batch *= dim
+        if batch <= LUT_GEMV_MAX_BATCH and q.codes_t.shape[3] % 128 == 0:
+            # decode: scalar-prefetch indexed LUT-GEMM — reads the layer's
+            # codes in place (the dynamic_index_in_dim fallback below copies
+            # them to HBM first, measured ~107 us/layer on 7B widths)
+            return lut_gemv_kx8_indexed(
+                x, q.codes_t, q.codebooks, q.scales, iq.idx, q.bias,
+                group=q.scheme.in_group_size,
+            )
+    # remaining cases (prefill one-hot, 16-bit codes): slice the layer out —
+    # the copy amortizes over many tokens or is small relative to gather16
     return quantized_matmul(x, _slice_layer(q, iq.idx))
 
 
+
+# ---------------------------------------------------------------------------
+# fused-projection codes-mode container (decode: one launch for qkv/gate+up)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class FusedCodesLinear:
+    """Fused-projection codes-mode weight for stacked decode serving.
+
+    codes_t: [K, IG, OUT_total] (natural concat along OUT; gains a leading L
+    axis after stack_layer_params); codebooks: [P, K, S, g] per-projection;
+    scales: [OUT_total]. Decode runs lut_gemv_kx8_grouped_indexed (each
+    out-tile gathers from its own projection's LUT via a prefetch proj-map);
+    prefill splits the projections and runs the one-hot kernels.
+    """
+
+    codes_t: jax.Array
+    codebooks: jax.Array
+    scales: jax.Array
+    out_sizes: tuple
+    scheme: AqlmScheme
+
+
+jax.tree_util.register_dataclass(
+    FusedCodesLinear,
+    data_fields=["codes_t", "codebooks", "scales"],
+    meta_fields=["out_sizes", "scheme"],
+)
+
+
+@dataclasses.dataclass
+class IndexedFusedCodesLinear:
+    """One layer's view of an L-stacked FusedCodesLinear (scan serving)."""
+
+    stacked: FusedCodesLinear
+    idx: jax.Array
+
+
+jax.tree_util.register_dataclass(
+    IndexedFusedCodesLinear, data_fields=["stacked", "idx"], meta_fields=[]
+)
+
+
+def fused_codes_matmul_indexed(x: jax.Array, iq: IndexedFusedCodesLinear) -> jax.Array:
+    from aqlm_tpu.ops.lut_gemv import lut_gemv_kx8_grouped_indexed
+
+    f = iq.stacked
+    batch = 1
+    for dim in x.shape[:-1]:
+        batch *= dim
+    if batch <= LUT_GEMV_MAX_BATCH:
+        return lut_gemv_kx8_grouped_indexed(
+            x, f.codes_t, f.codebooks, f.scales, f.out_sizes, iq.idx,
+            group=f.scheme.in_group_size,
+        )
+    # prefill: split the fused projections back out and run the one-hot
+    # GEMM kernels (the layer-slice copy amortizes over many tokens)
+    pick = lambda a: jax.lax.dynamic_index_in_dim(a, iq.idx, 0, keepdims=False)
+    codes_l, cbs_l, scales_l = pick(f.codes_t), pick(f.codebooks), pick(f.scales)
+    outs, off = [], 0
+    for p, sz in enumerate(f.out_sizes):
+        outs.append(
+            kernels.fused_onehot_matmul(
+                x, codes_l[:, :, off : off + sz], cbs_l[p], scales_l[off : off + sz],
+                None, group=f.scheme.in_group_size,
+            )
+        )
+        off += sz
+    return jnp.concatenate(outs, axis=-1)

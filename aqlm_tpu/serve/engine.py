@@ -65,9 +65,23 @@ class Engine:
             from aqlm_tpu.serve.fuse import fuse_projections, quantize_lm_head_int8
 
             if serve.fuse_projections:
+                from aqlm_tpu.serve.fuse import fuse_projections_codes
+
                 params = fuse_projections(params, cfg, donate=serve.donate_params)
+                params = fuse_projections_codes(params, cfg, donate=serve.donate_params)
             if serve.lm_head_int8:
                 params = quantize_lm_head_int8(params)
+        # MoE with int8 experts: stack experts into all-expert kernel operands
+        # (one launch per projection instead of a per-expert loop)
+        layers = params.get("layers")
+        if layers and "moe_gate" in layers[0]:
+            from aqlm_tpu.models import mixtral
+            from aqlm_tpu.ops.runtime import QuantizedLinear as _QL
+
+            e0 = layers[0].get("experts.0.gate_proj")
+            if isinstance(e0, _QL) and e0.mode == "int8":
+                params = dict(params)
+                params["layers"] = [mixtral.stack_experts(l, cfg) for l in layers]
         self.params = stack_layer_params(params, donate=serve.donate_params)
         self.cache = init_kv_cache(
             cfg, serve.max_batch, serve.max_len, quantized=serve.kv_quantized

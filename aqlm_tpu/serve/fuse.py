@@ -120,3 +120,62 @@ def quantize_lm_head_int8(params: dict) -> dict:
     else:
         out["lm_head"] = int8_linear_from_dense(params["embed"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# codes-mode fusion (decode: one LUT-GEMM launch for qkv / gate+up)
+# ---------------------------------------------------------------------------
+from aqlm_tpu.ops.runtime import FusedCodesLinear
+
+
+def _concat_codes(lins: list[QuantizedLinear]) -> FusedCodesLinear:
+    assert all(
+        l.mode == "codes" and l.codes_t is not None and l.bias is None for l in lins
+    )
+    s0 = lins[0].scheme
+    assert all(l.scheme == s0 for l in lins)
+    return FusedCodesLinear(
+        codes_t=jnp.concatenate([l.codes_t for l in lins], axis=2),
+        codebooks=jnp.stack([l.codebooks for l in lins]),
+        scales=jnp.concatenate([l.scales for l in lins]),
+        out_sizes=tuple(l.codes_t.shape[2] for l in lins),
+        scheme=s0,
+    )
+
+
+def _codes_fusible(lins) -> bool:
+    return (
+        all(
+            isinstance(l, QuantizedLinear) and l.mode == "codes"
+            and l.codes_t is not None and l.bias is None
+            for l in lins
+        )
+        and len({l.scheme for l in lins}) == 1
+        and all(l.codes_t.shape[2] % 128 == 0 for l in lins)
+        and len({l.codes_t.shape[:2] for l in lins}) == 1  # same K, IG
+    )
+
+
+def fuse_projections_codes(params: dict, cfg: ModelConfig, donate: bool = False) -> dict:
+    """codes-mode analogue of fuse_projections: qkv / gate+up fused into one
+    decode launch each (7 -> 4 launches per block). Prefill still runs the
+    per-projection one-hot kernels (forward_stacked splits fused outputs)."""
+    new_layers = []
+    for orig in params["layers"]:
+        layer = dict(orig)
+        qkv = [layer.get(n) for n in ("q_proj", "k_proj", "v_proj")]
+        if _codes_fusible(qkv):
+            layer["qkv_proj"] = _concat_codes(qkv)
+            for n in ("q_proj", "k_proj", "v_proj"):
+                del layer[n]
+                if donate:
+                    orig[n] = None
+        gu = [layer.get(n) for n in ("gate_proj", "up_proj")]
+        if _codes_fusible(gu):
+            layer["gateup_proj"] = _concat_codes(gu)
+            for n in ("gate_proj", "up_proj"):
+                del layer[n]
+                if donate:
+                    orig[n] = None
+        new_layers.append(layer)
+    return {**params, "layers": new_layers}

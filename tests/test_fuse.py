@@ -51,3 +51,43 @@ def test_engine_fusion_consistency(key):
     out1 = e1.generate([prompt], SamplingParams(max_new_tokens=5))[0]
     out2 = e2.generate([prompt], SamplingParams(max_new_tokens=5))[0]
     assert out1 == out2, (out1, out2)
+
+
+def test_codes_fusion_matches_unfused(key):
+    """Fused qkv/gate+up codes decode == unfused codes decode (stacked scan)."""
+    import copy
+
+    from aqlm_tpu.models.quantize import random_quantized_params
+    from aqlm_tpu.models.stacked import forward_stacked, init_kv_cache, stack_layer_params
+    from aqlm_tpu.serve.fuse import fuse_projections_codes
+
+    # projection widths must be 128-multiples (proj-map tile granularity)
+    cfg = llama.ModelConfig.tiny(
+        num_layers=2, hidden_size=128, intermediate_size=256,
+        num_heads=8, num_kv_heads=8,
+    )
+    params = random_quantized_params(key, cfg, SCHEME_2X8, mode="codes", dtype=jnp.float32)
+    fused = fuse_projections_codes(copy.deepcopy(params), cfg)
+    assert "qkv_proj" in fused["layers"][0] and "gateup_proj" in fused["layers"][0]
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, cfg.vocab_size)
+    s_ref = stack_layer_params(params)
+    s_fused = stack_layer_params(fused)
+
+    # decode rollout (B=2 <= LUT_GEMV_MAX_BATCH -> grouped lut kernel)
+    cache_a = init_kv_cache(cfg, 2, 16)
+    cache_b = init_kv_cache(cfg, 2, 16)
+    for pos in range(ids.shape[1]):
+        off = jnp.full((2,), pos, jnp.int32)
+        la, cache_a = forward_stacked(s_ref, cfg, ids[:, pos : pos + 1], cache=cache_a, cache_offset=off)
+        lb, cache_b = forward_stacked(s_fused, cfg, ids[:, pos : pos + 1], cache=cache_b, cache_offset=off)
+        np.testing.assert_allclose(
+            np.asarray(lb, np.float32), np.asarray(la, np.float32), atol=2e-3, rtol=2e-3
+        )
+
+    # prefill (t>1 -> one-hot split path)
+    la, _ = forward_stacked(s_ref, cfg, ids)
+    lb, _ = forward_stacked(s_fused, cfg, ids)
+    np.testing.assert_allclose(
+        np.asarray(lb, np.float32), np.asarray(la, np.float32), atol=2e-3, rtol=2e-3
+    )

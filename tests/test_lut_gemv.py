@@ -37,3 +37,25 @@ def test_dispatcher_picks_lut_for_decode(key):
     x_big = jnp.broadcast_to(x[:1], (16, 128))  # one-hot path (B=16)
     y_big = np.asarray(quantized_matmul(x_big, q), np.float32)
     np.testing.assert_allclose(y_small[0], y_big[0], atol=0.35, rtol=0.05)
+
+
+def test_lut_gemv_indexed_matches_sliced(key):
+    """Scalar-prefetch layer indexing == slicing the layer out first."""
+    from aqlm_tpu.ops.lut_gemv import lut_gemv_kx8, lut_gemv_kx8_indexed
+
+    L, K, IG, OUT, G = 3, 2, 16, 256, 8
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    codes = jax.random.randint(k1, (L, K, IG, OUT), 0, 256).astype(jnp.uint8)
+    cbs = jax.random.normal(k2, (L, K, 256, G), jnp.float32)
+    scales = jax.random.normal(k3, (L, OUT), jnp.float32)
+    x = jax.random.normal(k4, (2, IG * G), jnp.bfloat16)
+    for li in range(L):
+        ref = lut_gemv_kx8(
+            x, codes[li], cbs[li], scales[li], group=G
+        )
+        got = lut_gemv_kx8_indexed(
+            x, codes, cbs, scales, jnp.int32(li), group=G
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=1e-5, atol=1e-5
+        )

@@ -131,12 +131,49 @@ def _jax_ppl(params, cfg, val: torch.Tensor) -> float:
     return evaluate_perplexity(params, cfg, np.asarray(val), batch_size=4)
 
 
+# The reference pins an older transformers; since 4.39 rotary embeddings are
+# computed once in the base model and passed to each decoder layer as
+# `position_embeddings`, which the reference's Catcher does not capture
+# (main.py:114-133 captures attention_mask/position_ids only), so its
+# standalone layer(inp, **forward_args) calls crash. This runner shims
+# LlamaDecoderLayer.forward to recompute rope when absent — a version-compat
+# shim only; the reference algorithm runs unmodified.
+_RUNNER = """
+import sys, torch
+sys.path.insert(0, "/root/reference")
+from transformers.models.llama import modeling_llama
+
+_orig = modeling_llama.LlamaDecoderLayer.forward
+
+def _forward(self, hidden_states, *args, **kwargs):
+    if kwargs.get("position_embeddings") is None:
+        pos = kwargs.get("position_ids")
+        if pos is None:
+            pos = torch.arange(hidden_states.shape[1], device=hidden_states.device)[None, :]
+            kwargs["position_ids"] = pos
+        rot = getattr(self, "_compat_rope", None)
+        if rot is None:
+            rot = modeling_llama.LlamaRotaryEmbedding(config=self.self_attn.config)
+            self._compat_rope = rot
+        kwargs["position_embeddings"] = rot(hidden_states, pos)
+    return _orig(self, hidden_states, *args, **kwargs)
+
+modeling_llama.LlamaDecoderLayer.forward = _forward
+
+import runpy
+sys.argv = ["main.py"] + sys.argv[1:]
+runpy.run_path("/root/reference/main.py", run_name="__main__")
+"""
+
+
 @pytest.fixture(scope="module")
 def reference_quantized(tiny_setup):
     """Run the actual reference main.py (CPU) and load the result."""
     save_dir = tiny_setup["root"] / "ref_quant"
+    runner = tiny_setup["root"] / "ref_runner.py"
+    runner.write_text(_RUNNER)
     cmd = [
-        sys.executable, "main.py", tiny_setup["model_dir"], tiny_setup["calib_path"],
+        sys.executable, str(runner), tiny_setup["model_dir"], tiny_setup["calib_path"],
         "--nsamples", str(NSAMPLES), "--model_seqlen", str(SEQLEN),
         "--dtype", "float32", "--val_size", "0",
         "--num_codebooks", str(SCHEME["num_codebooks"]),
