@@ -106,6 +106,7 @@ def quantize_model(
     *,
     val_input_ids: jax.Array | None = None,
     taps_fn=llama.block_forward_with_taps,
+    embed_fn=None,
 ) -> tuple[dict, dict]:
     """Quantize every block projection of a model in place.
 
@@ -123,15 +124,22 @@ def quantize_model(
 
     offload = pipeline.offload_activations
 
-    # layer-0 inputs: embedding lookup (the reference's Catcher, main.py:64-161)
+    # layer-0 inputs: embedding lookup (the reference's Catcher, main.py:64-161).
+    # embed_fn(params, ids, positions) overrides for architectures whose
+    # layer-0 input is more than a token lookup (OPT's learned positions —
+    # reference handles this in get_inps' family branches, main.py:92-99)
     def embed(ids):
         if ids is None:
             return None
         parts = []
         for s in range(0, ids.shape[0], pipeline.batch_size):
-            x = jnp.take(params["embed"], jnp.asarray(ids[s : s + pipeline.batch_size]), axis=0)
-            if cfg.gemma_norm:
-                x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+            batch = jnp.asarray(ids[s : s + pipeline.batch_size])
+            if embed_fn is not None:
+                x = embed_fn(params, batch, jnp.broadcast_to(positions, batch.shape))
+            else:
+                x = jnp.take(params["embed"], batch, axis=0)
+                if cfg.gemma_norm:
+                    x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
             parts.append(np.asarray(x) if offload else x)
         return _concat(parts, offload)
 

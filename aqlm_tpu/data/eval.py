@@ -22,7 +22,7 @@ import numpy as np
 
 from aqlm_tpu.models import llama
 
-__all__ = ["evaluate_perplexity"]
+__all__ = ["evaluate_perplexity", "evaluate_perplexity_sharded"]
 
 
 def evaluate_perplexity(
@@ -56,3 +56,56 @@ def evaluate_perplexity(
         total_nll += float(jnp.sum(row_sums[:valid]))
         total_tokens += valid * (seqlen - 1)
     return math.exp(total_nll / max(total_tokens, 1))
+
+
+def evaluate_perplexity_sharded(
+    params: dict,
+    cfg: llama.ModelConfig,
+    input_ids,
+    mesh,
+    *,
+    rows_per_device: int = 1,
+    forward_fn=llama.forward,
+    data_axis: str = "data",
+) -> float:
+    """Data-parallel PPL: window rows sharded over the mesh's data axis.
+
+    The actually-distributed counterpart of the reference's rank-strided
+    evaluate_perplexity (/root/reference/src/datautils.py:288-325): each
+    device scores its row shard; the NLL/token reduction over the sharded
+    rows is XLA's psum (explicit all_reduce in the reference, :323).
+    Pads the row count to a full shard multiple; padded rows are masked out
+    of the totals (mirroring the reference's strided remainder handling).
+    Multi-host safe: under jax.distributed each process feeds the same
+    global array and XLA partitions it.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    input_ids = jnp.asarray(input_ids, jnp.int32)
+    nseq, seqlen = input_ids.shape
+    n_data = mesh.shape[data_axis]
+    batch = n_data * rows_per_device
+    sharding = NamedSharding(mesh, P(data_axis, None))
+
+    @jax.jit
+    def batch_nll(params, ids, valid):
+        logits, _ = forward_fn(params, cfg, ids)
+        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1)[..., 0]
+        row_sums = jnp.sum(nll, axis=-1) * valid  # padded rows contribute 0
+        return jnp.sum(row_sums), jnp.sum(valid) * (seqlen - 1)
+
+    total_nll, total_tokens = 0.0, 0.0
+    for start in range(0, nseq, batch):
+        rows = input_ids[start : start + batch]
+        valid = np.ones((rows.shape[0],), np.float32)
+        if rows.shape[0] < batch:
+            pad = batch - rows.shape[0]
+            rows = jnp.pad(rows, ((0, pad), (0, 0)))
+            valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
+        rows = jax.device_put(rows, sharding)
+        valid = jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P(data_axis)))
+        s, t = batch_nll(params, rows, valid)
+        total_nll += float(s)
+        total_tokens += float(t)
+    return math.exp(total_nll / max(total_tokens, 1.0))

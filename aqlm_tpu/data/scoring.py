@@ -99,11 +99,25 @@ def make_lm_eval_adapter(params, cfg, tokenizer, *, forward_fn=llama.forward, ba
             return out
 
         def loglikelihood_rolling(self, requests):
+            # Documents longer than the model context are scored in rolling
+            # windows of max_position_embeddings tokens, each continuing from
+            # the previous window's last token (lm-eval's rolling-window
+            # protocol with context_len=1) — one unbounded forward would
+            # overflow positions/HBM on long documents.
+            max_len = cfg.max_position_embeddings
             out = []
             for r in requests:
                 ids = np.asarray(tokenizer(r.args[0]).input_ids, np.int32)
-                ll, _ = score_loglikelihood(params, cfg, ids[:1], ids[1:], forward_fn=forward_fn)
-                out.append((ll,))
+                total, start = 0.0, 1
+                while start < len(ids):
+                    end = min(start + max_len - 1, len(ids))
+                    ll, _ = score_loglikelihood(
+                        params, cfg, ids[start - 1 : start], ids[start:end],
+                        forward_fn=forward_fn,
+                    )
+                    total += ll
+                    start = end
+                out.append((total,))
             return out
 
         def generate_until(self, requests):

@@ -267,3 +267,144 @@ def export_hf_aqlm_state_dict(params: dict, cfg: ModelConfig) -> tuple[dict, dic
             "linear_weights_not_to_quantize": not_quantized,
         }
     return sd, qcfg
+
+
+# ---------------------------------------------------------------------------
+# falcon / opt importers (parallel-attention families)
+# ---------------------------------------------------------------------------
+
+
+def load_hf_falcon_checkpoint(path: str, *, dtype=jnp.float32):
+    """Import an HF falcon checkpoint (falcon-7b layout: parallel_attn, one
+    input_layernorm, fused query_key_value) into falcon.py params.
+
+    The fused query_key_value rows are ordered [q heads..., k, v] per HF
+    FalconAttention._split_heads (MQA); splitting them is exact (reference
+    quantizes the fused projection, modelutils.py:159-176 — split parts are
+    quantized independently here, at worst equal quality)."""
+    import json as _json
+    import os as _os
+
+    from aqlm_tpu.models.falcon import FalconConfig
+
+    with open(_os.path.join(path, "config.json")) as f:
+        hc = _json.load(f)
+    assert hc.get("model_type") == "falcon", hc.get("model_type")
+    assert not hc.get("new_decoder_architecture", False), (
+        "new_decoder_architecture (falcon-40b+) fused-QKV grouping not supported yet"
+    )
+    assert hc.get("multi_query", True), "per-head-interleaved QKV (multi_query=False) unsupported"
+    assert not hc.get("alibi", False), "alibi falcon variants unsupported (rope only)"
+    cfg = FalconConfig(
+        vocab_size=hc["vocab_size"],
+        hidden_size=hc["hidden_size"],
+        intermediate_size=hc.get("ffn_hidden_size", 4 * hc["hidden_size"]),
+        num_layers=hc["num_hidden_layers"],
+        num_heads=hc["num_attention_heads"],
+        # multi_query=True means ONE shared kv head regardless of the
+        # config's num_kv_heads field (HF writes num_attention_heads there)
+        num_kv_heads=1,
+        rope_theta=hc.get("rope_theta", 10000.0),
+        max_position_embeddings=hc.get("max_position_embeddings", 2048),
+        ln_eps=hc.get("layer_norm_epsilon", 1e-5),
+    )
+    sd = _load_state_dict(path)
+
+    def arr(key):
+        return jnp.asarray(np.asarray(sd[key], np.float32), dtype)
+
+    d = cfg.dim_per_head
+    nq = cfg.num_heads * d
+    nkv = cfg.num_kv_heads * d
+    embed_w = arr("transformer.word_embeddings.weight")
+    params = {
+        "embed": embed_w,
+        "final_norm": arr("transformer.ln_f.weight"),
+        "final_norm_bias": arr("transformer.ln_f.bias"),
+        "lm_head": DenseLinear(
+            weight=arr("lm_head.weight") if "lm_head.weight" in sd else embed_w,
+            bias=None,
+        ),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        p = f"transformer.h.{i}"
+        qkv = arr(f"{p}.self_attention.query_key_value.weight")
+        params["layers"].append(
+            dict(
+                input_norm=arr(f"{p}.input_layernorm.weight"),
+                input_norm_bias=arr(f"{p}.input_layernorm.bias"),
+                q_proj=DenseLinear(weight=qkv[:nq], bias=None),
+                k_proj=DenseLinear(weight=qkv[nq : nq + nkv], bias=None),
+                v_proj=DenseLinear(weight=qkv[nq + nkv :], bias=None),
+                o_proj=DenseLinear(weight=arr(f"{p}.self_attention.dense.weight"), bias=None),
+                fc1=DenseLinear(weight=arr(f"{p}.mlp.dense_h_to_4h.weight"), bias=None),
+                fc2=DenseLinear(weight=arr(f"{p}.mlp.dense_4h_to_h.weight"), bias=None),
+            )
+        )
+    return params, cfg
+
+
+def load_hf_opt_checkpoint(path: str, *, dtype=jnp.float32):
+    """Import an HF OPT checkpoint into opt.py params (pre-norm models)."""
+    import json as _json
+    import os as _os
+
+    from aqlm_tpu.models.opt import OptConfig
+
+    with open(_os.path.join(path, "config.json")) as f:
+        hc = _json.load(f)
+    assert hc.get("model_type") == "opt", hc.get("model_type")
+    assert hc.get("do_layer_norm_before", True), "post-norm OPT-350m layout unsupported"
+    assert hc.get("word_embed_proj_dim", hc["hidden_size"]) == hc["hidden_size"], (
+        "project_in/out (opt-350m) unsupported"
+    )
+    cfg = OptConfig(
+        vocab_size=hc["vocab_size"],
+        hidden_size=hc["hidden_size"],
+        intermediate_size=hc["ffn_dim"],
+        num_layers=hc["num_hidden_layers"],
+        num_heads=hc["num_attention_heads"],
+        num_kv_heads=hc["num_attention_heads"],
+        max_position_embeddings=hc["max_position_embeddings"],
+    )
+    sd = _load_state_dict(path)
+
+    def arr(key):
+        return jnp.asarray(np.asarray(sd[key], np.float32), dtype)
+
+    def lin(base):
+        bias = f"{base}.bias"
+        return DenseLinear(
+            weight=arr(f"{base}.weight"),
+            bias=arr(bias) if bias in sd else None,
+        )
+
+    embed = arr("model.decoder.embed_tokens.weight")
+    params = {
+        "embed": embed,
+        "pos_embed": arr("model.decoder.embed_positions.weight"),
+        "final_norm": arr("model.decoder.final_layer_norm.weight"),
+        "final_norm_bias": arr("model.decoder.final_layer_norm.bias"),
+        "lm_head": DenseLinear(
+            weight=arr("lm_head.weight") if "lm_head.weight" in sd else embed, bias=None
+        ),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        p = f"model.decoder.layers.{i}"
+        params["layers"].append(
+            dict(
+                attn_norm=arr(f"{p}.self_attn_layer_norm.weight"),
+                attn_norm_bias=arr(f"{p}.self_attn_layer_norm.bias"),
+                q_proj=lin(f"{p}.self_attn.q_proj"),
+                k_proj=lin(f"{p}.self_attn.k_proj"),
+                v_proj=lin(f"{p}.self_attn.v_proj"),
+                out_proj=lin(f"{p}.self_attn.out_proj"),
+                mlp_norm=arr(f"{p}.final_layer_norm.weight"),
+                mlp_norm_bias=arr(f"{p}.final_layer_norm.bias"),
+                fc1=lin(f"{p}.fc1"),
+                fc2=lin(f"{p}.fc2"),
+            )
+        )
+    return params, cfg
