@@ -8,11 +8,18 @@ table lookups:
 
     y[b, o] = sum_{k, ig} lut[b, k, ig, codes[k, ig, o]]
 
-The lookup maps onto the VPU lane gather: the [K*IG, 256] LUT is held in VMEM
-as two 128-lane halves, and `take_along_axis(axis=1)` + select does a
-per-(row, lane) gather at ~62 G/s — one gather per CODE (g=8 fewer than any
-per-weight scheme, and 256x fewer FLOPs than the one-hot-MXU kernel, which
-costs S*g MACs per weight).
+The lookup maps onto the VPU lane gather (`take_along_axis(axis=1)` lowers
+to tpu.dynamic_gather, measured ~427 G gathers/s in steady state) — one
+gather per CODE: g=8 fewer than any per-weight scheme and 256x fewer FLOPs
+than the one-hot-MXU kernel.
+
+TILED CODES LAYOUT (the r2 bandwidth fix): with the natural [K*IG, OUT]
+layout, each grid block's DMA reads tn-byte (512 B) runs strided by OUT —
+measured ~80 GB/s effective, 9x below peak, which dominated decode
+(142 us vs 16 us per gate_proj call for cold vs VMEM-resident codes). Codes
+are therefore stored as [NT, K*IG, tn] (NT = OUT/tn): every (out-tile,
+row-block) grid block is ONE contiguous chunk. `tile_codes` does the
+load-time rearrangement; prefill untiles (the copy amortizes over tokens).
 
 Decode-path kernel (small B); the one-hot kernel remains the prefill path
 where its MXU cost amortizes over many tokens.
@@ -29,9 +36,66 @@ from jax.experimental.pallas import tpu as pltpu
 
 from aqlm_tpu.ops.kernels import should_interpret
 
-__all__ = ["lut_gemv_kx8", "lut_gemv_kx8_indexed", "LUT_GEMV_MAX_BATCH"]
+__all__ = [
+    "lut_gemv_kx8",
+    "lut_gemv_kx8_tiled",
+    "lut_gemv_kx8_indexed",
+    "lut_gemv_kx8_grouped_indexed",
+    "lut_tile_n",
+    "tile_codes",
+    "untile_codes",
+    "LUT_GEMV_MAX_BATCH",
+]
 
 LUT_GEMV_MAX_BATCH = 8
+
+
+def lut_tile_n(out_features: int) -> int:
+    """Output-tile width baked into the tiled codes layout."""
+    return 512 if out_features % 512 == 0 else 128
+
+
+def tile_codes(codes_t: jax.Array) -> jax.Array:
+    """[K, IG, OUT] -> [NT, K*IG, tn] (each grid block contiguous in HBM)."""
+    K, IG, out = codes_t.shape
+    tn = lut_tile_n(out)
+    assert out % tn == 0, out
+    c2 = codes_t.reshape(K * IG, out)
+    return c2.reshape(K * IG, out // tn, tn).transpose(1, 0, 2)
+
+
+def untile_codes(codes_tl: jax.Array, num_codebooks: int) -> jax.Array:
+    """[NT, K*IG, tn] -> [K, IG, OUT] (prefill / dense materialization)."""
+    nt, kig, tn = codes_tl.shape
+    c2 = codes_tl.transpose(1, 0, 2).reshape(kig, nt * tn)
+    return c2.reshape(num_codebooks, kig // num_codebooks, nt * tn)
+
+
+def _row_tile(kig: int, batch: int = 1) -> int:
+    """Row-block size: bounds the Mosaic stack (gather temporaries are
+    [kr, 128] f32 per batch element; the lut blocks are [B, kr, 128] x2)."""
+    kr = kig
+    limit = max(128, 8192 // max(batch, 1))
+    while kr > limit:
+        assert kr % 2 == 0, kig
+        kr //= 2
+    return kr
+
+
+def _split_lut(lut):
+    """[B, R, S] f32 -> (lo, hi) 128-lane halves (hi None when S <= 128)."""
+    S = lut.shape[-1]
+    if S > 128:
+        lut_lo = lut[..., :128]
+        lut_hi = lut[..., 128:]
+        if S < 256:
+            pad = [(0, 0)] * (lut.ndim - 1) + [(0, 256 - S)]
+            lut_hi = jnp.pad(lut_hi, pad)
+        return lut_lo, lut_hi
+    if S < 128:
+        pad = [(0, 0)] * (lut.ndim - 1) + [(0, 128 - S)]
+        lut = jnp.pad(lut, pad)
+    return lut, None
 
 
 def _kernel(codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halves):
@@ -40,103 +104,6 @@ def _kernel(codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halves):
     Row tiling bounds the Mosaic stack: each chunk's gather temporaries are
     a handful of [kr, 128] f32 arrays; K*IG reaches 4096 for 8x8, which
     overflows the 16 MB scoped-vmem limit unsplit."""
-    r = pl.program_id(1)
-
-    @pl.when(r == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    for c in range(tn // 128):
-        idx = codes_ref[:, c * 128 : (c + 1) * 128].astype(jnp.int32)  # [kr, 128]
-        lane = idx % 128 if two_halves else idx
-        for b in range(B):
-            g_lo = jnp.take_along_axis(lo_ref[b], lane, axis=1)
-            if two_halves:
-                g_hi = jnp.take_along_axis(hi_ref[b], lane, axis=1)
-                gathered = jnp.where(idx < 128, g_lo, g_hi)
-            else:
-                gathered = g_lo
-            acc_ref[b, c * 128 : (c + 1) * 128] += jnp.sum(gathered, axis=0)
-
-    @pl.when(r == pl.num_programs(1) - 1)
-    def _():
-        out_ref[:] = acc_ref[:]
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _call(codes2, lut_lo, lut_hi, *, interpret):
-    kig, out_features = codes2.shape
-    B = lut_lo.shape[0]
-    two_halves = lut_hi is not None
-    tn = 512 if out_features % 512 == 0 else 128
-    assert out_features % tn == 0, out_features
-    kr = kig
-    while kr > 1024:
-        assert kr % 2 == 0, kig
-        kr //= 2
-
-    kern = functools.partial(_kernel, B=B, tn=tn, two_halves=two_halves)
-    in_specs = [
-        pl.BlockSpec((kr, tn), lambda o, r: (r, o), memory_space=pltpu.VMEM),
-        pl.BlockSpec((B, kr, 128), lambda o, r: (0, r, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((B, kr, 128), lambda o, r: (0, r, 0), memory_space=pltpu.VMEM),
-    ]
-    args = [codes2, lut_lo, lut_hi if two_halves else lut_lo]
-    return pl.pallas_call(
-        kern,
-        grid=(out_features // tn, kig // kr),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((B, tn), lambda o, r: (0, o), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, out_features), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((B, tn), jnp.float32)],
-        interpret=interpret,
-    )(*args)
-
-
-def lut_gemv_kx8(x, codes_t, codebooks, scales, bias=None, *, group: int):
-    """y = x @ dequant(codes)^T * scales + bias for nbits<=8 schemes, B small.
-
-    x: [..., IN]; codes_t: [K, IG, OUT] uint8; codebooks: [K, S<=256, g];
-    scales: [OUT]. Exact (same math as the one-hot kernel), gather-bound
-    instead of FLOP-bound: ~20x faster at decode batch sizes.
-    """
-    lead = x.shape[:-1]
-    xb = x.reshape(-1, x.shape[-1])
-    B, in_features = xb.shape
-    K, IG, out_features = codes_t.shape
-    S = codebooks.shape[1]
-    assert S <= 256, "lut_gemv is the Kx8 path"
-    xg = xb.reshape(B, IG, group).astype(jnp.float32)
-    lut = jnp.einsum(
-        "big,ksg->bkis", xg, codebooks.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ).reshape(B, K * IG, S)
-    if S > 128:
-        lut_lo = lut[..., :128]
-        lut_hi = lut[..., 128:]
-        if S < 256:
-            lut_hi = jnp.pad(lut_hi, ((0, 0), (0, 0), (0, 256 - S)))
-    else:
-        lut_lo = jnp.pad(lut, ((0, 0), (0, 0), (0, 128 - S))) if S < 128 else lut
-        lut_hi = None
-
-    codes2 = codes_t.reshape(K * IG, out_features)
-    y = _call(codes2, lut_lo, lut_hi, interpret=should_interpret())
-    y = y * scales[None, :].astype(y.dtype)
-    if bias is not None:
-        y = y + bias[None, :].astype(y.dtype)
-    return y.astype(x.dtype).reshape(*lead, -1)
-
-
-# ---------------------------------------------------------------------------
-# layer-indexed variant for scan-over-layers serving
-# ---------------------------------------------------------------------------
-
-
-def _kernel_indexed(idx_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halves):
-    """Same loop as _kernel; codes block has a leading layer dim of 1 that the
-    scalar-prefetch index map points at the active layer."""
-    del idx_ref
     r = pl.program_id(1)
 
     @pl.when(r == 0)
@@ -161,78 +128,150 @@ def _kernel_indexed(idx_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, 
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _call_indexed(codes3, lut_lo, lut_hi, layer_idx, *, interpret):
-    """codes3: [L, K*IG, OUT]; the layer is selected INSIDE the kernel via a
-    scalar-prefetch index map. A lax.scan-sliced (or dynamic_index_in_dim'd)
-    codes operand feeding an opaque pallas_call costs an HBM copy of the
-    layer's codes every step (~100 MB of traffic per 7B layer); indexing in
-    the BlockSpec reads each code byte exactly once (same design as
-    ops/int8_matmul._call_indexed)."""
-    L, kig, out_features = codes3.shape
+def _call(codes_tl, lut_lo, lut_hi, *, interpret):
+    nt, kig, tn = codes_tl.shape
     B = lut_lo.shape[0]
     two_halves = lut_hi is not None
-    tn = 512 if out_features % 512 == 0 else 128
-    assert out_features % tn == 0, out_features
-    kr = kig
-    while kr > 1024:
-        assert kr % 2 == 0, kig
-        kr //= 2
+    kr = _row_tile(kig, B)
+
+    kern = functools.partial(_kernel, B=B, tn=tn, two_halves=two_halves)
+    in_specs = [
+        pl.BlockSpec((1, kr, tn), lambda o, r: (o, r, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, kr, 128), lambda o, r: (0, r, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, kr, 128), lambda o, r: (0, r, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [codes_tl, lut_lo, lut_hi if two_halves else lut_lo]
+    return pl.pallas_call(
+        kern,
+        grid=(nt, kig // kr),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((B, tn), lambda o, r: (0, o), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nt * tn), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, tn), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+
+
+def _build_lut(xb, codebooks, group):
+    B = xb.shape[0]
+    K, S = codebooks.shape[0], codebooks.shape[1]
+    IG = xb.shape[1] // group
+    xg = xb.reshape(B, IG, group).astype(jnp.float32)
+    lut = jnp.einsum(
+        "big,ksg->bkis", xg, codebooks.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, K * IG, S)
+    return _split_lut(lut)
+
+
+def lut_gemv_kx8_tiled(x, codes_tl, codebooks, scales, bias=None, *, group: int):
+    """y = x @ dequant(codes)^T * scales + bias over the TILED codes layout.
+
+    x: [..., IN]; codes_tl: [NT, K*IG, tn] uint8 (tile_codes); codebooks:
+    [K, S<=256, g]; scales: [OUT]. Exact (same math as the one-hot kernel).
+    """
+    lead = x.shape[:-1]
+    xb = x.reshape(-1, x.shape[-1])
+    assert codebooks.shape[1] <= 256, "lut_gemv is the Kx8 path"
+    lut_lo, lut_hi = _build_lut(xb, codebooks, group)
+    y = _call(codes_tl, lut_lo, lut_hi, interpret=should_interpret())
+    y = y * scales[None, :].astype(y.dtype)
+    if bias is not None:
+        y = y + bias[None, :].astype(y.dtype)
+    return y.astype(x.dtype).reshape(*lead, -1)
+
+
+def lut_gemv_kx8(x, codes_t, codebooks, scales, bias=None, *, group: int):
+    """Logical-layout convenience wrapper: tiles codes_t [K, IG, OUT] per
+    call. Serving paths pre-tile at load (QuantizedLinear.from_aqlm)."""
+    return lut_gemv_kx8_tiled(
+        x, tile_codes(codes_t), codebooks, scales, bias, group=group
+    )
+
+
+# ---------------------------------------------------------------------------
+# layer-indexed variant for scan-over-layers serving
+# ---------------------------------------------------------------------------
+
+
+def _kernel_indexed(idx_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halves):
+    """Same loop as _kernel; codes block leads with (layer, out-tile) dims of
+    1 that the scalar-prefetch index map points at the active layer/tile."""
+    del idx_ref
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for c in range(tn // 128):
+        idx = codes_ref[0, 0, :, c * 128 : (c + 1) * 128].astype(jnp.int32)
+        lane = idx % 128 if two_halves else idx
+        for b in range(B):
+            g_lo = jnp.take_along_axis(lo_ref[b], lane, axis=1)
+            if two_halves:
+                g_hi = jnp.take_along_axis(hi_ref[b], lane, axis=1)
+                gathered = jnp.where(idx < 128, g_lo, g_hi)
+            else:
+                gathered = g_lo
+            acc_ref[b, c * 128 : (c + 1) * 128] += jnp.sum(gathered, axis=0)
+
+    @pl.when(r == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call_indexed(codes_tl, lut_lo, lut_hi, layer_idx, *, interpret):
+    """codes_tl: [L, NT, K*IG, tn]; the layer is selected INSIDE the kernel
+    via a scalar-prefetch index map. A lax.scan-sliced (or
+    dynamic_index_in_dim'd) codes operand feeding an opaque pallas_call costs
+    an HBM copy of the layer's codes every step (~100 MB of traffic per 7B
+    layer); indexing in the BlockSpec reads each code byte exactly once
+    (same design as ops/int8_matmul._call_indexed)."""
+    L, nt, kig, tn = codes_tl.shape
+    B = lut_lo.shape[0]
+    two_halves = lut_hi is not None
+    kr = _row_tile(kig, B)
 
     kern = functools.partial(_kernel_indexed, B=B, tn=tn, two_halves=two_halves)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(out_features // tn, kig // kr),
+        grid=(nt, kig // kr),
         in_specs=[
-            pl.BlockSpec((1, kr, tn), lambda o, r, li: (li[0], r, o)),
+            pl.BlockSpec((1, 1, kr, tn), lambda o, r, li: (li[0], o, r, 0)),
             pl.BlockSpec((B, kr, 128), lambda o, r, li: (0, r, 0)),
             pl.BlockSpec((B, kr, 128), lambda o, r, li: (0, r, 0)),
         ],
         out_specs=pl.BlockSpec((B, tn), lambda o, r, li: (0, o)),
         scratch_shapes=[pltpu.VMEM((B, tn), jnp.float32)],
     )
-    args = [codes3, lut_lo, lut_hi if two_halves else lut_lo]
+    args = [codes_tl, lut_lo, lut_hi if two_halves else lut_lo]
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, out_features), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nt * tn), jnp.float32),
         interpret=interpret,
     )(layer_idx.reshape(1), *args)
 
 
 def lut_gemv_kx8_indexed(
-    x, codes_t_all, codebooks_all, scales_all, layer_idx, bias_all=None, *, group: int
+    x, codes_tl_all, codebooks_all, scales_all, layer_idx, bias_all=None, *, group: int
 ):
-    """Layer-indexed lut_gemv_kx8 for stacked serving params.
+    """Layer-indexed lut_gemv for stacked serving params.
 
-    codes_t_all: [L, K, IG, OUT] uint8; codebooks_all: [L, K, S<=256, g];
-    scales_all: [L, OUT]; layer_idx: scalar int. The tiny per-layer arrays
-    (codebooks/scales/bias) are sliced outside; the big codes array is
-    indexed inside the kernel."""
+    codes_tl_all: [L, NT, K*IG, tn] uint8 (tiled); codebooks_all:
+    [L, K, S<=256, g]; scales_all: [L, OUT]; layer_idx: scalar int. The tiny
+    per-layer arrays (codebooks/scales/bias) are sliced outside; the big
+    codes array is indexed inside the kernel."""
     lead = x.shape[:-1]
     xb = x.reshape(-1, x.shape[-1])
-    B, in_features = xb.shape
-    L, K, IG, out_features = codes_t_all.shape
-    S = codebooks_all.shape[2]
-    assert S <= 256, "lut_gemv is the Kx8 path"
+    assert codebooks_all.shape[2] <= 256, "lut_gemv is the Kx8 path"
     li = jnp.asarray(layer_idx, jnp.int32)
     cbs = jax.lax.dynamic_index_in_dim(codebooks_all, li, 0, keepdims=False)
     scales = jax.lax.dynamic_index_in_dim(scales_all, li, 0, keepdims=False)
-    xg = xb.reshape(B, IG, group).astype(jnp.float32)
-    lut = jnp.einsum(
-        "big,ksg->bkis", xg, cbs.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ).reshape(B, K * IG, S)
-    if S > 128:
-        lut_lo = lut[..., :128]
-        lut_hi = lut[..., 128:]
-        if S < 256:
-            lut_hi = jnp.pad(lut_hi, ((0, 0), (0, 0), (0, 256 - S)))
-    else:
-        lut_lo = jnp.pad(lut, ((0, 0), (0, 0), (0, 128 - S))) if S < 128 else lut
-        lut_hi = None
-
-    codes3 = codes_t_all.reshape(L, K * IG, out_features)
-    y = _call_indexed(codes3, lut_lo, lut_hi, li, interpret=should_interpret())
+    lut_lo, lut_hi = _build_lut(xb, cbs, group)
+    y = _call_indexed(codes_tl_all, lut_lo, lut_hi, li, interpret=should_interpret())
     y = y * scales[None, :].astype(y.dtype)
     if bias_all is not None:
         bias = jax.lax.dynamic_index_in_dim(bias_all, li, 0, keepdims=False)
@@ -246,9 +285,9 @@ def lut_gemv_kx8_indexed(
 
 
 def _kernel_grouped(idx_ref, pt_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halves):
-    """Fused projections: the codes block is the natural OUT-concatenation;
-    each out-tile gathers from ITS projection's LUT (lo/hi blocks are indexed
-    by the prefetch proj-map, so q/k/v outputs see q/k/v codebook LUTs)."""
+    """Fused projections: the codes block is the natural OUT-concatenation of
+    tiles; each out-tile gathers from ITS projection's LUT (lo/hi blocks are
+    indexed by the prefetch proj-map, so q/k/v outputs see q/k/v LUTs)."""
     del idx_ref, pt_ref
     r = pl.program_id(1)
 
@@ -257,7 +296,7 @@ def _kernel_grouped(idx_ref, pt_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     for c in range(tn // 128):
-        idx = codes_ref[0, :, c * 128 : (c + 1) * 128].astype(jnp.int32)
+        idx = codes_ref[0, 0, :, c * 128 : (c + 1) * 128].astype(jnp.int32)
         lane = idx % 128 if two_halves else idx
         for b in range(B):
             g_lo = jnp.take_along_axis(lo_ref[b, 0], lane, axis=1)
@@ -273,84 +312,72 @@ def _kernel_grouped(idx_ref, pt_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref
         out_ref[:] = acc_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tn"))
-def _call_grouped(codes3, lut_lo, lut_hi, proj_map, layer_idx, *, tn, interpret):
-    """codes3: [L, K*IG, OUT_total]; lut_lo/hi: [B, P, K*IG, 128];
-    proj_map: [n_out_tiles] int32 prefetch array mapping out-tile -> projection."""
-    L, kig, out_features = codes3.shape
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call_grouped(codes_tl, lut_lo, lut_hi, proj_map, layer_idx, *, interpret):
+    """codes_tl: [L, NT_total, K*IG, tn]; lut_lo/hi: [B, P, K*IG, 128];
+    proj_map: [NT_total] int32 prefetch array mapping out-tile -> projection."""
+    L, nt, kig, tn = codes_tl.shape
     B = lut_lo.shape[0]
     two_halves = lut_hi is not None
-    assert out_features % tn == 0, out_features
-    kr = kig
-    while kr > 1024:
-        assert kr % 2 == 0, kig
-        kr //= 2
+    kr = _row_tile(kig, B)
 
     kern = functools.partial(_kernel_grouped, B=B, tn=tn, two_halves=two_halves)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(out_features // tn, kig // kr),
+        grid=(nt, kig // kr),
         in_specs=[
-            pl.BlockSpec((1, kr, tn), lambda o, r, li, pt: (li[0], r, o)),
+            pl.BlockSpec((1, 1, kr, tn), lambda o, r, li, pt: (li[0], o, r, 0)),
             pl.BlockSpec((B, 1, kr, 128), lambda o, r, li, pt: (0, pt[o], r, 0)),
             pl.BlockSpec((B, 1, kr, 128), lambda o, r, li, pt: (0, pt[o], r, 0)),
         ],
         out_specs=pl.BlockSpec((B, tn), lambda o, r, li, pt: (0, o)),
         scratch_shapes=[pltpu.VMEM((B, tn), jnp.float32)],
     )
-    args = [codes3, lut_lo, lut_hi if two_halves else lut_lo]
+    args = [codes_tl, lut_lo, lut_hi if two_halves else lut_lo]
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, out_features), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nt * tn), jnp.float32),
         interpret=interpret,
     )(layer_idx.reshape(1), proj_map, *args)
 
 
 def lut_gemv_kx8_grouped_indexed(
-    x, codes_t_all, codebooks_all, scales_all, out_sizes, layer_idx, *, group: int
+    x, codes_tl_all, codebooks_all, scales_all, out_sizes, layer_idx, *, group: int
 ):
     """Fused-projection Kx8 LUT-GEMM decode over stacked layers.
 
     Projections sharing an input (q/k/v; gate/up) are fused into ONE kernel
-    launch: codes_t_all [L, K, IG, OUT_total] is the natural concatenation
-    along OUT, codebooks_all [L, P, K, S, g] keeps each projection's
-    codebooks, and every out-tile gathers from its own projection's LUT via
-    a prefetch proj-map (out_sizes: static per-projection output widths).
-    Cuts decode from 7 to 4 kernel launches per transformer block — the
-    per-launch overhead is a large fraction of a 7B block's decode time.
+    launch: codes_tl_all [L, NT_total, K*IG, tn] concatenates the parts'
+    TILED codes along the tile axis, codebooks_all [L, P, K, S, g] keeps
+    each projection's codebooks, and every out-tile gathers from its own
+    projection's LUT via a prefetch proj-map (out_sizes: static
+    per-projection output widths). Cuts decode from 7 to 4 kernel launches
+    per transformer block.
     """
     lead = x.shape[:-1]
     xb = x.reshape(-1, x.shape[-1])
-    B, in_features = xb.shape
-    L, K, IG, out_total = codes_t_all.shape
+    L, nt_total, kig, tn = codes_tl_all.shape
     P, S = codebooks_all.shape[1], codebooks_all.shape[3]
-    assert S <= 256 and P == len(out_sizes) and sum(out_sizes) == out_total
+    assert S <= 256 and P == len(out_sizes) and sum(out_sizes) == nt_total * tn
+    assert all(sz % tn == 0 for sz in out_sizes), (out_sizes, tn)
     li = jnp.asarray(layer_idx, jnp.int32)
     cbs = jax.lax.dynamic_index_in_dim(codebooks_all, li, 0, keepdims=False)
     scales = jax.lax.dynamic_index_in_dim(scales_all, li, 0, keepdims=False)
+    B = xb.shape[0]
+    IG = xb.shape[1] // group
     xg = xb.reshape(B, IG, group).astype(jnp.float32)
     lut = jnp.einsum(
         "big,pksg->bpkis", xg, cbs.astype(jnp.float32),
         preferred_element_type=jnp.float32,
-    ).reshape(B, P, K * IG, S)
-    if S > 128:
-        lut_lo = lut[..., :128]
-        lut_hi = lut[..., 128:]
-        if S < 256:
-            lut_hi = jnp.pad(lut_hi, ((0, 0), (0, 0), (0, 0), (0, 256 - S)))
-    else:
-        lut_lo = jnp.pad(lut, ((0, 0), (0, 0), (0, 0), (0, 128 - S))) if S < 128 else lut
-        lut_hi = None
+    ).reshape(B, P, kig, S)
+    lut_lo, lut_hi = _split_lut(lut)
 
-    tn = 512 if all(sz % 512 == 0 for sz in out_sizes) else 128
-    assert all(sz % tn == 0 for sz in out_sizes), (out_sizes, tn)
     pm = []
     for p, sz in enumerate(out_sizes):
         pm += [p] * (sz // tn)
     proj_map = jnp.asarray(pm, jnp.int32)
 
-    codes3 = codes_t_all.reshape(L, K * IG, out_total)
-    y = _call_grouped(codes3, lut_lo, lut_hi, proj_map, li, tn=tn, interpret=should_interpret())
+    y = _call_grouped(codes_tl_all, lut_lo, lut_hi, proj_map, li, interpret=should_interpret())
     y = y * scales[None, :].astype(y.dtype)
     return y.astype(x.dtype).reshape(*lead, -1)

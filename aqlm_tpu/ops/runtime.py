@@ -34,7 +34,14 @@ from aqlm_tpu.ops.int8_matmul import (
     int8_matmul_transposed,
     pad_in_features,
 )
-from aqlm_tpu.ops.lut_gemv import LUT_GEMV_MAX_BATCH, lut_gemv_kx8, lut_gemv_kx8_indexed
+from aqlm_tpu.ops.lut_gemv import (
+    LUT_GEMV_MAX_BATCH,
+    lut_gemv_kx8,
+    lut_gemv_kx8_indexed,
+    lut_gemv_kx8_tiled,
+    tile_codes,
+    untile_codes,
+)
 
 __all__ = [
     "QuantizedLinear",
@@ -49,7 +56,7 @@ MODES = ("codes", "int8", "reference")
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["codes", "codes_t", "codebooks", "packed_cb", "w8", "w8_scale", "scales", "bias"],
+    data_fields=["codes", "codes_t", "codebooks", "packed_cb", "w8", "w8_scale", "scales", "bias", "codes_tl"],
     meta_fields=["scheme", "mode"],
 )
 @dataclasses.dataclass
@@ -78,11 +85,16 @@ class QuantizedLinear:
     bias: jax.Array | None
     scheme: AqlmScheme
     mode: str
+    # decode layout: [NT, K*IG, tn] contiguous tiles (lut_gemv.tile_codes);
+    # set instead of codes_t for nbits<=8 codes mode with 128-aligned OUT
+    codes_tl: jax.Array | None = None
 
     @property
     def out_features(self) -> int:
         if self.w8 is not None:
             return self.w8.shape[0]
+        if self.codes_tl is not None:
+            return self.codes_tl.shape[0] * self.codes_tl.shape[2]
         if self.codes_t is not None:
             return self.codes_t.shape[2]
         return self.codes.shape[0] * self.scheme.out_group_size
@@ -91,6 +103,9 @@ class QuantizedLinear:
     def in_features(self) -> int:
         if self.w8 is not None:
             return self.w8.shape[1]  # note: padded (pad_in_features)
+        if self.codes_tl is not None:
+            k = self.scheme.num_codebooks
+            return self.codes_tl.shape[1] // k * self.scheme.in_group_size
         if self.codes_t is not None:
             return self.codes_t.shape[1] * self.scheme.in_group_size
         return self.codes.shape[1] * self.scheme.in_group_size
@@ -137,6 +152,13 @@ class QuantizedLinear:
         if scheme.nbits_per_codebook <= 8:
             codes_t = w.codes.astype(jnp.int32).transpose(2, 1, 0).astype(jnp.uint8)
             cb = w.codebooks[:, :, 0, :]  # [K, S, igs]
+            if codes_t.shape[2] % 128 == 0:
+                # decode-ready tiled layout (contiguous DMA blocks)
+                return QuantizedLinear(
+                    **{**none, "codebooks": cb.astype(jnp.bfloat16)},
+                    scales=scales, bias=bias, scheme=scheme, mode=mode,
+                    codes_tl=tile_codes(codes_t),
+                )
             return QuantizedLinear(
                 **{**none, "codes_t": codes_t, "codebooks": cb.astype(jnp.bfloat16)},
                 scales=scales, bias=bias, scheme=scheme, mode=mode,
@@ -160,8 +182,11 @@ class QuantizedLinear:
             ).astype(dtype)
         if self.mode == "codes":
             if self.scheme.nbits_per_codebook <= 8:
+                ct = self.codes_t
+                if ct is None:
+                    ct = untile_codes(self.codes_tl, self.scheme.num_codebooks)
                 return kernels.dequantize_onehot(
-                    self.codes_t, self.codebooks, self.scales,
+                    ct, self.codebooks, self.scales,
                     group=self.scheme.in_group_size, dtype=dtype,
                 )
             return gather16.dequantize_gather16(
@@ -186,16 +211,20 @@ def _serving_matmul_impl(x: jax.Array, q: QuantizedLinear) -> jax.Array:
         batch = 1
         for dim in x.shape[:-1]:
             batch *= dim
-        if batch <= LUT_GEMV_MAX_BATCH and q.codes_t.shape[2] % 128 == 0:
-            # decode: gather-bound LUT-GEMM (one lane gather per code);
-            # sub-128 out_features (tiny tests) take the one-hot path
-            return lut_gemv_kx8(
-                x, q.codes_t, q.codebooks, q.scales, q.bias,
+        if batch <= LUT_GEMV_MAX_BATCH and q.codes_tl is not None:
+            # decode: gather-bound LUT-GEMM (one lane gather per code) over
+            # the contiguous tiled codes; sub-128 out_features (tiny tests)
+            # have no tiled layout and take the one-hot path
+            return lut_gemv_kx8_tiled(
+                x, q.codes_tl, q.codebooks, q.scales, q.bias,
                 group=q.scheme.in_group_size,
             )
         # prefill/training: one-hot MXU dequant amortizes over many tokens
+        ct = q.codes_t
+        if ct is None:
+            ct = untile_codes(q.codes_tl, q.scheme.num_codebooks)
         return kernels.fused_onehot_matmul(
-            x, q.codes_t, q.codebooks, q.scales, q.bias,
+            x, ct, q.codebooks, q.scales, q.bias,
             group=q.scheme.in_group_size,
         )
     return gather16.gather_matmul_16(
@@ -294,6 +323,7 @@ def _slice_layer(q: QuantizedLinear, idx) -> QuantizedLinear:
         codes=pick(q.codes), codes_t=pick(q.codes_t), codebooks=pick(q.codebooks),
         packed_cb=pick(q.packed_cb), w8=pick(q.w8), w8_scale=pick(q.w8_scale),
         scales=pick(q.scales), bias=pick(q.bias), scheme=q.scheme, mode=q.mode,
+        codes_tl=pick(q.codes_tl),
     )
 
 
@@ -305,12 +335,12 @@ def quantized_matmul_indexed(x: jax.Array, iq: IndexedQuantizedLinear) -> jax.Ar
         batch = 1
         for dim in x.shape[:-1]:
             batch *= dim
-        if batch <= LUT_GEMV_MAX_BATCH and q.codes_t.shape[3] % 128 == 0:
+        if batch <= LUT_GEMV_MAX_BATCH and q.codes_tl is not None:
             # decode: scalar-prefetch indexed LUT-GEMM — reads the layer's
             # codes in place (the dynamic_index_in_dim fallback below copies
             # them to HBM first, measured ~107 us/layer on 7B widths)
             return lut_gemv_kx8_indexed(
-                x, q.codes_t, q.codebooks, q.scales, iq.idx, q.bias,
+                x, q.codes_tl, q.codebooks, q.scales, iq.idx, q.bias,
                 group=q.scheme.in_group_size,
             )
     # remaining cases (prefill one-hot, 16-bit codes): slice the layer out —
@@ -328,14 +358,15 @@ def quantized_matmul_indexed(x: jax.Array, iq: IndexedQuantizedLinear) -> jax.Ar
 class FusedCodesLinear:
     """Fused-projection codes-mode weight for stacked decode serving.
 
-    codes_t: [K, IG, OUT_total] (natural concat along OUT; gains a leading L
-    axis after stack_layer_params); codebooks: [P, K, S, g] per-projection;
-    scales: [OUT_total]. Decode runs lut_gemv_kx8_grouped_indexed (each
-    out-tile gathers from its own projection's LUT via a prefetch proj-map);
-    prefill splits the projections and runs the one-hot kernels.
+    codes_tl: [NT_total, K*IG, tn] — the parts' TILED codes concatenated
+    along the tile axis (gains a leading L axis after stack_layer_params);
+    codebooks: [P, K, S, g] per-projection; scales: [OUT_total]. Decode runs
+    lut_gemv_kx8_grouped_indexed (each out-tile gathers from its own
+    projection's LUT via a prefetch proj-map); prefill splits the
+    projections back out and runs the one-hot kernels.
     """
 
-    codes_t: jax.Array
+    codes_tl: jax.Array
     codebooks: jax.Array
     scales: jax.Array
     out_sizes: tuple
@@ -344,7 +375,7 @@ class FusedCodesLinear:
 
 jax.tree_util.register_dataclass(
     FusedCodesLinear,
-    data_fields=["codes_t", "codebooks", "scales"],
+    data_fields=["codes_tl", "codebooks", "scales"],
     meta_fields=["out_sizes", "scheme"],
 )
 
@@ -371,13 +402,14 @@ def fused_codes_matmul_indexed(x: jax.Array, iq: IndexedFusedCodesLinear) -> jax
         batch *= dim
     if batch <= LUT_GEMV_MAX_BATCH:
         return lut_gemv_kx8_grouped_indexed(
-            x, f.codes_t, f.codebooks, f.scales, f.out_sizes, iq.idx,
+            x, f.codes_tl, f.codebooks, f.scales, f.out_sizes, iq.idx,
             group=f.scheme.in_group_size,
         )
     # prefill: split the fused projections back out and run the one-hot
     # GEMM kernels (the layer-slice copy amortizes over many tokens)
     pick = lambda a: jax.lax.dynamic_index_in_dim(a, iq.idx, 0, keepdims=False)
-    codes_l, cbs_l, scales_l = pick(f.codes_t), pick(f.codebooks), pick(f.scales)
+    codes_l = untile_codes(pick(f.codes_tl), f.scheme.num_codebooks)
+    cbs_l, scales_l = pick(f.codebooks), pick(f.scales)
     outs, off = [], 0
     for p, sz in enumerate(f.out_sizes):
         outs.append(

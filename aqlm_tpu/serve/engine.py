@@ -117,7 +117,19 @@ class Engine:
         for b in self.serve.prefill_buckets:
             if n <= b:
                 return b
-        raise ValueError(f"prompt length {n} exceeds the largest prefill bucket")
+        # longer prompts prefill in chunks of the largest bucket (_admit)
+        return max(self.serve.prefill_buckets)
+
+    def _prefill_chunks(self, n: int):
+        """(start, length, bucket) chunks covering an n-token prompt."""
+        big = max(self.serve.prefill_buckets)
+        chunks, start = [], 0
+        while n - start > big:
+            chunks.append((start, big, big))
+            start += big
+        rem = n - start
+        chunks.append((start, rem, self._bucket(rem)))
+        return chunks
 
     def _get_prefill(self, bucket: int):
         if bucket in self._prefill_fns:
@@ -125,8 +137,10 @@ class Engine:
         cfg, serve = self.cfg, self.serve
 
         @partial(jax.jit, donate_argnums=(1,), static_argnames=())
-        def prefill(params, cache: KVCache, ids, slot, true_len, key, temp, top_p):
-            """Prefill one request (batch 1, padded to `bucket`) into `slot`."""
+        def prefill(params, cache: KVCache, ids, slot, start, true_len, key, temp, top_p):
+            """Prefill one chunk (batch 1, padded to `bucket`) into `slot` at
+            cache offset `start` — prompts longer than the largest bucket
+            chunk through this with increasing offsets (chunked prefill)."""
             # slice this slot's cache rows (batch of 1)
             take = lambda x: jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=1) if x is not None else None
             slot_cache = KVCache(
@@ -134,7 +148,8 @@ class Engine:
                 k_scale=take(cache.k_scale), v_scale=take(cache.v_scale),
             )
             logits, slot_cache = forward_stacked(
-                params, cfg, ids[None, :], cache=slot_cache, cache_offset=jnp.zeros((1,), jnp.int32)
+                params, cfg, ids[None, :], cache=slot_cache,
+                cache_offset=jnp.full((1,), start, jnp.int32),
             )
             put = lambda full, part: (
                 jax.lax.dynamic_update_slice_in_dim(full, part, slot, axis=1)
@@ -173,17 +188,17 @@ class Engine:
             req = self._pending.popleft()
             slot = self._free_slots.popleft()
             req.slot = slot
-            bucket = self._bucket(len(req.prompt))
-            ids = np.zeros(bucket, np.int32)
-            ids[: len(req.prompt)] = req.prompt
             self._key, sub = jax.random.split(self._key)
-            prefill = self._get_prefill(bucket)
-            tok, self.cache = prefill(
-                self.params, self.cache, jnp.asarray(ids), slot,
-                len(req.prompt), sub,
-                jnp.float32(req.sampling.temperature), jnp.float32(req.sampling.top_p),
-            )
-            tok = int(tok)
+            for start, length, bucket in self._prefill_chunks(len(req.prompt)):
+                ids = np.zeros(bucket, np.int32)
+                ids[:length] = req.prompt[start : start + length]
+                prefill = self._get_prefill(bucket)
+                tok, self.cache = prefill(
+                    self.params, self.cache, jnp.asarray(ids), slot,
+                    start, length, sub,
+                    jnp.float32(req.sampling.temperature), jnp.float32(req.sampling.top_p),
+                )
+            tok = int(tok)  # sampled from the final chunk's last position
             req.generated.append(tok)
             self._active[slot] = req
             self._offsets[slot] = len(req.prompt)

@@ -129,16 +129,17 @@ from aqlm_tpu.ops.runtime import FusedCodesLinear
 
 
 def _concat_codes(lins: list[QuantizedLinear]) -> FusedCodesLinear:
+    # tiled codes concat along the TILE axis == concat along OUT
     assert all(
-        l.mode == "codes" and l.codes_t is not None and l.bias is None for l in lins
+        l.mode == "codes" and l.codes_tl is not None and l.bias is None for l in lins
     )
     s0 = lins[0].scheme
     assert all(l.scheme == s0 for l in lins)
     return FusedCodesLinear(
-        codes_t=jnp.concatenate([l.codes_t for l in lins], axis=2),
+        codes_tl=jnp.concatenate([l.codes_tl for l in lins], axis=0),
         codebooks=jnp.stack([l.codebooks for l in lins]),
         scales=jnp.concatenate([l.scales for l in lins]),
-        out_sizes=tuple(l.codes_t.shape[2] for l in lins),
+        out_sizes=tuple(l.codes_tl.shape[0] * l.codes_tl.shape[2] for l in lins),
         scheme=s0,
     )
 
@@ -147,12 +148,11 @@ def _codes_fusible(lins) -> bool:
     return (
         all(
             isinstance(l, QuantizedLinear) and l.mode == "codes"
-            and l.codes_t is not None and l.bias is None
+            and l.codes_tl is not None and l.bias is None
             for l in lins
         )
         and len({l.scheme for l in lins}) == 1
-        and all(l.codes_t.shape[2] % 128 == 0 for l in lins)
-        and len({l.codes_t.shape[:2] for l in lins}) == 1  # same K, IG
+        and len({l.codes_tl.shape[1:] for l in lins}) == 1  # same K*IG and tn
     )
 
 

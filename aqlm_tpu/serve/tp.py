@@ -63,7 +63,18 @@ def _qlin_spec(name: str, q: QuantizedLinear, ma: str):
         "row-parallel codes TP would add the bias once per shard before the "
         "psum; fold biases into the column-parallel projections instead"
     )
-    if q.codes_t is not None:  # nbits <= 8
+    if q.codes_tl is not None:  # nbits <= 8, tiled decode layout
+        # [L, NT, K*IG, tn]: column-parallel shards the tile axis (OUT),
+        # row-parallel shards the in-group row axis
+        spec_tl = P(None, ma, None, None) if col else P(None, None, ma, None)
+        return QuantizedLinear(
+            codes=None, codes_t=None,
+            codebooks=P(None, None, None, None), packed_cb=None,
+            w8=None, w8_scale=None, scales=out1,
+            bias=None if q.bias is None else P(None, ma),
+            scheme=q.scheme, mode=q.mode, codes_tl=spec_tl,
+        )
+    if q.codes_t is not None:  # nbits <= 8, untiled (OUT < 128 test scale)
         spec_codes_t = P(None, None, None, ma) if col else P(None, None, ma, None)
         return QuantizedLinear(
             codes=None, codes_t=spec_codes_t,
@@ -100,13 +111,13 @@ def tp_serving_param_specs(stacked: dict, ma: str = "model") -> dict:
                 bias=None if head.bias is None else P(ma),
                 scheme=head.scheme, mode=head.mode,
             )
-        elif head.codes_t is not None:  # codes mode, vocab-sharded
+        elif head.codes_tl is not None:  # codes mode, vocab-sharded (tiled)
             head_spec = QuantizedLinear(
-                codes=None, codes_t=P(None, None, ma),
+                codes=None, codes_t=None,
                 codebooks=P(None, None, None), packed_cb=None,
                 w8=None, w8_scale=None, scales=P(ma),
                 bias=None if head.bias is None else P(ma),
-                scheme=head.scheme, mode=head.mode,
+                scheme=head.scheme, mode=head.mode, codes_tl=P(ma, None, None),
             )
         else:  # 16-bit codes layout
             head_spec = QuantizedLinear(

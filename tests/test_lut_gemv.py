@@ -18,8 +18,10 @@ def test_lut_gemv_matches_reference(key, scheme_name, b):
     q = QuantizedLinear.from_aqlm(w, mode="codes")
     x = jax.random.normal(jax.random.PRNGKey(1), (b, 128), jnp.float32)
     ref = np.asarray(aqlm_matmul_reference(x, w), np.float32)
+    from aqlm_tpu.ops.lut_gemv import lut_gemv_kx8_tiled
+
     got = np.asarray(
-        lut_gemv_kx8(x, q.codes_t, q.codebooks, q.scales, q.bias, group=scheme.in_group_size),
+        lut_gemv_kx8_tiled(x, q.codes_tl, q.codebooks, q.scales, q.bias, group=scheme.in_group_size),
         np.float32,
     )
     rel = np.abs(got - ref).max() / np.abs(ref).max()
@@ -49,12 +51,15 @@ def test_lut_gemv_indexed_matches_sliced(key):
     cbs = jax.random.normal(k2, (L, K, 256, G), jnp.float32)
     scales = jax.random.normal(k3, (L, OUT), jnp.float32)
     x = jax.random.normal(k4, (2, IG * G), jnp.bfloat16)
+    from aqlm_tpu.ops.lut_gemv import tile_codes
+
+    codes_tl = jnp.stack([tile_codes(codes[li]) for li in range(L)])
     for li in range(L):
         ref = lut_gemv_kx8(
             x, codes[li], cbs[li], scales[li], group=G
         )
         got = lut_gemv_kx8_indexed(
-            x, codes, cbs, scales, jnp.int32(li), group=G
+            x, codes_tl, cbs, scales, jnp.int32(li), group=G
         )
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=1e-5, atol=1e-5

@@ -129,3 +129,25 @@ def test_engine_eos_stops(setup):
     engine2 = Engine(params, cfg, ServeConfig(max_batch=1, max_len=64, prefill_buckets=(8,)))
     out = engine2.generate([prompt], SamplingParams(max_new_tokens=8, eos_token_id=eos))[0]
     assert out == ref[:3]
+
+
+def test_chunked_prefill_long_prompt(key):
+    """Prompts longer than the largest prefill bucket chunk through; output
+    must equal a manual greedy rollout."""
+    cfg = llama.ModelConfig.tiny(num_layers=1)
+    params = llama.init_random_params(key, cfg, dtype=jnp.float32)
+    engine = Engine(
+        params, cfg,
+        ServeConfig(max_batch=2, max_len=64, prefill_buckets=(8,), fuse_projections=False),
+    )
+    prompt = np.asarray(jax.random.randint(jax.random.PRNGKey(5), (21,), 0, cfg.vocab_size), np.int32)
+    outs = engine.generate([prompt], SamplingParams(max_new_tokens=4))
+
+    ids = list(prompt)
+    manual = []
+    for _ in range(4):
+        logits, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32)[None, :])
+        tok = int(jnp.argmax(logits[0, -1]))
+        manual.append(tok)
+        ids.append(tok)
+    assert outs[0] == manual, (outs[0], manual)

@@ -28,6 +28,21 @@ def test_tp_decode_matches_single_device(quantized_kv, mode, fused):
     )
     if mode == "int8":
         params = quantize_lm_head_int8(params)  # codes mode: dense vocab-sharded head
+    else:
+        # tiled codes column-shard by OUT tiles: needs OUT/tp % tn == 0, true
+        # at real widths (4096/4 = 1024 = 2 tiles) but not at this test's 128.
+        # Exercise the untiled codes_t TP path here.
+        import dataclasses as _dc
+
+        from aqlm_tpu.ops.lut_gemv import untile_codes
+
+        for layer in params["layers"]:
+            for name, q in layer.items():
+                if getattr(q, "codes_tl", None) is not None:
+                    layer[name] = _dc.replace(
+                        q, codes_t=untile_codes(q.codes_tl, q.scheme.num_codebooks),
+                        codes_tl=None,
+                    )
     stacked = stack_layer_params(params)
 
     b, prompt_len = 2, 5
