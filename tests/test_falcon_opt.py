@@ -98,3 +98,41 @@ def test_quantize_smoke(hf_dirs, family):
     assert np.isfinite(ppl_q)
     # 2x8g8 at tiny scale: quantized PPL must stay close to fp
     assert ppl_q < ppl_fp * 1.5 + 1.0, (ppl_q, ppl_fp)
+
+
+def test_phi3_import_quantize_serve(tmp_path):
+    """phi3 split-import -> quantize -> Engine serve, end-to-end."""
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    from aqlm_tpu.io.hf_import import load_hf_dense_checkpoint
+    from aqlm_tpu.models import llama
+    from aqlm_tpu.serve import Engine, SamplingParams, ServeConfig
+
+    torch.manual_seed(0)
+    pc = Phi3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0,  # phi3 default (32000) exceeds the tiny vocab
+    )
+    pm = Phi3ForCausalLM(pc).eval()
+    pm.save_pretrained(tmp_path / "phi3", safe_serialization=True)
+
+    params, cfg = load_hf_dense_checkpoint(str(tmp_path / "phi3"))
+    ids = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 12))
+    ref = _torch_logits(pm, ids)
+    got, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-3, rtol=2e-3)
+
+    pipe = QuantizePipelineConfig(
+        scheme=AqlmScheme(num_codebooks=2, nbits_per_codebook=8, in_group_size=8),
+        calib=CalibConfig(max_epochs=1, steps_per_epoch=3, init_max_iter=4, beam_size=1),
+        finetune=None, verbose=False,
+    )
+    calib = jnp.asarray(np.random.RandomState(1).randint(0, cfg.vocab_size, (4, 16)), jnp.int32)
+    qparams, _ = quantize_model(params, cfg, calib, pipe)
+
+    engine = Engine(qparams, cfg, ServeConfig(max_batch=2, max_len=32, prefill_buckets=(8,),
+                                              fuse_projections=False))
+    outs = engine.generate([np.asarray([1, 2, 3], np.int32)], SamplingParams(max_new_tokens=4))
+    assert len(outs[0]) == 4
