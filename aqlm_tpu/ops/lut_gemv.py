@@ -75,7 +75,7 @@ def _row_tile(kig: int, batch: int = 1) -> int:
     """Row-block size: bounds the Mosaic stack (gather temporaries are
     [kr, 128] f32 per batch element; the lut blocks are [B, kr, 128] x2)."""
     kr = kig
-    limit = max(128, 8192 // max(batch, 1))
+    limit = max(128, 4096 // max(batch, 1)) if batch > 1 else 1024
     while kr > limit:
         assert kr % 2 == 0, kig
         kr //= 2
@@ -98,6 +98,31 @@ def _split_lut(lut):
     return lut, None
 
 
+
+def _gather_accum(codes_block, lo_of, hi_of, acc_ref, *, B, tn, two_halves):
+    """Shared inner loop: per 128-lane chunk, gather both table halves and
+    accumulate. The cross-row reduction runs on the MXU (a [1,kr]x[kr,128]
+    dot with a ones vector): the kernel is VPU-op-bound and the 127 vector
+    adds per chunk were ~20% of its op budget; the MXU is otherwise idle."""
+    kr = codes_block.shape[0]
+    ones = jnp.ones((1, kr), jnp.float32)
+    for c in range(tn // 128):
+        idx = codes_block[:, c * 128 : (c + 1) * 128].astype(jnp.int32)  # [kr, 128]
+        lane = idx & 127 if two_halves else idx
+        half = idx < 128
+        for b in range(B):
+            g_lo = jnp.take_along_axis(lo_of(b), lane, axis=1)
+            if two_halves:
+                g_hi = jnp.take_along_axis(hi_of(b), lane, axis=1)
+                gathered = jnp.where(half, g_lo, g_hi)
+            else:
+                gathered = g_lo
+            acc_ref[b, c * 128 : (c + 1) * 128] += jax.lax.dot_general(
+                ones, gathered, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[0]
+
+
 def _kernel(codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halves):
     """grid = (out_tiles, row_tiles); the K*IG row dim accumulates innermost.
 
@@ -110,17 +135,8 @@ def _kernel(codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halves):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    for c in range(tn // 128):
-        idx = codes_ref[0, :, c * 128 : (c + 1) * 128].astype(jnp.int32)  # [kr, 128]
-        lane = idx % 128 if two_halves else idx
-        for b in range(B):
-            g_lo = jnp.take_along_axis(lo_ref[b], lane, axis=1)
-            if two_halves:
-                g_hi = jnp.take_along_axis(hi_ref[b], lane, axis=1)
-                gathered = jnp.where(idx < 128, g_lo, g_hi)
-            else:
-                gathered = g_lo
-            acc_ref[b, c * 128 : (c + 1) * 128] += jnp.sum(gathered, axis=0)
+    _gather_accum(codes_ref[0], lambda b: lo_ref[b], lambda b: hi_ref[b],
+                  acc_ref, B=B, tn=tn, two_halves=two_halves)
 
     @pl.when(r == pl.num_programs(1) - 1)
     def _():
@@ -204,17 +220,8 @@ def _kernel_indexed(idx_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, 
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    for c in range(tn // 128):
-        idx = codes_ref[0, 0, :, c * 128 : (c + 1) * 128].astype(jnp.int32)
-        lane = idx % 128 if two_halves else idx
-        for b in range(B):
-            g_lo = jnp.take_along_axis(lo_ref[b], lane, axis=1)
-            if two_halves:
-                g_hi = jnp.take_along_axis(hi_ref[b], lane, axis=1)
-                gathered = jnp.where(idx < 128, g_lo, g_hi)
-            else:
-                gathered = g_lo
-            acc_ref[b, c * 128 : (c + 1) * 128] += jnp.sum(gathered, axis=0)
+    _gather_accum(codes_ref[0, 0], lambda b: lo_ref[b], lambda b: hi_ref[b],
+                  acc_ref, B=B, tn=tn, two_halves=two_halves)
 
     @pl.when(r == pl.num_programs(1) - 1)
     def _():
@@ -295,17 +302,8 @@ def _kernel_grouped(idx_ref, pt_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    for c in range(tn // 128):
-        idx = codes_ref[0, 0, :, c * 128 : (c + 1) * 128].astype(jnp.int32)
-        lane = idx % 128 if two_halves else idx
-        for b in range(B):
-            g_lo = jnp.take_along_axis(lo_ref[b, 0], lane, axis=1)
-            if two_halves:
-                g_hi = jnp.take_along_axis(hi_ref[b, 0], lane, axis=1)
-                gathered = jnp.where(idx < 128, g_lo, g_hi)
-            else:
-                gathered = g_lo
-            acc_ref[b, c * 128 : (c + 1) * 128] += jnp.sum(gathered, axis=0)
+    _gather_accum(codes_ref[0, 0], lambda b: lo_ref[b, 0], lambda b: hi_ref[b, 0],
+                  acc_ref, B=B, tn=tn, two_halves=two_halves)
 
     @pl.when(r == pl.num_programs(1) - 1)
     def _():

@@ -55,7 +55,7 @@ def stream_rate(name, arr, kr):
         li = c[0, 0].astype(jnp.int32) % jnp.int32(Ld)  # counter cycles layers
         return c + 1.0 + jf(li, cs[0]) * 1e-30
 
-    t = chain_time(step, jnp.zeros((1, 128), jnp.float32), n_steps=16, consts=[arr])
+    t = chain_time(step, jnp.zeros((1, 128), jnp.float32), n_steps=256, consts=[arr])
     nbytes = nt * rows * tn
     print(f"{name}: {t*1e6:8.1f} us/layer-stream  {nbytes/t/1e9:7.1f} GB/s", flush=True)
 
