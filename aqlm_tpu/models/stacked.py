@@ -139,10 +139,10 @@ def forward_stacked(
     through an input/output-ALIASED pallas kernel (plain dynamic_update_slice
     on the carry stops aliasing at batch>=8 and copies the whole cache per
     layer), and reads index the stacked cache in place via scalar prefetch.
-    Measured on v5e (8 layers, int8 KV) vs the fused-XLA path: 3.72 vs 4.10
-    ms/step at b1/2k ctx, 12.6 vs 17.6 at b8/2k, but ~0.6 ms/token SLOWER on
-    a 32-layer model at 256 ctx (4 extra kernel launches per layer dominate
-    tiny caches). Default (None) picks flash when max_len >= 1024.
+    Since the 4-in-1 fused KV write landed, flash wins at ALL context
+    lengths (v5e, 2x8 codes 8-layer slice, B=1: 215 vs 348 us/layer at 256
+    ctx; B=8/2k: 3.44 vs 4.15 ms/layer) — the old max_len>=1024 adaptive
+    threshold is gone; default (None) = flash whenever decoding with a cache.
     """
     b, t = input_ids.shape
     offsets = jnp.broadcast_to(jnp.asarray(cache_offset), (b,))  # per-row cache offsets
@@ -195,7 +195,7 @@ def forward_stacked(
     # the kernel indexes layer i via scalar prefetch — scan-xs slices feeding
     # an opaque pallas_call would copy the layer's cache to HBM every step
     if use_flash_decode is None:
-        use_flash_decode = cache is not None and cache.max_len >= 1024
+        use_flash_decode = cache is not None
     flash = cache is not None and t == 1 and use_flash_decode
 
     def block(carry, scan_in):

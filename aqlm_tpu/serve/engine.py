@@ -39,6 +39,7 @@ class ServeConfig:
     fuse_projections: bool = True  # QKV / gate+up fusion for int8-mode layers
     lm_head_int8: bool = False  # int8-quantize the output head
     donate_params: bool = False  # free caller's params during load (big models)
+    use_flash_decode: bool | None = None  # None = stacked.forward default (flash on)
 
 
 @dataclasses.dataclass
@@ -103,7 +104,8 @@ class Engine:
         @partial(jax.jit, donate_argnums=(1,))
         def decode_step(params, cache: KVCache, tokens, offsets, key, temps, top_ps):
             logits, cache = forward_stacked(
-                params, cfg, tokens, cache=cache, cache_offset=offsets
+                params, cfg, tokens, cache=cache, cache_offset=offsets,
+                use_flash_decode=serve.use_flash_decode,
             )
             next_tokens = sample_tokens(
                 logits[:, -1, :], key, temps, top_ps, top_k=serve.top_k

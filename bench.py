@@ -120,6 +120,9 @@ def main():
         codes_params = random_quantized_params(
             jax.random.PRNGKey(1), cfg8, SCHEME_2X8, mode="codes"
         )
+        from aqlm_tpu.serve.fuse import fuse_projections_codes
+
+        codes_params = fuse_projections_codes(codes_params, cfg8, donate=True)
         codes_stacked = stack_layer_params(codes_params, donate=True)
         del codes_params
         cache2 = init_kv_cache(cfg8, 1, 256, quantized=True)

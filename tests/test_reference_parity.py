@@ -40,7 +40,13 @@ VOCAB = 256
 SEQLEN = 128
 NSAMPLES = 16
 NVAL = 8
-SCHEME = dict(num_codebooks=2, nbits_per_codebook=8, in_group_size=8, out_group_size=1)
+# two schemes: 2x8g8 (near-lossless at tiny scale) and the much harsher
+# 1x4g8 (16-entry codebook, ~0.6 bits/weight) where BOTH pipelines must
+# show real, comparable degradation
+SCHEMES = {
+    "2x8g8": dict(num_codebooks=2, nbits_per_codebook=8, in_group_size=8, out_group_size=1),
+    "1x4g8": dict(num_codebooks=1, nbits_per_codebook=4, in_group_size=8, out_group_size=1),
+}
 HYPERS = dict(
     init_max_iter=10,
     max_epochs=2,
@@ -166,10 +172,16 @@ runpy.run_path("/root/reference/main.py", run_name="__main__")
 """
 
 
+@pytest.fixture(scope="module", params=list(SCHEMES))
+def scheme_name(request):
+    return request.param
+
+
 @pytest.fixture(scope="module")
-def reference_quantized(tiny_setup):
+def reference_quantized(tiny_setup, scheme_name):
     """Run the actual reference main.py (CPU) and load the result."""
-    save_dir = tiny_setup["root"] / "ref_quant"
+    SCHEME = SCHEMES[scheme_name]
+    save_dir = tiny_setup["root"] / f"ref_quant_{scheme_name}"
     runner = tiny_setup["root"] / "ref_runner.py"
     runner.write_text(_RUNNER)
     cmd = [
@@ -221,7 +233,8 @@ def _load_reference_quantized(model_dir: str, save_dir: str):
         sys.path.remove(REFERENCE)
 
 
-def test_reference_parity(tiny_setup, reference_quantized):
+def test_reference_parity(tiny_setup, reference_quantized, scheme_name):
+    SCHEME = SCHEMES[scheme_name]
     from transformers import LlamaForCausalLM
 
     from aqlm_tpu.calib.blockwise import BlockFinetuneConfig
@@ -270,7 +283,7 @@ def test_reference_parity(tiny_setup, reference_quantized):
     deg_ref = ppl_ref - ppl_fp_torch
     deg_ours = ppl_ours - ppl_fp_jax
     print(
-        f"\nparity: fp(torch)={ppl_fp_torch:.4f} fp(jax)={ppl_fp_jax:.4f} "
+        f"\nparity[{scheme_name}]: fp(torch)={ppl_fp_torch:.4f} fp(jax)={ppl_fp_jax:.4f} "
         f"ref-quant={ppl_ref:.4f} (Δ{deg_ref:+.4f}) "
         f"ours-quant={ppl_ours:.4f} (Δ{deg_ours:+.4f})"
     )

@@ -138,7 +138,9 @@ def test_chunked_prefill_long_prompt(key):
     params = llama.init_random_params(key, cfg, dtype=jnp.float32)
     engine = Engine(
         params, cfg,
-        ServeConfig(max_batch=2, max_len=64, prefill_buckets=(8,), fuse_projections=False),
+        ServeConfig(max_batch=2, max_len=64, prefill_buckets=(8,), fuse_projections=False,
+                    use_flash_decode=False),  # f32 dense model: flash's bf16
+        # compute flips greedy argmax on near-ties; chunking is what's under test
     )
     prompt = np.asarray(jax.random.randint(jax.random.PRNGKey(5), (21,), 0, cfg.vocab_size), np.int32)
     outs = engine.generate([prompt], SamplingParams(max_new_tokens=4))
