@@ -195,7 +195,16 @@ def forward_stacked(
     # the kernel indexes layer i via scalar prefetch — scan-xs slices feeding
     # an opaque pallas_call would copy the layer's cache to HBM every step
     if use_flash_decode is None:
-        use_flash_decode = cache is not None
+        # codes-mode decode ALWAYS wins with flash (215 vs 348 us/layer at
+        # 256 ctx: the carry-resident cache keeps the LUT kernels streaming);
+        # int8 decode pays ~12 us/layer of launch overhead at tiny contexts
+        # and only wins from >=1024 ctx (3.72 vs 4.10 ms/step at b1/2k)
+        has_codes = any(
+            isinstance(v, FusedCodesLinear)
+            or (isinstance(v, QuantizedLinear) and v.mode == "codes")
+            for v in stacked_layers.values()
+        )
+        use_flash_decode = cache is not None and (has_codes or cache.max_len >= 1024)
     flash = cache is not None and t == 1 and use_flash_decode
 
     def block(carry, scan_in):

@@ -51,6 +51,54 @@ def dense_bf16_sol_tokens_per_sec(cfg: llama.ModelConfig) -> float:
     return HBM_BW / (2.0 * params)
 
 
+def measure_codes_slice(cfg):
+    """Codes-resident (2.3-bit-in-HBM) 2x8 decode on an 8-layer slice,
+    measured FIRST (before the int8 7B occupies HBM) and extrapolated
+    linearly over layers."""
+    import dataclasses as _dc
+    from functools import partial
+
+    from aqlm_tpu.config import SCHEME_2X8
+    from aqlm_tpu.models.stacked import forward_stacked, init_kv_cache, stack_layer_params
+    from aqlm_tpu.serve.fuse import fuse_projections_codes
+
+    cfg8 = _dc.replace(cfg, num_layers=8)
+    codes_params = random_quantized_params(
+        jax.random.PRNGKey(1), cfg8, SCHEME_2X8, mode="codes"
+    )
+    codes_params = fuse_projections_codes(codes_params, cfg8, donate=True)
+    codes_stacked = stack_layer_params(codes_params, donate=True)
+    del codes_params
+    cache2 = init_kv_cache(cfg8, 1, 256, quantized=True)
+    tok0 = jnp.ones((1, 1), jnp.int32)
+    off0 = jnp.zeros((1,), jnp.int32)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def decode8(params, c, tok, offsets, n):
+        def body(i, carry):
+            tok, c, off = carry
+            logits, c = forward_stacked(params, cfg8, tok, cache=c, cache_offset=off)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+            return nxt, c, off + 1
+        tok, c, offsets = jax.lax.fori_loop(0, n, body, (tok, c, offsets))
+        return tok
+
+    def run2(n):
+        return int(jax.device_get(decode8(codes_stacked, cache2, tok0, off0, n))[0, 0])
+
+    run2(16); run2(0)
+    t0 = time.time(); run2(16); t16 = time.time() - t0
+    t0 = time.time(); run2(0); tb = time.time() - t0
+    ms8 = (t16 - tb) / 16 * 1e3
+    codes_tps = 1000.0 / (ms8 * cfg.num_layers / cfg8.num_layers)
+    log(
+        f"codes-resident decode (2x8 LUT-GEMM, 2.3 bits in HBM, exact): "
+        f"{ms8:.1f} ms/step on {cfg8.num_layers} layers "
+        f"~= {codes_tps:.1f} tok/s/chip at {cfg.num_layers} layers"
+    )
+    return codes_tps
+
+
 def main():
     from functools import partial
 
@@ -58,6 +106,10 @@ def main():
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     cfg = llama.ModelConfig.llama2_7b()
+    try:
+        measure_codes_slice(cfg)
+    except Exception as e:
+        log(f"codes-resident metric failed: {e!r}")
     t0 = time.time()
     params = random_quantized_params(jax.random.PRNGKey(0), cfg, SCHEME_1X16, mode="int8")
     jax.block_until_ready(params["embed"])
@@ -106,53 +158,6 @@ def main():
 
     dt = timed(DECODE_STEPS) - timed(0)
     toks_per_sec = DECODE_STEPS / dt
-
-    # secondary: exact codes-resident (2.3-bit HBM) decode via the LUT-GEMM
-    # kernel — the extreme-compression serving mode. Measured on an 8-layer
-    # slice (a full second model won't fit next to the int8 one) and
-    # extrapolated linearly over layers.
-    try:
-        import dataclasses as _dc
-
-        from aqlm_tpu.config import SCHEME_2X8
-
-        cfg8 = _dc.replace(cfg, num_layers=8)
-        codes_params = random_quantized_params(
-            jax.random.PRNGKey(1), cfg8, SCHEME_2X8, mode="codes"
-        )
-        from aqlm_tpu.serve.fuse import fuse_projections_codes
-
-        codes_params = fuse_projections_codes(codes_params, cfg8, donate=True)
-        codes_stacked = stack_layer_params(codes_params, donate=True)
-        del codes_params
-        cache2 = init_kv_cache(cfg8, 1, 256, quantized=True)
-
-        @partial(jax.jit, static_argnames=("n",))
-        def decode8(params, c, tok, offsets, n):
-            def body(i, carry):
-                tok, c, off = carry
-                logits, c = forward_stacked(params, cfg8, tok, cache=c, cache_offset=off)
-                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
-                return nxt, c, off + 1
-            tok, c, offsets = jax.lax.fori_loop(0, n, body, (tok, c, offsets))
-            return tok
-
-        def run2(n):
-            return int(jax.device_get(decode8(codes_stacked, cache2, tok0, off0, n))[0, 0])
-
-        run2(16); run2(0)
-        t0 = time.time(); run2(16); t16 = time.time() - t0
-        t0 = time.time(); run2(0); tb = time.time() - t0
-        ms8 = (t16 - tb) / 16 * 1e3
-        codes_tps = 1000.0 / (ms8 * cfg.num_layers / cfg8.num_layers)
-        log(
-            f"codes-resident decode (2x8 LUT-GEMM, 2.3 bits in HBM, exact): "
-            f"{ms8:.1f} ms/step on {cfg8.num_layers} layers "
-            f"~= {codes_tps:.1f} tok/s/chip at {cfg.num_layers} layers"
-        )
-        del codes_stacked, cache2
-    except Exception as e:
-        log(f"codes-resident metric failed: {e!r}")
 
     # secondary: batched decode throughput (B=8) and prefill rate
     try:
