@@ -139,10 +139,11 @@ def forward_stacked(
     through an input/output-ALIASED pallas kernel (plain dynamic_update_slice
     on the carry stops aliasing at batch>=8 and copies the whole cache per
     layer), and reads index the stacked cache in place via scalar prefetch.
-    Since the 4-in-1 fused KV write landed, flash wins at ALL context
-    lengths (v5e, 2x8 codes 8-layer slice, B=1: 215 vs 348 us/layer at 256
-    ctx; B=8/2k: 3.44 vs 4.15 ms/layer) — the old max_len>=1024 adaptive
-    threshold is gone; default (None) = flash whenever decoding with a cache.
+    Measured (v5e, repeated): codes-mode flash is neutral at 256 ctx
+    (348-365 us/layer both ways, 2x8 8-layer slice B=1) and wins at 2k+
+    (B=8: 3.44 vs 4.15 ms/layer); int8 flash costs ~12 us/layer at 256 ctx
+    and wins from >=1024 (3.72 vs 4.10 ms/step at b1/2k). Default (None):
+    flash for codes-mode layers at any length, int8 from 1024 ctx.
     """
     b, t = input_ids.shape
     offsets = jnp.broadcast_to(jnp.asarray(cache_offset), (b,))  # per-row cache offsets
@@ -195,8 +196,7 @@ def forward_stacked(
     # the kernel indexes layer i via scalar prefetch — scan-xs slices feeding
     # an opaque pallas_call would copy the layer's cache to HBM every step
     if use_flash_decode is None:
-        # codes-mode decode ALWAYS wins with flash (215 vs 348 us/layer at
-        # 256 ctx: the carry-resident cache keeps the LUT kernels streaming);
+        # codes-mode flash is neutral at short contexts and wins at long;
         # int8 decode pays ~12 us/layer of launch overhead at tiny contexts
         # and only wins from >=1024 ctx (3.72 vs 4.10 ms/step at b1/2k)
         has_codes = any(
