@@ -18,7 +18,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("input", help="model dir (canonical or HF AQLM)")
     p.add_argument("output", help="destination dir")
-    p.add_argument("--to", choices=["hf", "canonical"], required=True)
+    p.add_argument("--to", choices=["hf", "canonical", "2x8"], required=True,
+                   help="2x8: re-fit 1x16 codebooks as sums of two 256-entry "
+                        "books (TPU codes-resident serving; reports rel-MSE)")
+    p.add_argument("--transcode_iters", type=int, default=25)
     return p
 
 
@@ -33,6 +36,25 @@ def main(argv=None):
         from aqlm_tpu.io import save_quantized_model
 
         save_quantized_model(args.output, params, cfg)
+    elif args.to == "2x8":
+        from aqlm_tpu.io import save_quantized_model
+        from aqlm_tpu.ops.dequant import AqlmWeight
+        from aqlm_tpu.ops.runtime import QuantizedLinear
+        from aqlm_tpu.ops.transcode import transcode_1x16_to_2x8
+
+        worst = 0.0
+        for li, layer in enumerate(params["layers"]):
+            for name, q in list(layer.items()):
+                if isinstance(q, QuantizedLinear) and q.scheme.nbits_per_codebook == 16:
+                    w = AqlmWeight(codes=q.codes, codebooks=q.codebooks,
+                                   scales=q.scales, bias=q.bias, scheme=q.scheme)
+                    w2, rel = transcode_1x16_to_2x8(w, iters=args.transcode_iters)
+                    layer[name] = QuantizedLinear.from_aqlm(w2, mode="reference")
+                    worst = max(worst, rel)
+                    print(f"layer {li} {name}: codebook rel-MSE {rel:.4f}")
+        save_quantized_model(args.output, params, cfg,
+                             extra_config={"transcoded_from": "1x16", "worst_rel_mse": worst})
+        print(f"worst per-projection codebook rel-MSE: {worst:.4f}")
     else:
         from aqlm_tpu.io import export_hf_aqlm_state_dict
 

@@ -119,3 +119,28 @@ def test_finetune_cli_memory_design(quantized_dir, tmp_path):
     )
     assert np.isfinite(result["final_kl"])
     assert os.path.exists(os.path.join(out, "config.json"))
+
+
+@pytest.mark.slow
+def test_convert_transcode_2x8(tmp_path):
+    """1x16 checkpoint -> 2x8 additive transcode through the CLI."""
+    src = str(tmp_path / "q16")
+    cli_quantize.main(
+        [
+            "random:tiny:1", "random",
+            "--nsamples", "2", "--model_seqlen", "16",
+            "--num_codebooks", "1", "--nbits_per_codebook", "16", "--in_group_size", "8",
+            "--max_epochs", "1", "--steps_per_epoch", "2", "--beam_size", "1",
+            "--init_max_iter", "2", "--finetune_max_epochs", "0",
+            "--init_max_points_per_centroid", "1",
+            "--batch_size", "2", "--save", src,
+        ]
+    )
+    out = str(tmp_path / "q28")
+    cli_convert.main([src, out, "--to", "2x8", "--transcode_iters", "5"])
+    import json as _json
+
+    with open(os.path.join(out, "config.json")) as f:
+        c = _json.load(f)
+    assert c["quantization_config"]["num_codebooks"] == 2
+    assert c["quantization_config"]["nbits_per_codebook"] == 8
