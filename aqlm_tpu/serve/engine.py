@@ -87,7 +87,12 @@ class Engine:
         self.cache = init_kv_cache(
             cfg, serve.max_batch, serve.max_len, quantized=serve.kv_quantized
         )
-        self._free_slots = deque(range(serve.max_batch))
+        # lowest-first slot allocation keeps active slots in a prefix so
+        # decode batch bucketing stays tight (see decode_step)
+        self._free_slots = list(range(serve.max_batch))
+        import heapq as _hq
+
+        _hq.heapify(self._free_slots)
         self._active: dict[int, Request] = {}
         self._pending: deque[Request] = deque()
         self.requests: dict[int, Request] = {}
@@ -101,19 +106,48 @@ class Engine:
 
         B = serve.max_batch
 
-        @partial(jax.jit, donate_argnums=(1,))
-        def decode_step(params, cache: KVCache, tokens, offsets, key, temps, top_ps):
-            logits, cache = forward_stacked(
-                params, cfg, tokens, cache=cache, cache_offset=offsets,
+        @partial(jax.jit, donate_argnums=(1,), static_argnames=("bucket",))
+        def decode_step(params, cache: KVCache, tokens, offsets, key, temps, top_ps, bucket=B):
+            """One decode step over slot prefix [0:bucket] (batch bucketing:
+            with few active requests, computing all max_batch slots wastes
+            batch width — and pushes small-batch codes decode off the LUT
+            kernels). Slots are allocated lowest-first so active requests
+            cluster in a prefix; the sub-cache is sliced out, decoded, and
+            written back (prefix-cache copy traffic only)."""
+            if bucket == B:
+                sub = cache
+            else:
+                sub = jax.tree.map(
+                    lambda a: None if a is None else jax.lax.slice_in_dim(a, 0, bucket, axis=1),
+                    cache, is_leaf=lambda a: a is None,
+                )
+            logits, sub = forward_stacked(
+                params, cfg, tokens, cache=sub, cache_offset=offsets,
                 use_flash_decode=serve.use_flash_decode,
             )
             next_tokens = sample_tokens(
                 logits[:, -1, :], key, temps, top_ps, top_k=serve.top_k
             )
+            if bucket != B:
+                cache = jax.tree.map(
+                    lambda full, part: None if full is None
+                    else jax.lax.dynamic_update_slice_in_dim(full, part, 0, axis=1),
+                    cache, sub, is_leaf=lambda a: a is None,
+                )
+            else:
+                cache = sub
             return next_tokens, cache
 
         self._decode = decode_step
         self._prefill_fns = {}
+
+    def _decode_bucket(self) -> int:
+        """Smallest power-of-two slot prefix covering every active slot."""
+        hi = max(self._active) + 1
+        b = 1
+        while b < hi:
+            b *= 2
+        return min(b, self.serve.max_batch)
 
     def _bucket(self, n: int) -> int:
         for b in self.serve.prefill_buckets:
@@ -186,9 +220,11 @@ class Engine:
         return self.requests[rid]
 
     def _admit(self):
+        import heapq as _hq
+
         while self._pending and self._free_slots:
             req = self._pending.popleft()
-            slot = self._free_slots.popleft()
+            slot = _hq.heappop(self._free_slots)
             req.slot = slot
             self._key, sub = jax.random.split(self._key)
             for start, length, bucket in self._prefill_chunks(len(req.prompt)):
@@ -218,7 +254,9 @@ class Engine:
         if self._budgets[slot] <= 0 or (eos is not None and req.generated and req.generated[-1] == eos):
             req.done = True
             del self._active[slot]
-            self._free_slots.append(slot)
+            import heapq as _hq
+
+            _hq.heappush(self._free_slots, slot)
 
     def step(self) -> dict:
         """Admit pending requests, run one batched decode step.
@@ -227,14 +265,16 @@ class Engine:
         if not self._active:
             return {}
         self._key, sub = jax.random.split(self._key)
+        bucket = self._decode_bucket()
         tokens, self.cache = self._decode(
             self.params,
             self.cache,
-            jnp.asarray(self._last_token[:, None]),
-            jnp.asarray(self._offsets),
+            jnp.asarray(self._last_token[:bucket, None]),
+            jnp.asarray(self._offsets[:bucket]),
             sub,
-            jnp.asarray(self._temps),
-            jnp.asarray(self._top_ps),
+            jnp.asarray(self._temps[:bucket]),
+            jnp.asarray(self._top_ps[:bucket]),
+            bucket=bucket,
         )
         tokens = np.asarray(tokens)
         emitted = {}

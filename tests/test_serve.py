@@ -153,3 +153,35 @@ def test_chunked_prefill_long_prompt(key):
         manual.append(tok)
         ids.append(tok)
     assert outs[0] == manual, (outs[0], manual)
+
+
+def test_decode_batch_bucketing(key):
+    """max_batch=8 engine with 1 request decodes over a width-1 bucket and
+    still matches manual greedy; a second staggered request works too."""
+    cfg = llama.ModelConfig.tiny(num_layers=1)
+    params = random_quantized_params(key, cfg, SCHEME_2X8, mode="reference", dtype=jnp.float32)
+    engine = Engine(
+        params, cfg,
+        ServeConfig(max_batch=8, max_len=32, prefill_buckets=(8,), fuse_projections=False),
+    )
+    assert engine._free_slots[0] == 0  # lowest-first allocation
+    p1 = np.asarray([1, 2, 3], np.int32)
+    outs = engine.generate([p1], SamplingParams(max_new_tokens=4))
+
+    ids = list(p1)
+    manual = []
+    for _ in range(4):
+        logits, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32)[None, :])
+        tok = int(jnp.argmax(logits[0, -1]))
+        manual.append(tok)
+        ids.append(tok)
+    assert outs[0] == manual, (outs[0], manual)
+
+    # staggered: submit one, step once, submit another (slots 0 and 1)
+    r1 = engine.submit(p1, SamplingParams(max_new_tokens=3))
+    engine.step()
+    r2 = engine.submit(np.asarray([4, 5], np.int32), SamplingParams(max_new_tokens=3))
+    while not (engine.get_request(r1).done and engine.get_request(r2).done):
+        engine.step()
+    assert engine.get_request(r1).generated[:4] == manual[:3] + engine.get_request(r1).generated[3:4]
+    assert len(engine.get_request(r2).generated) == 3
