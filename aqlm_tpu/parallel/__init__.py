@@ -6,6 +6,7 @@ from aqlm_tpu.parallel.distributed import (
     make_multihost_mesh,
     sync_hosts,
 )
+from aqlm_tpu.parallel.ring_attention import ring_attention, sequence_parallel_attention
 from aqlm_tpu.parallel.mesh import (
     COLUMN_PARALLEL,
     ROW_PARALLEL,
@@ -16,6 +17,8 @@ from aqlm_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "ring_attention",
+    "sequence_parallel_attention",
     "COLUMN_PARALLEL",
     "ROW_PARALLEL",
     "kv_cache_specs",
