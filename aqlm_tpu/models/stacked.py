@@ -204,7 +204,10 @@ def forward_stacked(
             or (isinstance(v, QuantizedLinear) and v.mode == "codes")
             for v in stacked_layers.values()
         )
-        use_flash_decode = cache is not None and (has_codes or cache.max_len >= 1024)
+        # kernel tiling floor: the aliased KV-write and flash BlockSpecs need
+        # 128-aligned cache lengths (tiny test caches fall back to XLA)
+        flash_ok = cache is not None and cache.max_len % 128 == 0
+        use_flash_decode = flash_ok and (has_codes or cache.max_len >= 1024)
     flash = cache is not None and t == 1 and use_flash_decode
 
     def block(carry, scan_in):
