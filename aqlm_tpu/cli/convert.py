@@ -1,8 +1,11 @@
-"""Checkpoint conversion CLI: canonical <-> HF AQLM hub format.
+"""Checkpoint conversion CLI: canonical <-> HF AQLM hub format, plus import
+of the reference's legacy formats.
 
 Replaces the reference's convert_to_hf.py and convert_legacy_model_format.py
-surface — but with ONE canonical format, the only conversions needed are to
-and from the HF hub layout.
+surface with ONE canonical format. `--from_format legacy` / `legacy_fsdp`
+ingest the reference's pickled calibration checkpoints (main.py:310-316) and
+PV/FSDP per-tensor checkpoints (convert_legacy_model_format.py:71-101)
+without needing the reference source tree (io/legacy_import.py).
 """
 
 from __future__ import annotations
@@ -22,14 +25,51 @@ def build_parser() -> argparse.ArgumentParser:
                    help="2x8: re-fit 1x16 codebooks as sums of two 256-entry "
                         "books (TPU codes-resident serving; reports rel-MSE)")
     p.add_argument("--transcode_iters", type=int, default=25)
+    p.add_argument("--from_format", choices=["auto", "legacy", "legacy_fsdp"],
+                   default="auto",
+                   help="legacy: reference calibration dir ({i}.pth pickled "
+                        "layers); legacy_fsdp: PV per-tensor dir "
+                        "(model.layers.*.weight.pth). Both need --base_config")
+    p.add_argument("--base_config", default=None,
+                   help="model dims for legacy imports: a ModelConfig preset "
+                        "name (e.g. llama2_7b, tiny) or a path to an HF "
+                        "config.json (the reference's --base_model analogue)")
     return p
+
+
+def _legacy_base_config(spec: str):
+    from aqlm_tpu.models import llama
+
+    if spec is None:
+        raise SystemExit("--from_format legacy requires --base_config")
+    if os.path.isfile(spec) or os.path.isdir(spec):
+        from aqlm_tpu.io.hf_import import model_config_from_hf
+
+        path = spec if os.path.isfile(spec) else os.path.join(spec, "config.json")
+        with open(path) as f:
+            return model_config_from_hf(json.load(f))
+    return getattr(llama.ModelConfig, spec)()
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from aqlm_tpu.cli.common import resolve_model
 
-    params, cfg, kind = resolve_model(args.input, mode="reference")
+    if args.from_format != "auto":
+        from aqlm_tpu.io.legacy_import import (
+            load_legacy_checkpoint,
+            load_legacy_fsdp_checkpoint,
+        )
+
+        cfg = _legacy_base_config(args.base_config)
+        loader = (load_legacy_checkpoint if args.from_format == "legacy"
+                  else load_legacy_fsdp_checkpoint)
+        params, _scheme, notes = loader(args.input, cfg, mode="reference")
+        for n in notes:
+            print(f"import note: {n}")
+        kind = "quantized"
+    else:
+        params, cfg, kind = resolve_model(args.input, mode="reference")
     assert kind == "quantized", "conversion applies to quantized checkpoints"
 
     if args.to == "canonical":

@@ -146,12 +146,14 @@ def load_hf_aqlm_checkpoint(
             base = f"{p}.{hf}"
             if f"{base}.codes" in sd:
                 codes = unpack_codes(np.asarray(sd[f"{base}.codes"]), scheme.nbits_per_codebook)
+                # [OG, 1, 1, 1] -> [OG] per-channel; [OG, IG, 1, 1] -> [OG, IG]
+                scales = np.asarray(sd[f"{base}.scales"], np.float32)
+                scales = scales.reshape(scales.shape[0], -1)
+                scales = scales[:, 0] if scales.shape[1] == 1 else scales
                 w = AqlmWeight(
                     codes=jnp.asarray(codes),
                     codebooks=arr(f"{base}.codebooks", jnp.float32),
-                    scales=jnp.asarray(
-                        np.asarray(sd[f"{base}.scales"], np.float32).reshape(-1)
-                    ),
+                    scales=jnp.asarray(scales),
                     bias=arr(f"{base}.bias") if f"{base}.bias" in sd else None,
                     scheme=scheme,
                 )
@@ -250,7 +252,15 @@ def export_hf_aqlm_state_dict(params: dict, cfg: ModelConfig) -> tuple[dict, dic
                 scheme = lin.scheme
                 sd[f"{base}.codes"] = pack_codes(np.asarray(lin.codes), scheme.nbits_per_codebook)
                 sd[f"{base}.codebooks"] = np.asarray(lin.codebooks, np.float16)
-                sd[f"{base}.scales"] = np.asarray(lin.scales, np.float16).reshape(-1, 1, 1, 1)
+                scales = np.asarray(lin.scales, np.float16)
+                # hub layout: [OG, 1, 1, 1] per-channel (convert_to_hf.py);
+                # per-group [OG, IG] scales keep their structure as
+                # [OG, IG, 1, 1] (a compatible extension — reference
+                # checkpoints always have shape[1] == 1)
+                sd[f"{base}.scales"] = (
+                    scales.reshape(-1, 1, 1, 1) if scales.ndim == 1
+                    else scales.reshape(*scales.shape, 1, 1)
+                )
                 if lin.bias is not None:
                     sd[f"{base}.bias"] = np.asarray(lin.bias, np.float16)
             elif isinstance(lin, DenseLinear):
