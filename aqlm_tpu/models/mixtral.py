@@ -159,6 +159,26 @@ jax.tree_util.register_dataclass(
 )
 
 
+@dataclasses.dataclass
+class StackedCodesExperts:
+    """All experts of one projection in the codes-resident (Kx8 LUT-GEMV)
+    layout: codes_tl [E, NT, K*IG, tn] uint8 tiles, codebooks [E, K, S, g],
+    scales [E, OUT] — the operand of ops.lut_gemv.lut_moe_gemv_kx8 (decode)
+    and, untiled per expert, kernels.fused_onehot_matmul (prefill)."""
+
+    codes_tl: jax.Array
+    codebooks: jax.Array
+    scales: jax.Array
+    group: int  # in_group_size (static)
+    num_codebooks: int  # static
+
+jax.tree_util.register_dataclass(
+    StackedCodesExperts,
+    data_fields=["codes_tl", "codebooks", "scales"],
+    meta_fields=["group", "num_codebooks"],
+)
+
+
 def stack_experts(layer: dict, cfg: MixtralConfig) -> dict:
     """Stack per-expert FFN weights into [E, ...] arrays.
 
@@ -182,18 +202,84 @@ def stack_experts(layer: dict, cfg: MixtralConfig) -> dict:
                 w8=jnp.stack([w.w8 for w in ws]),
                 scale=jnp.stack([w.w8_scale for w in ws]),
             )
+        elif all(
+            isinstance(w, QuantizedLinear) and w.mode == "codes"
+            and w.scheme.nbits_per_codebook <= 8
+            for w in ws
+        ):
+            from aqlm_tpu.ops.lut_gemv import tile_codes
+
+            assert all(w.bias is None for w in ws), "expert biases unsupported"
+            sch = ws[0].scheme
+            tls = [w.codes_tl if w.codes_tl is not None else tile_codes(w.codes_t)
+                   for w in ws]
+            out[f"experts_{proj}"] = StackedCodesExperts(
+                codes_tl=jnp.stack(tls),
+                codebooks=jnp.stack([w.codebooks for w in ws]),
+                scales=jnp.stack([w.scales for w in ws]),
+                group=sch.in_group_size,
+                num_codebooks=sch.num_codebooks,
+            )
         else:
             raise NotImplementedError(
-                "stack_experts supports dense or int8-mode experts; transcode "
-                "codes-mode experts to int8 for stacked serving"
+                "stack_experts supports dense, int8-mode, or Kx8 codes-mode "
+                "experts; transcode 1x16 experts to 2x8 or int8 for stacked "
+                "serving (S=65536 tables don't fit the LUT kernel's VMEM)"
             )
     return out
+
+
+def _moe_codes_ffn(flat, gate_q: StackedCodesExperts, up_q, down_q):
+    """Codes-resident stacked-expert FFN on flattened tokens [N, H].
+
+    Decode (N <= LUT_GEMV_MAX_BATCH): one lut_moe_gemv_kx8 launch per
+    projection. Prefill: per-expert one-hot MXU matmuls (the LUT cost is
+    per-token; the one-hot S*g MACs amortize over many tokens)."""
+    from aqlm_tpu.ops.kernels import fused_onehot_matmul
+    from aqlm_tpu.ops.lut_gemv import (
+        LUT_GEMV_MAX_BATCH,
+        lut_moe_gemv_kx8,
+        untile_codes,
+    )
+
+    n = flat.shape[0]
+    if n <= LUT_GEMV_MAX_BATCH:
+        gate = lut_moe_gemv_kx8(flat, gate_q.codes_tl, gate_q.codebooks,
+                                gate_q.scales, group=gate_q.group)  # [E, N, I]
+        up = lut_moe_gemv_kx8(flat, up_q.codes_tl, up_q.codebooks,
+                              up_q.scales, group=up_q.group)
+        act = jax.nn.silu(gate).astype(jnp.float32) * up
+        # each expert's down-proj consumes ITS OWN activations ([E, N, I])
+        return lut_moe_gemv_kx8(act.astype(flat.dtype), down_q.codes_tl,
+                                down_q.codebooks, down_q.scales,
+                                group=down_q.group)
+    # prefill: loop experts through the one-hot MXU kernel
+    E = gate_q.codes_tl.shape[0]
+    outs = []
+    for e in range(E):
+        def proj(q, v):
+            ct = untile_codes(q.codes_tl[e], q.num_codebooks)
+            return fused_onehot_matmul(v, ct, q.codebooks[e], q.scales[e],
+                                       group=q.group)
+        gate = proj(gate_q, flat)
+        up = proj(up_q, flat)
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        outs.append(proj(down_q, act))
+    return jnp.stack(outs).astype(jnp.float32)
 
 
 def moe_mlp_stacked(xn: jax.Array, layer: dict, cfg: MixtralConfig) -> jax.Array:
     """MoE FFN as single all-expert contractions over the stacked E axis."""
     weights = _routing(xn, layer, cfg).astype(xn.dtype)  # [B, T, E]
     gate_w = layer["experts_gate_proj"]
+    if isinstance(gate_w, StackedCodesExperts):
+        b, t, h = xn.shape
+        out = _moe_codes_ffn(
+            xn.reshape(b * t, h), gate_w,
+            layer["experts_up_proj"], layer["experts_down_proj"],
+        )  # [E, N, H]
+        out = out.reshape(-1, b, t, h)
+        return jnp.einsum("ebth,bte->bth", out.astype(xn.dtype), weights)
     if isinstance(gate_w, StackedInt8Experts):
         from aqlm_tpu.ops.int8_matmul import int8_moe_matmul
 
@@ -220,21 +306,33 @@ def moe_mlp_stacked_indexed(xn, layer, stacked_layers, idx, cfg: MixtralConfig):
     """Scan-over-layers MoE FFN: all experts of layer `idx` in one kernel.
 
     `layer` is the scan-sliced per-layer dict (supplies moe_gate for
-    routing); `stacked_layers` holds [L, E, OUT, IN] StackedInt8Experts
-    accessed via scalar-prefetch layer indexing (a scan-xs slice would copy
-    all experts' weights to HBM each step)."""
-    from aqlm_tpu.ops.int8_matmul import int8_moe_matmul_indexed
-
+    routing); `stacked_layers` holds [L, E, ...] StackedInt8Experts or
+    StackedCodesExperts accessed via scalar-prefetch layer indexing (a
+    scan-xs slice would copy all experts' weights to HBM each step)."""
     weights = _routing(xn, layer, cfg).astype(xn.dtype)  # [B, T, E]
     b, t, h = xn.shape
     flat = xn.reshape(b * t, h)
     gw = stacked_layers["experts_gate_proj"]
     uw = stacked_layers["experts_up_proj"]
     dw = stacked_layers["experts_down_proj"]
-    gate = int8_moe_matmul_indexed(flat, gw.w8, gw.scale, idx)  # [E, N, I]
-    up = int8_moe_matmul_indexed(flat, uw.w8, uw.scale, idx)
-    act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
-    down = int8_moe_matmul_indexed(act, dw.w8, dw.scale, idx)  # [E, N, H]
+    if isinstance(gw, StackedCodesExperts):
+        from aqlm_tpu.ops.lut_gemv import lut_moe_gemv_kx8_indexed
+
+        gate = lut_moe_gemv_kx8_indexed(flat, gw.codes_tl, gw.codebooks,
+                                        gw.scales, idx, group=gw.group)
+        up = lut_moe_gemv_kx8_indexed(flat, uw.codes_tl, uw.codebooks,
+                                      uw.scales, idx, group=uw.group)
+        act = jax.nn.silu(gate).astype(jnp.float32) * up
+        down = lut_moe_gemv_kx8_indexed(act.astype(flat.dtype), dw.codes_tl,
+                                        dw.codebooks, dw.scales, idx,
+                                        group=dw.group)  # [E, N, H]
+    else:
+        from aqlm_tpu.ops.int8_matmul import int8_moe_matmul_indexed
+
+        gate = int8_moe_matmul_indexed(flat, gw.w8, gw.scale, idx)  # [E, N, I]
+        up = int8_moe_matmul_indexed(flat, uw.w8, uw.scale, idx)
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        down = int8_moe_matmul_indexed(act, dw.w8, dw.scale, idx)  # [E, N, H]
     down = down.reshape(-1, b, t, h)
     return jnp.einsum("ebth,bte->bth", down.astype(xn.dtype), weights)
 

@@ -177,18 +177,19 @@ def forward_stacked(
     # leaves (norms, dense weights, kv slices) go through scan xs as usual.
     from aqlm_tpu.ops.runtime import IndexedQuantizedLinear, QuantizedLinear
 
-    from aqlm_tpu.models.mixtral import StackedInt8Experts
+    from aqlm_tpu.models.mixtral import StackedCodesExperts, StackedInt8Experts
     from aqlm_tpu.ops.runtime import FusedCodesLinear, IndexedFusedCodesLinear
 
     stacked_layers = params["layers"]
     qnames = [n for n, v in stacked_layers.items() if isinstance(v, QuantizedLinear)]
     fnames = [n for n, v in stacked_layers.items() if isinstance(v, FusedCodesLinear)]
-    # StackedInt8Experts / FusedCodesLinear are accessed via scalar-prefetch
+    # Stacked experts / FusedCodesLinear are accessed via scalar-prefetch
     # layer indexing, not scanned (a scan-xs slice would copy the weights to
     # HBM every step)
     rest = {
         n: v for n, v in stacked_layers.items()
-        if n not in qnames and n not in fnames and not isinstance(v, StackedInt8Experts)
+        if n not in qnames and n not in fnames
+        and not isinstance(v, (StackedInt8Experts, StackedCodesExperts))
     }
     layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
 

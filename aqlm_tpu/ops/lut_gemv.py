@@ -41,6 +41,8 @@ __all__ = [
     "lut_gemv_kx8_tiled",
     "lut_gemv_kx8_indexed",
     "lut_gemv_kx8_grouped_indexed",
+    "lut_moe_gemv_kx8",
+    "lut_moe_gemv_kx8_indexed",
     "lut_tile_n",
     "tile_codes",
     "untile_codes",
@@ -203,6 +205,147 @@ def lut_gemv_kx8(x, codes_t, codebooks, scales, bias=None, *, group: int):
     return lut_gemv_kx8_tiled(
         x, tile_codes(codes_t), codebooks, scales, bias, group=group
     )
+
+
+# ---------------------------------------------------------------------------
+# stacked-expert (MoE) variant: all experts' GEMVs in one launch
+# ---------------------------------------------------------------------------
+
+
+def _kernel_moe(codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halves):
+    """grid = (E, out_tiles, row_tiles); same inner loop as _kernel with the
+    expert dim leading — each expert gathers from ITS OWN LUT block."""
+    r = pl.program_id(2)
+
+    @pl.when(r == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _gather_accum(codes_ref[0, 0], lambda b: lo_ref[0, b], lambda b: hi_ref[0, b],
+                  acc_ref, B=B, tn=tn, two_halves=two_halves)
+
+    @pl.when(r == pl.num_programs(2) - 1)
+    def _():
+        out_ref[0] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call_moe(codes_tl_e, lut_lo_e, lut_hi_e, *, interpret):
+    E, nt, kig, tn = codes_tl_e.shape
+    B = lut_lo_e.shape[1]
+    two_halves = lut_hi_e is not None
+    kr = _row_tile(kig, B)
+
+    kern = functools.partial(_kernel_moe, B=B, tn=tn, two_halves=two_halves)
+    in_specs = [
+        pl.BlockSpec((1, 1, kr, tn), lambda e, o, r: (e, o, r, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, kr, 128), lambda e, o, r: (e, 0, r, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, kr, 128), lambda e, o, r: (e, 0, r, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [codes_tl_e, lut_lo_e, lut_hi_e if two_halves else lut_lo_e]
+    return pl.pallas_call(
+        kern,
+        grid=(E, nt, kig // kr),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, B, tn), lambda e, o, r: (e, 0, o), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, B, nt * tn), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, tn), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+
+
+def lut_moe_gemv_kx8(x, codes_tl_e, codebooks_e, scales_e, *, group: int):
+    """All-expert Kx8 LUT-GEMV: y[e] = x @ dequant(codes_e)^T * scales_e.
+
+    The codes-mode counterpart of int8_matmul.int8_moe_matmul — ONE kernel
+    launch covers every expert (dense-EP: every token is scored by every
+    expert; the router weights zero out non-routed contributions outside).
+
+    x: [N, IN] shared across experts, or [E, N, IN] per-expert activations
+    (the down-proj case, where each expert consumes its own gate*up);
+    codes_tl_e: [E, NT, K*IG, tn] uint8 (per-expert tile_codes);
+    codebooks_e: [E, K, S<=256, g]; scales_e: [E, OUT].
+    Returns [E, N, OUT] f32.
+    """
+    assert codebooks_e.shape[2] <= 256, "lut_gemv is the Kx8 path"
+    if x.ndim == 3:  # per-expert inputs
+        lo, hi = jax.vmap(lambda xe, cb: _build_lut(xe, cb, group))(x, codebooks_e)
+    else:
+        xb = x.reshape(-1, x.shape[-1])
+        lo, hi = jax.vmap(lambda cb: _build_lut(xb, cb, group))(codebooks_e)
+    y = _call_moe(codes_tl_e, lo, hi, interpret=should_interpret())
+    return y * scales_e[:, None, :].astype(y.dtype)
+
+
+def _kernel_moe_indexed(idx_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref,
+                        *, B, tn, two_halves):
+    """Layer-indexed all-expert kernel: grid (E, out_tiles, row_tiles); the
+    codes block leads with a layer dim of 1 picked by the prefetch index."""
+    del idx_ref
+    r = pl.program_id(2)
+
+    @pl.when(r == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _gather_accum(codes_ref[0, 0, 0], lambda b: lo_ref[0, b], lambda b: hi_ref[0, b],
+                  acc_ref, B=B, tn=tn, two_halves=two_halves)
+
+    @pl.when(r == pl.num_programs(2) - 1)
+    def _():
+        out_ref[0] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call_moe_indexed(codes_tl_le, lut_lo_e, lut_hi_e, layer_idx, *, interpret):
+    """codes_tl_le: [L, E, NT, K*IG, tn]; layer selected via scalar prefetch
+    (a dynamic slice feeding the pallas_call would copy every expert's codes
+    to HBM each decode step — same rationale as _call_indexed)."""
+    L, E, nt, kig, tn = codes_tl_le.shape
+    B = lut_lo_e.shape[1]
+    two_halves = lut_hi_e is not None
+    kr = _row_tile(kig, B)
+
+    kern = functools.partial(_kernel_moe_indexed, B=B, tn=tn, two_halves=two_halves)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E, nt, kig // kr),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, kr, tn), lambda e, o, r, li: (li[0], e, o, r, 0)),
+            pl.BlockSpec((1, B, kr, 128), lambda e, o, r, li: (e, 0, r, 0)),
+            pl.BlockSpec((1, B, kr, 128), lambda e, o, r, li: (e, 0, r, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, B, tn), lambda e, o, r, li: (e, 0, o)),
+        scratch_shapes=[pltpu.VMEM((B, tn), jnp.float32)],
+    )
+    args = [codes_tl_le, lut_lo_e, lut_hi_e if two_halves else lut_lo_e]
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((E, B, nt * tn), jnp.float32),
+        interpret=interpret,
+    )(layer_idx.reshape(1), *args)
+
+
+def lut_moe_gemv_kx8_indexed(
+    x, codes_tl_le, codebooks_le, scales_le, layer_idx, *, group: int
+):
+    """Layer-indexed all-expert Kx8 LUT-GEMV for scan-over-layers serving.
+
+    x: [N, IN] shared or [E, N, IN] per-expert; codes_tl_le:
+    [L, E, NT, K*IG, tn]; codebooks_le: [L, E, K, S<=256, g]; scales_le:
+    [L, E, OUT]. Returns [E, N, OUT] f32 for layer `layer_idx`."""
+    assert codebooks_le.shape[3] <= 256, "lut_gemv is the Kx8 path"
+    li = jnp.asarray(layer_idx, jnp.int32)
+    cbs = jax.lax.dynamic_index_in_dim(codebooks_le, li, 0, keepdims=False)
+    scales = jax.lax.dynamic_index_in_dim(scales_le, li, 0, keepdims=False)
+    if x.ndim == 3:
+        lo, hi = jax.vmap(lambda xe, cb: _build_lut(xe, cb, group))(x, cbs)
+    else:
+        xb = x.reshape(-1, x.shape[-1])
+        lo, hi = jax.vmap(lambda cb: _build_lut(xb, cb, group))(cbs)
+    y = _call_moe_indexed(codes_tl_le, lo, hi, li, interpret=should_interpret())
+    return y * scales[:, None, :].astype(y.dtype)
 
 
 # ---------------------------------------------------------------------------

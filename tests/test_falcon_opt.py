@@ -69,6 +69,7 @@ def test_opt_import_matches_transformers(hf_dirs):
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("family", ["falcon", "opt"])
 def test_quantize_smoke(hf_dirs, family):
     """quantize -> PPL eval end-to-end through the generic pipeline."""
@@ -100,6 +101,7 @@ def test_quantize_smoke(hf_dirs, family):
     assert ppl_q < ppl_fp * 1.5 + 1.0, (ppl_q, ppl_fp)
 
 
+@pytest.mark.slow
 def test_phi3_import_quantize_serve(tmp_path):
     """phi3 split-import -> quantize -> Engine serve, end-to-end."""
     from transformers import Phi3Config, Phi3ForCausalLM

@@ -2,6 +2,7 @@
 unfused int8 model bit-for-bit (same int8 weights, same math)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,6 +54,7 @@ def test_engine_fusion_consistency(key):
     assert out1 == out2, (out1, out2)
 
 
+@pytest.mark.slow
 def test_codes_fusion_matches_unfused(key):
     """Fused qkv/gate+up codes decode == unfused codes decode (stacked scan)."""
     import copy

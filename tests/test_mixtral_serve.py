@@ -3,6 +3,7 @@
 import copy
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +41,7 @@ def test_stacked_moe_matches_unrolled(key):
     )
 
 
+@pytest.mark.slow
 def test_engine_serves_mixtral(key):
     cfg = mixtral.MixtralConfig.tiny_moe(num_layers=1)
     params = _quantized_moe_params(key, cfg)

@@ -1,6 +1,7 @@
 """1x16 -> 2x8 additive transcode: fitting quality + end-to-end PPL delta."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -11,6 +12,7 @@ from aqlm_tpu.ops.dequant import AqlmWeight, dequantize_weight, random_aqlm_weig
 from aqlm_tpu.ops.transcode import fit_additive_split, transcode_1x16_to_2x8
 
 
+@pytest.mark.slow
 def test_additive_split_recovers_separable_codebook(key):
     """When CB IS a sum of two 256-entry books, the fit must find ~0 error."""
     k1, k2 = jax.random.split(key)
@@ -24,6 +26,7 @@ def test_additive_split_recovers_separable_codebook(key):
     assert rel < 0.08, rel
 
 
+@pytest.mark.slow
 def test_transcode_1x16_weight_error(key):
     """Structured (k-means-like) codebooks transcode with modest error; the
     2x8 result dequantizes close to the exact 1x16 weight."""
@@ -38,6 +41,7 @@ def test_transcode_1x16_weight_error(key):
     assert np.isfinite(rel) and wmse < rel * 1.3 + 1e-3, (wmse, rel)
 
 
+@pytest.mark.slow
 def test_transcode_model_ppl_delta(key):
     """Tiny 1x16 model: transcoded-2x8 PPL stays close to exact 1x16 PPL."""
     from aqlm_tpu.data.eval import evaluate_perplexity
@@ -58,3 +62,4 @@ def test_transcode_model_ppl_delta(key):
     ppl_t = evaluate_perplexity(params, cfg, ids)
     assert np.isfinite(ppl_t)
     assert ppl_t < ppl_exact * 1.3 + 0.5, (ppl_t, ppl_exact)
+
