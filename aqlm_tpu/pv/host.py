@@ -23,10 +23,31 @@ from __future__ import annotations
 import numpy as np
 
 from aqlm_tpu.models.llama import QUANTIZABLE_PROJS
-from aqlm_tpu.ops.dequant import AqlmWeight, dequantize_weight
 from aqlm_tpu.ops.runtime import QuantizedLinear
 
 __all__ = ["HostSTManager"]
+
+
+def _np_dequantize(lin: QuantizedLinear) -> np.ndarray:
+    """Pure-numpy dequantization of a reference-mode projection.
+
+    Runs entirely on host: a 7B model's ST-buffer init would otherwise push
+    ~27 GB of dequantized weights device->host through the dev tunnel (and
+    sustained tunnel load is what kills long runs — NOTES.md)."""
+    codes = np.asarray(lin.codes).astype(np.int64)  # [OG, IG, K]
+    cb = np.asarray(lin.codebooks, np.float32)  # [K, S, og, ig]
+    scales = np.asarray(lin.scales, np.float32)
+    og_n, ig_n, K = codes.shape
+    _, _, og, ig = cb.shape
+    groups = np.zeros((og_n, ig_n, og, ig), np.float32)
+    for k in range(K):
+        groups += cb[k, codes[:, :, k]]
+    if scales.ndim == 1:  # per-output-group
+        groups *= scales[:, None, None, None]
+    else:  # [OG, IG] per-group
+        groups *= scales[:, :, None, None]
+    # [OG, IG, og, ig] -> [OG*og, IG*ig]
+    return groups.transpose(0, 2, 1, 3).reshape(og_n * og, ig_n * ig)
 
 
 class HostSTManager:
@@ -63,12 +84,7 @@ class HostSTManager:
             for name in QUANTIZABLE_PROJS:
                 lin = layer.get(name)
                 if isinstance(lin, QuantizedLinear):
-                    w = dequantize_weight(
-                        AqlmWeight(codes=lin.codes, codebooks=lin.codebooks,
-                                   scales=lin.scales, bias=None, scheme=lin.scheme),
-                        dtype=np.float32,
-                    )
-                    entry[name] = np.array(w, np.float32)  # owned, writable copy
+                    entry[name] = _np_dequantize(lin)  # owned, writable copy
                     me[name] = np.zeros(entry[name].shape, moment_dtype)
                     ve[name] = np.zeros(entry[name].shape, moment_dtype)
                     te[name] = 0

@@ -28,17 +28,34 @@ from aqlm_tpu.models.llama import ModelConfig, rms_norm
 __all__ = ["HostTeacher"]
 
 
-def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "dtype") else x, tree)
+def _to_host(tree, dtype):
+    np_dtype = np.dtype(dtype)
+    memo = {}  # id -> converted array (keeps aliased leaves aliased)
+
+    def conv(x):
+        if not hasattr(x, "dtype"):
+            return x
+        if id(x) in memo:
+            return memo[id(x)]
+        a = np.asarray(x)
+        # cast float leaves to the compute dtype ON THE HOST: the teacher is
+        # transfer-bound through the dev tunnel (a 7B f32 teacher is 26 GB of
+        # host->device traffic per batch; bf16 halves it) and bf16 teachers
+        # are the reference norm (finetune.py --load_dtype)
+        out = a.astype(np_dtype) if np.issubdtype(a.dtype, np.floating) else a
+        memo[id(x)] = out
+        return out
+
+    return jax.tree.map(conv, tree)
 
 
 class HostTeacher:
     """Keeps dense teacher params in host RAM; computes hidden states
     layer-streamed with only one block's weights resident on device."""
 
-    def __init__(self, params: dict, cfg: ModelConfig):
+    def __init__(self, params: dict, cfg: ModelConfig, dtype=jnp.bfloat16):
         self.cfg = cfg
-        self.host_params = _to_host(params)
+        self.host_params = _to_host(params, dtype)
         self._block_jit = jax.jit(partial(self._block_step, cfg))
 
     @staticmethod

@@ -49,25 +49,29 @@ print(f"student built {time.time()-t0:.0f}s; mem peak/now {mem_gb()}", flush=Tru
 t0 = time.time()
 rng = np.random.default_rng(0)
 h, inter, d = cfg.hidden_size, cfg.intermediate_size, cfg.dim_per_head
+_shape_cache = {}
 def nplin(o, i):
+    # one array per unique shape, shared by every layer: the memcheck cares
+    # about transfer/HBM behaviour, not weight content, and 32 distinct f32
+    # layers cost 26 GB of host RAM + ~18 min of RNG
     from aqlm_tpu.models.common import DenseLinear
-    return DenseLinear(weight=rng.standard_normal((o, i), np.float32).astype(np.float32) * 0.02, bias=None)
+    if (o, i) not in _shape_cache:
+        _shape_cache[(o, i)] = rng.standard_normal((o, i), np.float32).astype(np.float32) * 0.02
+    return DenseLinear(weight=_shape_cache[(o, i)], bias=None)
+shared_layer = dict(
+    input_norm=np.ones((h,), np.float32),
+    post_attn_norm=np.ones((h,), np.float32),
+    q_proj=nplin(cfg.num_heads * d, h), k_proj=nplin(cfg.num_kv_heads * d, h),
+    v_proj=nplin(cfg.num_kv_heads * d, h), o_proj=nplin(h, cfg.num_heads * d),
+    gate_proj=nplin(inter, h), up_proj=nplin(inter, h), down_proj=nplin(h, inter),
+)
 teacher = {
     "embed": rng.standard_normal((cfg.vocab_size, h), np.float32).astype(np.float32) * 0.02,
     "final_norm": np.ones((h,), np.float32),
     "lm_head": nplin(cfg.vocab_size, h),
-    "layers": [
-        dict(
-            input_norm=np.ones((h,), np.float32),
-            post_attn_norm=np.ones((h,), np.float32),
-            q_proj=nplin(cfg.num_heads * d, h), k_proj=nplin(cfg.num_kv_heads * d, h),
-            v_proj=nplin(cfg.num_kv_heads * d, h), o_proj=nplin(h, cfg.num_heads * d),
-            gate_proj=nplin(inter, h), up_proj=nplin(inter, h), down_proj=nplin(h, inter),
-        )
-        for _ in range(cfg.num_layers)
-    ],
+    "layers": [dict(shared_layer) for _ in range(cfg.num_layers)],
 }
-ht = HostTeacher(teacher, cfg)
+ht = HostTeacher(teacher, cfg)  # casts to bf16 host-side (shared arrays stay shared)
 print(f"host teacher built {time.time()-t0:.0f}s", flush=True)
 
 t0 = time.time()
