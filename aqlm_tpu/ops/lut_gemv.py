@@ -58,19 +58,24 @@ def lut_tile_n(out_features: int) -> int:
 
 
 def tile_codes(codes_t: jax.Array) -> jax.Array:
-    """[K, IG, OUT] -> [NT, K*IG, tn] (each grid block contiguous in HBM)."""
+    """[K, IG, OUT] -> [NT, IG*K, tn] (each grid block contiguous in HBM).
+
+    Rows are IG-MAJOR (row = ig*K + k): contiguous row blocks then correspond
+    to contiguous INPUT slices, so row-parallel tensor parallelism can shard
+    the row axis directly (serve/tp.py _qlin_spec) — a k-major order would
+    make a row shard a codebook split instead."""
     K, IG, out = codes_t.shape
     tn = lut_tile_n(out)
     assert out % tn == 0, out
-    c2 = codes_t.reshape(K * IG, out)
-    return c2.reshape(K * IG, out // tn, tn).transpose(1, 0, 2)
+    c2 = codes_t.transpose(1, 0, 2).reshape(IG * K, out)
+    return c2.reshape(IG * K, out // tn, tn).transpose(1, 0, 2)
 
 
 def untile_codes(codes_tl: jax.Array, num_codebooks: int) -> jax.Array:
-    """[NT, K*IG, tn] -> [K, IG, OUT] (prefill / dense materialization)."""
+    """[NT, IG*K, tn] -> [K, IG, OUT] (prefill / dense materialization)."""
     nt, kig, tn = codes_tl.shape
     c2 = codes_tl.transpose(1, 0, 2).reshape(kig, nt * tn)
-    return c2.reshape(num_codebooks, kig // num_codebooks, nt * tn)
+    return c2.reshape(kig // num_codebooks, num_codebooks, nt * tn).transpose(1, 0, 2)
 
 
 def _row_tile(kig: int, batch: int = 1) -> int:
@@ -175,10 +180,11 @@ def _build_lut(xb, codebooks, group):
     K, S = codebooks.shape[0], codebooks.shape[1]
     IG = xb.shape[1] // group
     xg = xb.reshape(B, IG, group).astype(jnp.float32)
+    # IG-major rows (row = ig*K + k), matching tile_codes' row order
     lut = jnp.einsum(
-        "big,ksg->bkis", xg, codebooks.astype(jnp.float32),
+        "big,ksg->biks", xg, codebooks.astype(jnp.float32),
         preferred_element_type=jnp.float32,
-    ).reshape(B, K * IG, S)
+    ).reshape(B, IG * K, S)
     return _split_lut(lut)
 
 
@@ -508,8 +514,9 @@ def lut_gemv_kx8_grouped_indexed(
     B = xb.shape[0]
     IG = xb.shape[1] // group
     xg = xb.reshape(B, IG, group).astype(jnp.float32)
+    # IG-major rows (row = ig*K + k), matching tile_codes' row order
     lut = jnp.einsum(
-        "big,pksg->bpkis", xg, cbs.astype(jnp.float32),
+        "big,pksg->bpiks", xg, cbs.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ).reshape(B, P, kig, S)
     lut_lo, lut_hi = _split_lut(lut)

@@ -35,7 +35,8 @@ print("backend:", jax.default_backend(), flush=True)
 cfg = llama.ModelConfig.llama2_7b() if hasattr(llama.ModelConfig, "llama2_7b") else llama.ModelConfig()
 n_layers = int(sys.argv[1]) if len(sys.argv) > 1 else cfg.num_layers
 cfg = dc.replace(cfg, num_layers=n_layers)
-T = 512
+T = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+CHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 256
 
 def mem_gb():
     st = jax.local_devices()[0].memory_stats() or {}
@@ -78,7 +79,7 @@ t0 = time.time()
 mgr = HostSTManager(student, window=1, lr=1e-3, moment_dtype=np.float16)
 print(f"host ST manager built {time.time()-t0:.0f}s; mem peak/now {mem_gb()}", flush=True)
 
-pv = PVConfig(chunk_tokens=256)
+pv = PVConfig(chunk_tokens=CHUNK)
 st_opt = optax.identity()
 fns = make_pv_step(cfg, cfg, pv, st_opt=st_opt, teacher_kind="hidden")
 active = mgr.active_window(0)

@@ -19,15 +19,31 @@ from aqlm_tpu.serve.tp import make_tp_decode_step, tp_shard_serving_params
 
 @pytest.mark.parametrize("quantized_kv", [True, False])
 @pytest.mark.parametrize("mode,fused", [
-    ("int8", True), ("int8", False), ("codes", False),
+    ("int8", True), ("int8", False), ("codes", False), ("codes_tiled", False),
 ])
 def test_tp_decode_matches_single_device(quantized_kv, mode, fused):
-    cfg = llama.ModelConfig.tiny(num_layers=2, num_heads=8, num_kv_heads=4)
+    if mode == "codes_tiled":
+        # TILED codes TP: per-shard OUT must be a tile (128) multiple, so
+        # every projection is 256-wide and the model axis is 2 — the
+        # real-width layout (4096/tp is always a tile multiple)
+        cfg = llama.ModelConfig.tiny(
+            num_layers=2, hidden_size=256, intermediate_size=256,
+            num_heads=4, num_kv_heads=4)
+        tp = 2
+    else:
+        cfg = llama.ModelConfig.tiny(num_layers=2, num_heads=8, num_kv_heads=4)
+        tp = 4
     params = random_quantized_params(
-        jax.random.PRNGKey(0), cfg, SCHEME_2X8, mode=mode, dtype=jnp.float32
+        jax.random.PRNGKey(0), cfg, SCHEME_2X8,
+        mode="codes" if mode == "codes_tiled" else mode, dtype=jnp.float32
     )
     if mode == "int8":
         params = quantize_lm_head_int8(params)  # codes mode: dense vocab-sharded head
+    elif mode == "codes_tiled":
+        for layer in params["layers"]:
+            for name, q in layer.items():
+                if getattr(q, "scheme", None) is not None:
+                    assert q.codes_tl is not None, f"{name} must be tiled"
     else:
         # tiled codes column-shard by OUT tiles: needs OUT/tp % tn == 0, true
         # at real widths (4096/4 = 1024 = 2 tiles) but not at this test's 128.
@@ -58,10 +74,10 @@ def test_tp_decode_matches_single_device(quantized_kv, mode, fused):
         )
         logits_ref.append(lg[:, 0])
 
-    # TP rollout on a model=4 mesh (fusion uses the shard-interleaved layout)
-    tp_params = fuse_projections(params, cfg, tp=4) if fused else params
+    # TP rollout (fusion uses the shard-interleaved layout)
+    tp_params = fuse_projections(params, cfg, tp=tp) if fused else params
     tp_stacked = stack_layer_params(tp_params)
-    mesh = make_mesh(data=2, model=4)
+    mesh = make_mesh(data=8 // tp, model=tp)
     with mesh:
         sharded = tp_shard_serving_params(tp_stacked, mesh)
         step = make_tp_decode_step(cfg, mesh)
@@ -75,7 +91,7 @@ def test_tp_decode_matches_single_device(quantized_kv, mode, fused):
 
     # codes mode: bf16 luts/codebooks accumulate in different shard groupings
     # under row-parallel splits -> bf16-epsilon-level deviations
-    tol = 2e-2 if mode == "codes" else 2e-3
+    tol = 2e-2 if mode.startswith("codes") else 2e-3
     for ref, got in zip(logits_ref, logits_tp):
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=tol, rtol=tol
