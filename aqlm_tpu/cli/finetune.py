@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--st_window", type=int, default=0,
                    help=">0: only N layers' ST buffers on device per step "
                         "(host-RAM Adam + round-robin rotation)")
+    p.add_argument("--scan_blocks", action="store_true",
+                   help="student forward as one lax.scan over stacked blocks: "
+                        "bounds backward transients to one block and compiles "
+                        "once for every --st_window rotation (required at 7B "
+                        "scale; llama-family fully-quantized students only)")
     p.add_argument("--offload_teacher", action="store_true",
                    help="teacher weights in host RAM, layer-streamed forward")
     # optimizer variants (configurable_adam.py parity)
@@ -121,6 +126,7 @@ def main(argv=None) -> dict:
         force_code_update=args.force_code_update,
         stochastic_rounding_tau=args.stochastic_rounding_tau,
         chunk_tokens=args.loss_tokens_per_chunk,
+        scan_blocks=args.scan_blocks,
     )
     from aqlm_tpu.pv import configurable_adamw
 
@@ -186,41 +192,58 @@ def main(argv=None) -> dict:
     for _ in range(start_step * n_micro):  # replay the batch stream to the resume point
         rng.randint(0, n, size=micro)
     losses = []
+    windowed = st_mgr is not None and args.scan_blocks  # single-compile rotation
     for step in range(start_step, args.total_steps):
+        win_start = None
         if st_mgr is not None:
             active = st_mgr.active_window(step)
-            state = _dc.replace(state, st_buffers=[
-                {k: jnp.asarray(v) for k, v in e.items()} for e in st_mgr.fetch(active)
-            ])
+            if windowed:
+                win_start = jnp.int32(active[0])
+                st_dev = {k: jnp.asarray(v) for k, v in st_mgr.fetch_window(active).items()}
+            else:
+                st_dev = [
+                    {k: jnp.asarray(v) for k, v in e.items()} for e in st_mgr.fetch(active)
+                ]
+            state = _dc.replace(state, st_buffers=st_dev)
         # gradient accumulation over microbatches
         acc, loss_sum = None, 0.0
         for _ in range(n_micro):
             idx = rng.randint(0, n, size=micro)
             batch = data[idx]
             t_in = host_teacher.batch(batch) if host_teacher is not None else teacher
-            loss, grads = grad_fn(state, t_in, batch)
+            loss, grads = grad_fn(state, t_in, batch, None, win_start)
             loss_sum += float(loss)
             acc = grads if acc is None else jax.tree.map(jnp.add, acc, grads)
         if st_mgr is not None:
             # buffers update on host; zero their device-side grads so
             # apply_fn's st_opt is a no-op for them
             g_tr, g_st = acc
+            g_list = (
+                st_mgr.window_to_list(active, g_st) if windowed
+                else [{k: np.asarray(v) for k, v in e.items()} for e in g_st]
+            )
             st_mgr.adam_update(active, [
-                {k: np.asarray(v) / n_micro for k, v in e.items()} for e in g_st
+                {k: v / n_micro for k, v in e.items()} for e in g_list
             ])
-            state = _dc.replace(state, st_buffers=[
-                {k: jnp.asarray(v) for k, v in e.items()} for e in st_mgr.fetch(active)
-            ])
+            if windowed:
+                st_dev = {k: jnp.asarray(v) for k, v in st_mgr.fetch_window(active).items()}
+            else:
+                st_dev = [
+                    {k: jnp.asarray(v) for k, v in e.items()} for e in st_mgr.fetch(active)
+                ]
+            state = _dc.replace(state, st_buffers=st_dev)
             acc = (g_tr, jax.tree.map(jnp.zeros_like, g_st))
         state = apply_fn(state, acc, 1.0 / n_micro)
         losses.append(loss_sum / n_micro)
         if args.code_update_every and (step + 1) % args.code_update_every == 0:
             key, sub = jax.random.split(key)
-            state = fns.code_step(state, sub)
+            state = fns.code_step(state, sub, active=active if st_mgr is not None else None)
             if st_mgr is not None:  # persist delta-decay-mixed buffers
-                st_mgr.store(active, [
-                    {k: np.asarray(v) for k, v in e.items()} for e in state.st_buffers
-                ])
+                st_list = (
+                    st_mgr.window_to_list(active, state.st_buffers) if windowed
+                    else [{k: np.asarray(v) for k, v in e.items()} for e in state.st_buffers]
+                )
+                st_mgr.store(active, st_list)
         if args.save_state_every and state_path and (step + 1) % args.save_state_every == 0:
             from aqlm_tpu.io import save_pytree
 

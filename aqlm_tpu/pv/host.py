@@ -106,6 +106,23 @@ class HostSTManager:
             for li in range(self.n_layers)
         ]
 
+    def fetch_window(self, active: tuple[int, ...]) -> dict[str, np.ndarray]:
+        """Windowed-stack form {proj: [W, out, in]} (scan_blocks single-compile
+        path; window slot w maps to layer active[w])."""
+        names = list(self.buffers[active[0]].keys())
+        return {
+            name: np.stack([self.buffers[li][name] for li in active])
+            for name in names
+        }
+
+    def window_to_list(self, active: tuple[int, ...], window: dict) -> list[dict]:
+        """Expand a windowed stack (buffers or grads) to the per-layer list form."""
+        return [
+            {name: np.asarray(stack[active.index(li)]) for name, stack in window.items()}
+            if li in active else {}
+            for li in range(self.n_layers)
+        ]
+
     def adam_update(self, active: tuple[int, ...], g_st: list[dict]) -> None:
         """Debiased Adam on the active buffers (host, numpy)."""
         for li in active:

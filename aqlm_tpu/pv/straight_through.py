@@ -57,7 +57,10 @@ from aqlm_tpu.ops.runtime import QuantizedLinear
 from aqlm_tpu.pv.losses import chunked_kl_loss, kl_divergence_loss
 from aqlm_tpu.pv.trainer import merge_trainable, split_trainable
 
-__all__ = ["PVConfig", "PVState", "PVStepFns", "init_pv_state", "make_pv_step", "pv_code_update"]
+__all__ = [
+    "PVConfig", "PVState", "PVStepFns", "init_pv_state", "make_pv_step",
+    "pv_code_update", "scanned_student_hidden",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,6 +82,14 @@ class PVConfig:
     chunk_tokens: int = 256
     # rematerialize each transformer block in the student backward pass
     remat_blocks: bool = True
+    # student forward as ONE lax.scan over stacked block params instead of a
+    # python-unrolled layer loop. Bounds backward-pass live transients to one
+    # block's dequantized weights (an unrolled 32-block 7B grad graph lets
+    # XLA's scheduler keep several 404 MB dequant transients alive and faults
+    # the chip) and compiles once regardless of depth. Requires the chunked
+    # loss and a homogeneous llama-family student (every QUANTIZABLE_PROJS
+    # a reference-mode QuantizedLinear of one scheme).
+    scan_blocks: bool = False
 
 
 @partial(
@@ -148,6 +159,108 @@ def materialize_st_params(params: dict, st_buffers) -> dict:
     return out
 
 
+def scanned_student_hidden(
+    params: dict, st_buffers, cfg: llama.ModelConfig, input_ids, window_start=None
+):
+    """Student forward to post-final-norm hidden states via one lax.scan.
+
+    The straight-through correction rides a stacked window: active layers'
+    buffers (contiguous, HostSTManager.active_window) are stacked [W, out, in]
+    and the scan body adds ``(st[pos] - stop_grad(st[pos])) * in_window`` to
+    the block's dequantized weight — numerically zero in the primal, routing
+    dL/dW to the window slot in the backward (the straight-through estimator,
+    /root/reference/src/pv_optimizer.py:275-306). Inactive layers forward
+    codes-resident; per-iteration jax.checkpoint keeps their dense weights
+    transient, so peak HBM is O(one block) instead of O(num_layers).
+
+    st_buffers forms:
+      * per-layer list (init_pv_state's) — the window position is static,
+        so each rotation is a separate compile;
+      * windowed dict {proj: [W, out, in]} + ``window_start`` (traced int32)
+        — ONE compile serves every rotation (the window position only enters
+        the masked dynamic slice).
+    """
+    layers = params["layers"]
+    l0 = layers[0]
+    for layer in layers:
+        for name in QUANTIZABLE_PROJS:
+            q = layer.get(name)
+            assert isinstance(q, QuantizedLinear) and q.mode == "reference", (
+                f"scan_blocks needs homogeneous reference-mode layers; {name!r} is {type(q)}"
+            )
+    scheme = l0[QUANTIZABLE_PROJS[0]].scheme
+    compute_dtype = params["embed"].dtype
+
+    codes_stack, cb_stack, sc_stack, bias_stack = {}, {}, {}, {}
+    for name in QUANTIZABLE_PROJS:
+        codes_stack[name] = jnp.stack([l[name].codes for l in layers])
+        cb_stack[name] = jnp.stack([l[name].codebooks for l in layers])
+        sc_stack[name] = jnp.stack([l[name].scales for l in layers])
+        if l0[name].bias is not None:
+            bias_stack[name] = jnp.stack([l[name].bias for l in layers])
+    norm_stack = {
+        name: jnp.stack([l[name] for l in layers])
+        for name in ("input_norm", "post_attn_norm")
+    }
+
+    st_stack = {}
+    start, win = 0, 0
+    if isinstance(st_buffers, dict):
+        if st_buffers:
+            assert window_start is not None, "windowed st_buffers need window_start"
+            st_stack = st_buffers
+            start = window_start
+            win = next(iter(st_buffers.values())).shape[0]
+    else:
+        active = [li for li, e in enumerate(st_buffers) if e]
+        if active:
+            start, win = active[0], len(active)
+            assert active == list(range(start, start + win)), (
+                f"scan_blocks needs a contiguous active window, got {active}"
+            )
+            st_stack = {
+                name: jnp.stack([st_buffers[li][name] for li in active])
+                for name in QUANTIZABLE_PROJS
+            }
+
+    b, t = input_ids.shape
+    positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+    x = jnp.take(params["embed"], input_ids, axis=0)
+    if cfg.gemma_norm:
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+
+    def body(x, xs):
+        codes_l, cb_l, sc_l, bias_l, norms_l, li = xs
+        layer = {
+            "input_norm": norms_l["input_norm"],
+            "post_attn_norm": norms_l["post_attn_norm"],
+        }
+        for name in QUANTIZABLE_PROJS:
+            w = dequantize_weight(
+                AqlmWeight(
+                    codes=codes_l[name], codebooks=cb_l[name], scales=sc_l[name],
+                    bias=None, scheme=scheme,
+                ),
+                dtype=compute_dtype,
+            )
+            if st_stack:
+                pos = jnp.clip(li - start, 0, win - 1)
+                in_win = ((li >= start) & (li < start + win)).astype(jnp.float32)
+                stw = jax.lax.dynamic_index_in_dim(st_stack[name], pos, keepdims=False)
+                corr = (stw - jax.lax.stop_gradient(stw)) * in_win
+                w = (w.astype(jnp.float32) + corr).astype(compute_dtype)
+            layer[name] = DenseLinear(weight=w, bias=bias_l.get(name))
+        out, _ = llama._block(x, layer, cfg, positions, None, None, None)
+        return out, None
+
+    xs = (
+        codes_stack, cb_stack, sc_stack, bias_stack, norm_stack,
+        jnp.arange(len(layers)),
+    )
+    x, _ = jax.lax.scan(jax.checkpoint(body), x, xs)
+    return llama.rms_norm(x, params["final_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+
+
 def init_pv_state(
     params: dict,
     cont_opt: optax.GradientTransformation,
@@ -199,14 +312,24 @@ def make_pv_step(
     cont_opt = cont_opt or optax.adamw(pv.lr, b1=0.9, b2=0.95)
     st_opt = st_opt or optax.adam(pv.code_lr, b1=0.9, b2=0.95)
 
-    def loss_fn(trainable, st, frozen, teacher, input_ids, mask):
+    assert not (pv.scan_blocks and not pv.chunk_tokens), (
+        "scan_blocks requires the chunked loss (chunk_tokens > 0)"
+    )
+
+    def loss_fn(trainable, st, frozen, teacher, input_ids, mask, window_start=None):
         params = merge_trainable(trainable, frozen)
-        eff = materialize_st_params(params, st)
         if pv.chunk_tokens:
-            s_hidden, _ = forward_fn(
-                eff, student_cfg, input_ids,
-                return_hidden=True, remat_blocks=pv.remat_blocks,
-            )
+            if pv.scan_blocks:
+                eff = params
+                s_hidden = scanned_student_hidden(
+                    params, st, student_cfg, input_ids, window_start
+                )
+            else:
+                eff = materialize_st_params(params, st)
+                s_hidden, _ = forward_fn(
+                    eff, student_cfg, input_ids,
+                    return_hidden=True, remat_blocks=pv.remat_blocks,
+                )
             if teacher_kind == "hidden":
                 t_hidden = teacher["hidden"]
                 t_head, t_embed = teacher.get("head"), teacher.get("embed")
@@ -220,15 +343,17 @@ def make_pv_step(
                 chunk_tokens=pv.chunk_tokens, softcap=student_cfg.logit_softcap,
             )
         assert teacher_kind == "params", "full-logit KL needs teacher params"
+        eff = materialize_st_params(params, st)
         student_logits, _ = forward_fn(
             eff, student_cfg, input_ids, remat_blocks=pv.remat_blocks
         )
         teacher_logits, _ = forward_fn(teacher, teacher_cfg, input_ids)
         return kl_divergence_loss(student_logits, jax.lax.stop_gradient(teacher_logits), mask)
 
-    def grad_fn(state: PVState, teacher, input_ids, mask=None):
+    def grad_fn(state: PVState, teacher, input_ids, mask=None, window_start=None):
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            state.trainable, state.st_buffers, state.frozen, teacher, input_ids, mask
+            state.trainable, state.st_buffers, state.frozen, teacher, input_ids,
+            mask, window_start,
         )
         return loss, grads
 
@@ -247,22 +372,36 @@ def make_pv_step(
             step=state.step + 1,
         )
 
-    def grad_step(state: PVState, teacher, input_ids, mask=None):
-        loss, grads = grad_fn(state, teacher, input_ids, mask)
+    def grad_step(state: PVState, teacher, input_ids, mask=None, window_start=None):
+        loss, grads = grad_fn(state, teacher, input_ids, mask, window_start)
         return apply_fn(state, grads), loss
 
-    def code_step(state: PVState, key: jax.Array) -> PVState:
-        return pv_code_update(state, pv, key)
+    def code_step(state: PVState, key: jax.Array, active=None) -> PVState:
+        return pv_code_update(state, pv, key, active=active)
 
     return PVStepFns(grad_step, code_step, grad_fn, apply_fn)
 
 
-def pv_code_update(state: PVState, pv: PVConfig, key: jax.Array) -> PVState:
-    """The V step: beam-search codes toward each ST buffer, then delta-mix."""
+def pv_code_update(state: PVState, pv: PVConfig, key: jax.Array, active=None) -> PVState:
+    """The V step: beam-search codes toward each ST buffer, then delta-mix.
+
+    st_buffers may be the per-layer list (active = layers with entries) or the
+    windowed stack {proj: [W, out, in]} — then `active` (window slot -> layer
+    index) must be given.
+    """
     params = merge_trainable(state.trainable, state.frozen)
+    if isinstance(state.st_buffers, dict):
+        assert active is not None, "windowed st_buffers need the active layer indices"
+        st_list = [
+            {name: stack[active.index(li)] for name, stack in state.st_buffers.items()}
+            if li in active else {}
+            for li in range(len(params["layers"]))
+        ]
+    else:
+        st_list = state.st_buffers
     new_frozen = jax.tree.map(lambda x: x, state.frozen, is_leaf=lambda x: x is None)
     new_st = []
-    for li, (layer, bufs) in enumerate(zip(params["layers"], state.st_buffers)):
+    for li, (layer, bufs) in enumerate(zip(params["layers"], st_list)):
         entry = {}
         for name, st in bufs.items():
             q: QuantizedLinear = layer[name]
@@ -294,6 +433,11 @@ def pv_code_update(state: PVState, pv: PVConfig, key: jax.Array) -> PVState:
                 st = pv.delta_decay * w_new + (1.0 - pv.delta_decay) * st
             entry[name] = st
         new_st.append(entry)
+    if isinstance(state.st_buffers, dict):  # restore the windowed stack form
+        new_st = {
+            name: jnp.stack([new_st[li][name] for li in active])
+            for name in state.st_buffers
+        }
     return PVState(
         trainable=state.trainable,
         frozen=new_frozen,

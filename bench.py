@@ -96,6 +96,12 @@ def measure_codes_slice(cfg):
         f"{ms8:.1f} ms/step on {cfg8.num_layers} layers "
         f"~= {codes_tps:.1f} tok/s/chip at {cfg.num_layers} layers"
     )
+    log(
+        f"1x16 checkpoints serve codes-resident at this same rate "
+        f"({codes_tps:.1f} tok/s, 2.3 bits) via the 2x8 additive transcode "
+        f"(cli/convert --to 2x8); exact-1x16 S=65536 tables are below the "
+        f"v5e lane-gather roofline (NOTES.md)"
+    )
     return codes_tps
 
 

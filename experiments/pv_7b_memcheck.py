@@ -79,7 +79,8 @@ t0 = time.time()
 mgr = HostSTManager(student, window=1, lr=1e-3, moment_dtype=np.float16)
 print(f"host ST manager built {time.time()-t0:.0f}s; mem peak/now {mem_gb()}", flush=True)
 
-pv = PVConfig(chunk_tokens=CHUNK)
+SCAN = "noscan" not in sys.argv  # scan_blocks: the 32L-viable student forward
+pv = PVConfig(chunk_tokens=CHUNK, scan_blocks=SCAN)
 st_opt = optax.identity()
 fns = make_pv_step(cfg, cfg, pv, st_opt=st_opt, teacher_kind="hidden")
 active = mgr.active_window(0)
@@ -103,7 +104,7 @@ state = _dc.replace(state, st_buffers=[
     {k: jnp.asarray(v) for k, v in e.items()} for e in mgr.fetch(active)
 ])
 t0 = time.time()
-state = fns.code_step(state, jax.random.PRNGKey(1))
+state = fns.code_step(state, jax.random.PRNGKey(1), active=active)
 jax.block_until_ready(jax.tree.leaves(state.frozen)[0])
 print(f"V step (beam search, active block) {time.time()-t0:.0f}s; mem peak/now {mem_gb()}", flush=True)
 

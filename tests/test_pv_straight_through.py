@@ -210,3 +210,83 @@ def test_host_st_manager_round_robin(key):
     assert not np.allclose(mgr.buffers[0]["q_proj"], st[0]["q_proj"])
     for k, v in before2.items():
         np.testing.assert_array_equal(v, mgr.buffers[2][k])
+
+
+def test_scan_blocks_matches_unrolled(key):
+    """scan_blocks student forward == the unrolled path: loss AND grads.
+
+    f32 params so the two schedules are bit-comparable; 3 layers with a
+    contiguous active window in the middle exercises the masked
+    dynamic-slice ST correction on both sides of the window."""
+    cfg = llama.ModelConfig.tiny(num_layers=3)
+    student = random_quantized_params(
+        key, cfg, SCHEME_2X8, mode="reference", dtype=jnp.float32
+    )
+    teacher = llama.init_random_params(jax.random.PRNGKey(42), cfg, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+
+    cont_opt = optax.adamw(1e-3)
+    st_opt = optax.adam(3e-3)
+    grads = {}
+    losses = {}
+    for scan in (False, True):
+        pv = PVConfig(chunk_tokens=8, scan_blocks=scan)
+        fns = make_pv_step(cfg, cfg, pv)
+        state = init_pv_state(student, cont_opt, st_opt, active_layers=(1,))
+        loss, g = jax.jit(fns.grad_fn)(state, teacher, ids)
+        losses[scan] = float(loss)
+        grads[scan] = g
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+    flat_u, tree_u = jax.tree.flatten(grads[False])
+    flat_s, tree_s = jax.tree.flatten(grads[True])
+    assert tree_u == tree_s
+    for a, b in zip(flat_u, flat_s):
+        np.testing.assert_allclose(
+            np.asarray(b, np.float32), np.asarray(a, np.float32),
+            rtol=1e-4, atol=1e-5,
+        )
+
+
+def test_windowed_st_matches_list_form(key):
+    """Windowed {proj: [W,...]} + traced window_start == per-layer list form
+    for loss, trainable grads, and the ST grads (slot <-> layer mapping);
+    the V step round-trips the windowed structure."""
+    import dataclasses as _dc
+
+    cfg = llama.ModelConfig.tiny(num_layers=3)
+    student = random_quantized_params(
+        key, cfg, SCHEME_2X8, mode="reference", dtype=jnp.float32
+    )
+    teacher = llama.init_random_params(jax.random.PRNGKey(42), cfg, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+
+    pv = PVConfig(chunk_tokens=8, scan_blocks=True)
+    fns = make_pv_step(cfg, cfg, pv)
+    grad_fn = jax.jit(fns.grad_fn)
+    cont_opt = optax.adamw(1e-3)
+    st_opt = optax.identity()
+
+    for active in ((0,), (1,), (2,)):
+        state_l = init_pv_state(student, cont_opt, st_opt, active_layers=active)
+        loss_l, (gtr_l, gst_l) = grad_fn(state_l, teacher, ids)
+
+        window = {
+            name: jnp.stack([state_l.st_buffers[li][name] for li in active])
+            for name in state_l.st_buffers[active[0]]
+        }
+        state_w = _dc.replace(state_l, st_buffers=window)
+        loss_w, (gtr_w, gst_w) = grad_fn(
+            state_w, teacher, ids, None, jnp.int32(active[0])
+        )
+        np.testing.assert_allclose(float(loss_w), float(loss_l), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(gtr_l), jax.tree.leaves(gtr_w)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6)
+        for name, stack in gst_w.items():
+            np.testing.assert_allclose(
+                np.asarray(stack[0]), np.asarray(gst_l[active[0]][name]),
+                rtol=1e-4, atol=1e-6,
+            )
+
+        state_w2 = fns.code_step(state_w, jax.random.PRNGKey(7), active=active)
+        assert isinstance(state_w2.st_buffers, dict)
+        assert set(state_w2.st_buffers) == set(window)
