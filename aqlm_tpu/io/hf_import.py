@@ -418,3 +418,64 @@ def load_hf_opt_checkpoint(path: str, *, dtype=jnp.float32):
             )
         )
     return params, cfg
+
+
+def load_hf_cohere_checkpoint(path: str, *, dtype=jnp.float32):
+    """Import an HF cohere (Command-R) checkpoint into cohere.py params.
+
+    Cohere is in the reference's LLAMA_LIKE dispatch set
+    (/root/reference/src/modelutils.py:17) with llama-shaped projections;
+    the parallel block / interleaved rope / logit_scale live in
+    models/cohere.py. lm_head is tied to the embedding."""
+    import json as _json
+    import os as _os
+
+    from aqlm_tpu.models.cohere import CohereConfig
+
+    with open(_os.path.join(path, "config.json")) as f:
+        hc = _json.load(f)
+    assert hc.get("model_type") == "cohere", hc.get("model_type")
+    cfg = CohereConfig(
+        vocab_size=hc["vocab_size"],
+        hidden_size=hc["hidden_size"],
+        intermediate_size=hc["intermediate_size"],
+        num_layers=hc["num_hidden_layers"],
+        num_heads=hc["num_attention_heads"],
+        num_kv_heads=hc.get("num_key_value_heads", hc["num_attention_heads"]),
+        rope_theta=hc.get("rope_theta", 10000.0),
+        max_position_embeddings=hc.get("max_position_embeddings", 8192),
+        ln_eps=hc.get("layer_norm_eps", 1e-5),
+        logit_scale=hc.get("logit_scale", 1.0),
+        use_qk_norm=hc.get("use_qk_norm", False),
+    )
+    sd = _load_state_dict(path)
+
+    def arr(key):
+        return jnp.asarray(np.asarray(sd[key], np.float32), dtype)
+
+    def lin(prefix):
+        return DenseLinear(weight=arr(f"{prefix}.weight"), bias=None)
+
+    params = {
+        "embed": arr("model.embed_tokens.weight"),
+        "final_norm": arr("model.norm.weight"),
+        "layers": [],
+    }
+    d = cfg.dim_per_head
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        layer = dict(
+            input_norm=arr(f"{p}.input_layernorm.weight"),
+            q_proj=lin(f"{p}.self_attn.q_proj"),
+            k_proj=lin(f"{p}.self_attn.k_proj"),
+            v_proj=lin(f"{p}.self_attn.v_proj"),
+            o_proj=lin(f"{p}.self_attn.o_proj"),
+            gate_proj=lin(f"{p}.mlp.gate_proj"),
+            up_proj=lin(f"{p}.mlp.up_proj"),
+            down_proj=lin(f"{p}.mlp.down_proj"),
+        )
+        if cfg.use_qk_norm:
+            layer["q_norm"] = arr(f"{p}.self_attn.q_norm.weight").reshape(cfg.num_heads, d)
+            layer["k_norm"] = arr(f"{p}.self_attn.k_norm.weight").reshape(cfg.num_kv_heads, d)
+        params["layers"].append(layer)
+    return params, cfg

@@ -1,6 +1,7 @@
-"""Model definitions: llama family, mixtral MoE, stacked serving execution."""
+"""Model definitions: llama family, mixtral MoE, parallel-attention families
+(falcon / opt / cohere), stacked serving execution."""
 
-from aqlm_tpu.models import llama, mixtral
+from aqlm_tpu.models import cohere, falcon, llama, mixtral, opt
 from aqlm_tpu.models.common import (
     DenseLinear,
     apply_linear,
@@ -12,8 +13,11 @@ from aqlm_tpu.models.common import (
 )
 
 __all__ = [
+    "cohere",
+    "falcon",
     "llama",
     "mixtral",
+    "opt",
     "DenseLinear",
     "apply_linear",
     "attention",

@@ -1,7 +1,8 @@
-"""Llama-family causal LM in pure JAX (covers llama/mistral/qwen2/gemma/
-cohere-style configs via ModelConfig knobs; the reference's family dispatch
-lives in /root/reference/src/modelutils.py:17,140-176 — here one config class
-replaces the per-family tables).
+"""Llama-family causal LM in pure JAX (covers llama/mistral/qwen2/gemma
+configs via ModelConfig knobs; cohere lives in models/cohere.py — its
+parallel block and interleaved rope don't fit these knobs. The reference's
+family dispatch lives in /root/reference/src/modelutils.py:17,140-176 —
+here one config class replaces the per-family tables).
 
 Parameters are a plain pytree; every projection is either a DenseLinear or a
 QuantizedLinear (any runtime mode), mirroring how the reference swaps
