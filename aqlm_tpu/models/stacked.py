@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from aqlm_tpu.models import llama
+from aqlm_tpu.models.cohere import CohereConfig, cohere_layer_norm, rope_interleaved
 from aqlm_tpu.models.common import (
     apply_linear,
     attention,
@@ -30,6 +31,8 @@ from aqlm_tpu.models.common import (
     rms_norm,
     rope,
 )
+from aqlm_tpu.models.falcon import FalconConfig, layer_norm
+from aqlm_tpu.models.opt import OptConfig
 from aqlm_tpu.ops.flash_decode import (
     flash_decode_attention,
     flash_decode_attention_indexed,
@@ -37,7 +40,25 @@ from aqlm_tpu.ops.flash_decode import (
     kv_write_inplace,
 )
 
-__all__ = ["KVCache", "stack_layer_params", "forward_stacked", "init_kv_cache"]
+__all__ = ["KVCache", "stack_layer_params", "forward_stacked", "init_kv_cache", "model_family"]
+
+
+def model_family(cfg: llama.ModelConfig) -> str:
+    """Block-style dispatch for the stacked/serving path.
+
+    The reference serves every family through HF's per-architecture modules
+    (/root/reference/src/modelutils.py:140-176 dispatch tables); here ONE
+    scan program covers all of them — the family only selects the block
+    front (norm + rope) and back (MLP + residual topology), while the KV
+    cache, flash-decode kernels, fusion, and quantized-matmul machinery are
+    shared."""
+    if isinstance(cfg, CohereConfig):
+        return "cohere"
+    if isinstance(cfg, FalconConfig):
+        return "falcon"
+    if isinstance(cfg, OptConfig):
+        return "opt"
+    return "llama"
 
 
 @partial(
@@ -159,8 +180,13 @@ def forward_stacked(
             lambda c, x, off: jax.lax.dynamic_update_slice_in_dim(c, x, off, axis=1)
         )(buf, new_hm, offsets)
 
+    fam = model_family(cfg)
+
     x = jnp.take(params["embed"], input_ids, axis=0)
-    if cfg.gemma_norm:
+    if fam == "opt":
+        # learned positions with OPT's +2 offset (models/opt.py::embed)
+        x = x + jnp.take(params["pos_embed"], positions + 2, axis=0)
+    elif cfg.gemma_norm:
         x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
 
     d = cfg.dim_per_head
@@ -225,7 +251,14 @@ def forward_stacked(
         for n in fnames:
             layer[n] = IndexedFusedCodesLinear(stacked=stacked_layers[n], idx=i)
         res = x
-        xn = rms_norm(x, layer["input_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+        if fam == "llama":
+            xn = rms_norm(x, layer["input_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+        elif fam == "cohere":
+            xn = cohere_layer_norm(x, layer["input_norm"], cfg.ln_eps)
+        elif fam == "falcon":
+            xn = layer_norm(x, layer["input_norm"], layer["input_norm_bias"], cfg.ln_eps)
+        else:  # opt
+            xn = layer_norm(x, layer["attn_norm"], layer["attn_norm_bias"], cfg.ln_eps)
         if "qkv_proj" in layer:  # fused (serve/fuse.py)
             nq, nkv = cfg.num_heads * d, cfg.num_kv_heads * d
             qkv = apply_linear(xn, layer["qkv_proj"])
@@ -236,7 +269,13 @@ def forward_stacked(
             q = apply_linear(xn, layer["q_proj"]).reshape(b, t, cfg.num_heads, d)
             k = apply_linear(xn, layer["k_proj"]).reshape(b, t, cfg.num_kv_heads, d)
             v = apply_linear(xn, layer["v_proj"]).reshape(b, t, cfg.num_kv_heads, d)
-        q, k = rope(q, k, positions, cfg.rope_theta)
+        if fam == "cohere":
+            if cfg.use_qk_norm:  # per-head LayerNorm over head_dim (command-r-plus)
+                q = cohere_layer_norm(q, layer["q_norm"], cfg.ln_eps)
+                k = cohere_layer_norm(k, layer["k_norm"], cfg.ln_eps)
+            q, k = rope_interleaved(q, k, positions, cfg.rope_theta)
+        elif fam != "opt":  # opt: learned positions, no rope
+            q, k = rope(q, k, positions, cfg.rope_theta)
 
         new_kv = None
         if flash:
@@ -290,6 +329,40 @@ def forward_stacked(
         else:
             attn = attention(q, k, v, mask)
         attn = attn.astype(x.dtype)
+
+        if fam == "cohere":
+            # PARALLEL block: attention and SwiGLU MLP both read the shared
+            # xn and residual-add into the block input (models/cohere.py)
+            attn_out = apply_linear(attn.reshape(b, t, -1), layer["o_proj"])
+            if "gateup_proj" in layer:  # fused (serve/fuse.py)
+                gu = apply_linear(xn, layer["gateup_proj"]).astype(jnp.float32)
+                gate, up = jnp.split(gu, 2, axis=-1)
+            else:
+                gate = apply_linear(xn, layer["gate_proj"]).astype(jnp.float32)
+                up = apply_linear(xn, layer["up_proj"]).astype(jnp.float32)
+            hidden = (jax.nn.silu(gate) * up).astype(x.dtype)
+            x = res + attn_out + apply_linear(hidden, layer["down_proj"])
+            if flash:
+                return (x, kv_full), None
+            return x, new_kv
+        if fam == "falcon":
+            # PARALLEL block, GELU MLP from the shared xn (models/falcon.py)
+            attn_out = apply_linear(attn.reshape(b, t, -1), layer["o_proj"])
+            h1 = jax.nn.gelu(apply_linear(xn, layer["fc1"]).astype(jnp.float32)).astype(x.dtype)
+            x = res + attn_out + apply_linear(h1, layer["fc2"])
+            if flash:
+                return (x, kv_full), None
+            return x, new_kv
+        if fam == "opt":
+            # sequential pre-LN block, ReLU MLP (models/opt.py)
+            x = res + apply_linear(attn.reshape(b, t, -1), layer["out_proj"])
+            res = x
+            xn2 = layer_norm(x, layer["mlp_norm"], layer["mlp_norm_bias"], cfg.ln_eps)
+            h1 = jax.nn.relu(apply_linear(xn2, layer["fc1"]).astype(jnp.float32)).astype(x.dtype)
+            x = res + apply_linear(h1, layer["fc2"])
+            if flash:
+                return (x, kv_full), None
+            return x, new_kv
 
         x = res + apply_linear(attn.reshape(b, t, -1), layer["o_proj"])
         res = x
@@ -346,13 +419,20 @@ def forward_stacked(
         x, _ = jax.lax.scan(lambda c, s: block(c, (s[0], s[1], None)), x, (layer_ids, rest))
         new_cache = None
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+    if fam == "llama":
+        x = rms_norm(x, params["final_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+    elif fam == "cohere":
+        x = cohere_layer_norm(x, params["final_norm"], cfg.ln_eps)
+    else:  # falcon / opt
+        x = layer_norm(x, params["final_norm"], params["final_norm_bias"], cfg.ln_eps)
     if params.get("lm_head") is not None:
         logits = apply_linear(x, params["lm_head"])
     else:
         logits = jnp.einsum(
             "bth,vh->btv", x, params["embed"].astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(x.dtype)
+    if fam == "cohere":
+        logits = logits * jnp.asarray(cfg.logit_scale, logits.dtype)
     if cfg.logit_softcap:
         c = cfg.logit_softcap
         logits = (jnp.tanh(logits.astype(jnp.float32) / c) * c).astype(x.dtype)
