@@ -55,9 +55,17 @@ def resolve_model(spec: str, *, dtype=jnp.float32, mode: str = "reference"):
 
         params, cfg, _ = load_hf_aqlm_checkpoint(spec, mode=mode, dtype=dtype)
         return params, cfg, "quantized"
-    from aqlm_tpu.io.hf_import import load_hf_dense_checkpoint
+    from aqlm_tpu.io import hf_import
 
-    params, cfg = load_hf_dense_checkpoint(spec, dtype=dtype)
+    # family dispatch by HF model_type (the reference's get_model tables,
+    # /root/reference/src/modelutils.py:48-114,140-176)
+    loader = {
+        "falcon": hf_import.load_hf_falcon_checkpoint,
+        "opt": hf_import.load_hf_opt_checkpoint,
+        "cohere": hf_import.load_hf_cohere_checkpoint,
+        "mixtral": hf_import.load_hf_mixtral_checkpoint,
+    }.get(config.get("model_type"), hf_import.load_hf_dense_checkpoint)
+    params, cfg = loader(spec, dtype=dtype)
     return params, cfg, "dense"
 
 

@@ -39,7 +39,11 @@ def main(argv=None) -> dict:
         )
         if args.nsamples:
             ids = ids[: args.nsamples]
-        ppl = evaluate_perplexity(params, cfg, ids, batch_size=args.batch_size)
+        from aqlm_tpu.models.family import forward_fn
+
+        ppl = evaluate_perplexity(
+            params, cfg, ids, batch_size=args.batch_size, forward_fn=forward_fn(cfg)
+        )
         results[f"ppl_{ds}"] = ppl
         print(f"{ds} perplexity: {ppl:.4f}")
 
@@ -54,7 +58,9 @@ def main(argv=None) -> dict:
 
             tokenizer = load_tokenizer(args.model_path)
             assert tokenizer is not None, "harness tasks need a tokenizer next to the model"
-            lm = make_lm_eval_adapter(params, cfg, tokenizer)
+            from aqlm_tpu.models.family import forward_fn as _family_forward
+
+            lm = make_lm_eval_adapter(params, cfg, tokenizer, forward_fn=_family_forward(cfg))
             harness = lm_eval.simple_evaluate(model=lm, tasks=args.tasks)
             results["lm_eval"] = harness["results"]
             print(json.dumps(harness["results"], default=str))

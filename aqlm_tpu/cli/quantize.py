@@ -116,7 +116,11 @@ def main(argv=None) -> dict:
         on_save=args.on_save,
     )
     t0 = time.time()
-    params, stats = quantize_model(params, cfg, data, pipe, val_input_ids=val_data)
+    from aqlm_tpu.models.family import forward_fn, taps_fn
+
+    params, stats = quantize_model(
+        params, cfg, data, pipe, val_input_ids=val_data, taps_fn=taps_fn(cfg)
+    )
     stats["quantization_time_s"] = time.time() - t0
     stats["memory"] = device_memory_stats()
     logger.log({"avg_bits": stats["avg_bits"], "time_s": stats["quantization_time_s"]})
@@ -130,7 +134,7 @@ def main(argv=None) -> dict:
             ds, args.eval_nsamples, args.model_seqlen, args.model_path, cfg,
             seed=args.seed + 1, eval_mode=True,
         )[: args.eval_nsamples]
-        ppl = evaluate_perplexity(params, cfg, eval_ids)
+        ppl = evaluate_perplexity(params, cfg, eval_ids, forward_fn=forward_fn(cfg))
         stats[f"ppl_{ds}"] = ppl
         logger.log({f"ppl_{ds}": ppl})
         print(f"{ds} perplexity: {ppl:.4f}")

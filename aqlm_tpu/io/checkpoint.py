@@ -112,14 +112,17 @@ def save_quantized_model(save_dir: str, params: dict, cfg: ModelConfig, extra_co
     os.makedirs(save_dir, exist_ok=True)
     scheme_name = None
     for layer in params["layers"]:
-        for name in QUANTIZABLE_PROJS:
-            if isinstance(layer.get(name), QuantizedLinear):
-                scheme_name = layer[name].scheme.name
+        for value in layer.values():
+            if isinstance(value, QuantizedLinear):
+                scheme_name = value.scheme.name
                 break
         if scheme_name:
             break
     scheme = AqlmScheme.parse(scheme_name) if scheme_name else None
+    from aqlm_tpu.models.family import family_name
+
     config = {
+        "model_family": family_name(cfg),
         "model_config": dataclasses.asdict(cfg),
         "quantization_config": None
         if scheme is None
@@ -138,6 +141,10 @@ def save_quantized_model(save_dir: str, params: dict, cfg: ModelConfig, extra_co
         json.dump(config, f, indent=2)
 
     shared = {"embed": np.asarray(params["embed"]), "final_norm": np.asarray(params["final_norm"])}
+    # family extras: falcon/opt biased final LayerNorm, opt learned positions
+    for extra in ("final_norm_bias", "pos_embed"):
+        if params.get(extra) is not None:
+            shared[extra] = np.asarray(params[extra])
     if params.get("lm_head") is not None:
         shared["lm_head.weight"] = np.asarray(params["lm_head"].weight)
         if params["lm_head"].bias is not None:
@@ -152,10 +159,16 @@ def save_quantized_model(save_dir: str, params: dict, cfg: ModelConfig, extra_co
 def load_quantized_model(save_dir: str) -> tuple[dict, ModelConfig]:
     with open(os.path.join(save_dir, "config.json")) as f:
         config = json.load(f)
-    cfg = ModelConfig(**config["model_config"])
+    from aqlm_tpu.models.family import config_class
+
+    cfg = config_class(config.get("model_family", "llama"))(**config["model_config"])
+    extras = {}
     with np.load(os.path.join(save_dir, "shared.npz")) as data:
         embed = jnp.asarray(data["embed"])
         final_norm = jnp.asarray(data["final_norm"])
+        for extra in ("final_norm_bias", "pos_embed"):
+            if extra in data.files:
+                extras[extra] = jnp.asarray(data[extra])
         lm_head = None
         if "lm_head.weight" in data.files:
             lm_head = DenseLinear(
@@ -169,6 +182,6 @@ def load_quantized_model(save_dir: str) -> tuple[dict, ModelConfig]:
             raise FileNotFoundError(f"missing layer_{li}.npz in {save_dir}")
         layers.append(layer)
     return (
-        {"embed": embed, "layers": layers, "final_norm": final_norm, "lm_head": lm_head},
+        {"embed": embed, "layers": layers, "final_norm": final_norm, "lm_head": lm_head, **extras},
         cfg,
     )

@@ -479,3 +479,67 @@ def load_hf_cohere_checkpoint(path: str, *, dtype=jnp.float32):
             layer["k_norm"] = arr(f"{p}.self_attn.k_norm.weight").reshape(cfg.num_kv_heads, d)
         params["layers"].append(layer)
     return params, cfg
+
+
+def load_hf_mixtral_checkpoint(path: str, *, dtype=jnp.float32):
+    """Import an HF Mixtral checkpoint into mixtral.py params.
+
+    The reference quantizes Mixtral through its hub model + per-expert
+    sequential groups (/root/reference/main.py:232-264 handles
+    block_sparse_moe.experts.*); here the expert projections land in the
+    flat `experts.{e}.{gate,up,down}_proj` layout that the generic pipeline
+    and the stacked-expert serving kernels consume. HF naming: w1=gate,
+    w2=down, w3=up."""
+    import json as _json
+    import os as _os
+
+    from aqlm_tpu.models.mixtral import MixtralConfig
+
+    with open(_os.path.join(path, "config.json")) as f:
+        hc = _json.load(f)
+    assert hc.get("model_type") == "mixtral", hc.get("model_type")
+    cfg = MixtralConfig(
+        vocab_size=hc["vocab_size"],
+        hidden_size=hc["hidden_size"],
+        intermediate_size=hc["intermediate_size"],
+        num_layers=hc["num_hidden_layers"],
+        num_heads=hc["num_attention_heads"],
+        num_kv_heads=hc.get("num_key_value_heads", hc["num_attention_heads"]),
+        rope_theta=hc.get("rope_theta", 1e6),
+        rms_eps=hc.get("rms_norm_eps", 1e-5),
+        max_position_embeddings=hc.get("max_position_embeddings", 32768),
+        num_experts=hc.get("num_local_experts", 8),
+        num_experts_per_tok=hc.get("num_experts_per_tok", 2),
+    )
+    sd = _load_state_dict(path)
+
+    def arr(key):
+        return jnp.asarray(np.asarray(sd[key], np.float32), dtype)
+
+    def lin(prefix):
+        return DenseLinear(weight=arr(f"{prefix}.weight"), bias=None)
+
+    params = {
+        "embed": arr("model.embed_tokens.weight"),
+        "final_norm": arr("model.norm.weight"),
+        "lm_head": lin("lm_head") if "lm_head.weight" in sd else None,
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        layer = dict(
+            input_norm=arr(f"{p}.input_layernorm.weight"),
+            post_attn_norm=arr(f"{p}.post_attention_layernorm.weight"),
+            q_proj=lin(f"{p}.self_attn.q_proj"),
+            k_proj=lin(f"{p}.self_attn.k_proj"),
+            v_proj=lin(f"{p}.self_attn.v_proj"),
+            o_proj=lin(f"{p}.self_attn.o_proj"),
+            moe_gate=lin(f"{p}.block_sparse_moe.gate"),
+        )
+        for e in range(cfg.num_experts):
+            ep = f"{p}.block_sparse_moe.experts.{e}"
+            layer[f"experts.{e}.gate_proj"] = lin(f"{ep}.w1")
+            layer[f"experts.{e}.down_proj"] = lin(f"{ep}.w2")
+            layer[f"experts.{e}.up_proj"] = lin(f"{ep}.w3")
+        params["layers"].append(layer)
+    return params, cfg

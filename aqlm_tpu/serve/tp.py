@@ -28,8 +28,9 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from aqlm_tpu.models import llama
+from aqlm_tpu.models.cohere import cohere_layer_norm, rope_interleaved
 from aqlm_tpu.models.common import apply_linear, attention_headmajor, make_causal_mask, rms_norm, rope
-from aqlm_tpu.models.stacked import KVCache, _dequantize_kv, _quantize_kv
+from aqlm_tpu.models.stacked import KVCache, _dequantize_kv, _quantize_kv, model_family
 from aqlm_tpu.ops.runtime import IndexedQuantizedLinear, QuantizedLinear
 
 __all__ = ["tp_shard_serving_params", "make_tp_decode_step", "tp_kv_cache_spec"]
@@ -100,6 +101,8 @@ def tp_serving_param_specs(stacked: dict, ma: str = "model") -> dict:
     for name, v in stacked["layers"].items():
         if isinstance(v, QuantizedLinear):
             layer_specs[name] = _qlin_spec(name, v, ma)
+        elif name in ("q_norm", "k_norm"):  # cohere per-head qk-norm [L, H, D]:
+            layer_specs[name] = P(None, ma, None)  # heads shard with the columns
         else:  # norms [L, H] replicated
             layer_specs[name] = jax.tree.map(lambda _: P(None, None), v)
     head = stacked.get("lm_head")
@@ -158,7 +161,15 @@ def make_tp_decode_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
 
     step(params, cache, tokens [B,1], offsets [B]) -> (logits [B,1,V], cache)
     Requires num_kv_heads and num_heads divisible by the model-axis size.
+
+    Families: llama layout and cohere (Command-R). Cohere's PARALLEL block is
+    a TP bonus: o_proj and down_proj partial sums share one residual add, so
+    the two megatron all-reduces per block FUSE into a single psum (falcon's
+    1-KV-head MQA cannot shard kv heads; opt fits one chip — both stay on the
+    single-chip engine).
     """
+    fam = model_family(cfg)
+    assert fam in ("llama", "cohere"), f"TP serving supports llama/cohere layouts, not {fam}"
     tp = mesh.shape[ma]
     assert cfg.num_kv_heads % tp == 0 and cfg.num_heads % tp == 0, (cfg, tp)
     d = cfg.dim_per_head
@@ -166,7 +177,10 @@ def make_tp_decode_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
 
     def local_block(x, layer, kv, positions, offsets, mask, b, t):
         res = x
-        xn = rms_norm(x, layer["input_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+        if fam == "cohere":
+            xn = cohere_layer_norm(x, layer["input_norm"], cfg.ln_eps)
+        else:
+            xn = rms_norm(x, layer["input_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
         if "qkv_proj" in layer:
             qkv = apply_linear(xn, layer["qkv_proj"])  # local heads
             nq, nkv = hq_l * d, hkv_l * d
@@ -177,7 +191,13 @@ def make_tp_decode_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
             q = apply_linear(xn, layer["q_proj"]).reshape(b, t, hq_l, d)
             k = apply_linear(xn, layer["k_proj"]).reshape(b, t, hkv_l, d)
             v = apply_linear(xn, layer["v_proj"]).reshape(b, t, hkv_l, d)
-        q, k = rope(q, k, positions, cfg.rope_theta)
+        if fam == "cohere":
+            if cfg.use_qk_norm:  # per-head qk-norm, local heads only
+                q = cohere_layer_norm(q, layer["q_norm"], cfg.ln_eps)
+                k = cohere_layer_norm(k, layer["k_norm"], cfg.ln_eps)
+            q, k = rope_interleaved(q, k, positions, cfg.rope_theta)
+        else:
+            q, k = rope(q, k, positions, cfg.rope_theta)
 
         def write_rows(buf, new):
             new_hm = jnp.moveaxis(new, 1, 2)
@@ -204,8 +224,23 @@ def make_tp_decode_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
             k_all, v_all = k_c.astype(q.dtype), v_c.astype(q.dtype)
 
         attn = attention_headmajor(q, k_all, v_all, mask).reshape(b, t, -1)
-        # row-parallel o_proj: partial sums -> all-reduce (megatron AR #1)
         o_part = apply_linear(attn, layer["o_proj"])
+
+        if fam == "cohere":
+            # parallel block: MLP reads the SHARED xn; o_proj + down_proj
+            # partial sums combine into ONE all-reduce per block
+            if "gateup_proj" in layer:
+                gu = apply_linear(xn, layer["gateup_proj"]).astype(jnp.float32)
+                gate, up = jnp.split(gu, 2, axis=-1)
+            else:
+                gate = apply_linear(xn, layer["gate_proj"]).astype(jnp.float32)
+                up = apply_linear(xn, layer["up_proj"]).astype(jnp.float32)
+            hidden = (jax.nn.silu(gate) * up).astype(x.dtype)
+            down_part = apply_linear(hidden, layer["down_proj"])
+            x = res + jax.lax.psum(o_part + down_part, ma)
+            return x, new_kv
+
+        # row-parallel o_proj: partial sums -> all-reduce (megatron AR #1)
         x = res + jax.lax.psum(o_part, ma)
 
         res = x
@@ -248,11 +283,19 @@ def make_tp_decode_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
 
         x, kv_out = jax.lax.scan(block, x, (layer_ids, rest, cache_kv))
 
-        x = rms_norm(x, params["final_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+        if fam == "cohere":
+            x = cohere_layer_norm(x, params["final_norm"], cfg.ln_eps)
+        else:
+            x = rms_norm(x, params["final_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
         head = params.get("lm_head")
-        assert head is not None, "TP serving needs an explicit (vocab-sharded) lm_head"
+        assert head is not None, (
+            "TP serving needs an explicit (vocab-sharded) lm_head; for tied "
+            "embeddings (cohere) materialize DenseLinear(weight=params['embed'])"
+        )
         logits_local = apply_linear(x, head)  # vocab-sharded
         logits = jax.lax.all_gather(logits_local, ma, axis=-1, tiled=True)
+        if fam == "cohere":
+            logits = logits * jnp.asarray(cfg.logit_scale, logits.dtype)
         return logits, kv_out
 
     def step(params, cache: KVCache, tokens, offsets):

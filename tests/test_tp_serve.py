@@ -96,3 +96,51 @@ def test_tp_decode_matches_single_device(quantized_kv, mode, fused):
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=tol, rtol=tol
         )
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_tp_cohere_matches_single_device(fused):
+    """Cohere parallel-block TP: one fused all-reduce per block, qk-norm
+    sharded per-head, tied lm_head materialized vocab-sharded."""
+    from aqlm_tpu.models import cohere
+    from aqlm_tpu.serve.fuse import int8_linear_from_dense
+
+    cfg = cohere.CohereConfig.tiny(num_layers=2, num_heads=8, num_kv_heads=4, use_qk_norm=True)
+    tp = 4
+    params = cohere.init_random_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    for layer in params["layers"]:
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"):
+            layer[name] = int8_linear_from_dense(layer[name].weight)
+    params = quantize_lm_head_int8(params)  # tied embed -> explicit int8 head
+
+    stacked = stack_layer_params(params)
+    b = 2
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, 6), 0, cfg.vocab_size)
+
+    cache = init_kv_cache(cfg, b, 16, quantized=False)
+    logits_ref = []
+    for pos in range(ids.shape[1]):
+        lg, cache = forward_stacked(
+            stacked, cfg, ids[:, pos : pos + 1], cache=cache,
+            cache_offset=jnp.full((b,), pos, jnp.int32),
+        )
+        logits_ref.append(lg[:, 0])
+
+    tp_params = fuse_projections(params, cfg, tp=tp) if fused else params
+    tp_stacked = stack_layer_params(tp_params)
+    mesh = make_mesh(data=8 // tp, model=tp)
+    with mesh:
+        sharded = tp_shard_serving_params(tp_stacked, mesh)
+        step = make_tp_decode_step(cfg, mesh)
+        cache_tp = init_kv_cache(cfg, b, 16, quantized=False)
+        logits_tp = []
+        for pos in range(ids.shape[1]):
+            lg, cache_tp = step(
+                sharded, cache_tp, ids[:, pos : pos + 1], jnp.full((b,), pos, jnp.int32)
+            )
+            logits_tp.append(lg[:, 0])
+
+    for ref, got in zip(logits_ref, logits_tp):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=2e-3, rtol=2e-3
+        )
