@@ -122,11 +122,52 @@ def load_hf_aqlm_checkpoint(
         in_group_size=qcfg["in_group_size"],
         out_group_size=qcfg["out_group_size"],
     )
-    cfg = model_config_from_hf(hf_config)
+    mt = hf_config.get("model_type", "llama")
+    if mt == "mixtral":
+        from aqlm_tpu.models.mixtral import MixtralConfig
+
+        cfg = MixtralConfig(
+            vocab_size=hf_config["vocab_size"],
+            hidden_size=hf_config["hidden_size"],
+            intermediate_size=hf_config["intermediate_size"],
+            num_layers=hf_config["num_hidden_layers"],
+            num_heads=hf_config["num_attention_heads"],
+            num_kv_heads=hf_config.get("num_key_value_heads", hf_config["num_attention_heads"]),
+            rope_theta=hf_config.get("rope_theta", 1e6),
+            rms_eps=hf_config.get("rms_norm_eps", 1e-5),
+            max_position_embeddings=hf_config.get("max_position_embeddings", 32768),
+            num_experts=hf_config.get("num_local_experts", 8),
+            num_experts_per_tok=hf_config.get("num_experts_per_tok", 2),
+        )
+    else:
+        cfg = model_config_from_hf(hf_config)
     sd = _load_state_dict(path)
 
     def arr(key, dt=dtype):
         return jnp.asarray(np.asarray(sd[key], np.float32), dt)
+
+    def read_lin(base):
+        """Quantized (codes/codebooks/scales) or dense (not-to-quantize) linear."""
+        if f"{base}.codes" in sd:
+            codes = unpack_codes(np.asarray(sd[f"{base}.codes"]), scheme.nbits_per_codebook)
+            # [OG, 1, 1, 1] -> [OG] per-channel; [OG, IG, 1, 1] -> [OG, IG]
+            scales = np.asarray(sd[f"{base}.scales"], np.float32)
+            scales = scales.reshape(scales.shape[0], -1)
+            scales = scales[:, 0] if scales.shape[1] == 1 else scales
+            w = AqlmWeight(
+                codes=jnp.asarray(codes),
+                codebooks=arr(f"{base}.codebooks", jnp.float32),
+                scales=jnp.asarray(scales),
+                bias=arr(f"{base}.bias") if f"{base}.bias" in sd else None,
+                scheme=scheme,
+            )
+            return QuantizedLinear.from_aqlm(w, mode=mode)
+        if f"{base}.weight" in sd:  # in linear_weights_not_to_quantize
+            return DenseLinear(
+                weight=arr(f"{base}.weight"),
+                bias=arr(f"{base}.bias") if f"{base}.bias" in sd else None,
+            )
+        raise KeyError(f"missing tensors for {base}")
 
     params = {
         "embed": arr("model.embed_tokens.weight"),
@@ -142,29 +183,21 @@ def load_hf_aqlm_checkpoint(
             "input_norm": arr(f"{p}.input_layernorm.weight"),
             "post_attn_norm": arr(f"{p}.post_attention_layernorm.weight"),
         }
-        for ours, hf in _PROJ_MAP.items():
-            base = f"{p}.{hf}"
-            if f"{base}.codes" in sd:
-                codes = unpack_codes(np.asarray(sd[f"{base}.codes"]), scheme.nbits_per_codebook)
-                # [OG, 1, 1, 1] -> [OG] per-channel; [OG, IG, 1, 1] -> [OG, IG]
-                scales = np.asarray(sd[f"{base}.scales"], np.float32)
-                scales = scales.reshape(scales.shape[0], -1)
-                scales = scales[:, 0] if scales.shape[1] == 1 else scales
-                w = AqlmWeight(
-                    codes=jnp.asarray(codes),
-                    codebooks=arr(f"{base}.codebooks", jnp.float32),
-                    scales=jnp.asarray(scales),
-                    bias=arr(f"{base}.bias") if f"{base}.bias" in sd else None,
-                    scheme=scheme,
-                )
-                layer[ours] = QuantizedLinear.from_aqlm(w, mode=mode)
-            elif f"{base}.weight" in sd:  # in linear_weights_not_to_quantize
-                layer[ours] = DenseLinear(
-                    weight=arr(f"{base}.weight"),
-                    bias=arr(f"{base}.bias") if f"{base}.bias" in sd else None,
-                )
-            else:
-                raise KeyError(f"missing tensors for {base}")
+        if mt == "mixtral":
+            # published Mixtral AQLM checkpoints (e.g. ISTA-DASLab
+            # Mixtral-8x7b-AQLM-2Bit-1x16) quantize attention + expert
+            # w1/w2/w3; the router gate stays dense
+            for ours, hf in list(_PROJ_MAP.items())[:4]:  # q/k/v/o
+                layer[ours] = read_lin(f"{p}.{hf}")
+            layer["moe_gate"] = read_lin(f"{p}.block_sparse_moe.gate")
+            for e in range(cfg.num_experts):
+                ep = f"{p}.block_sparse_moe.experts.{e}"
+                layer[f"experts.{e}.gate_proj"] = read_lin(f"{ep}.w1")
+                layer[f"experts.{e}.down_proj"] = read_lin(f"{ep}.w2")
+                layer[f"experts.{e}.up_proj"] = read_lin(f"{ep}.w3")
+        else:
+            for ours, hf in _PROJ_MAP.items():
+                layer[ours] = read_lin(f"{p}.{hf}")
         params["layers"].append(layer)
     return params, cfg, scheme
 
@@ -244,7 +277,20 @@ def export_hf_aqlm_state_dict(params: dict, cfg: ModelConfig) -> tuple[dict, dic
         sd[f"{p}.input_layernorm.weight"] = np.asarray(layer["input_norm"], np.float16)
         sd[f"{p}.post_attention_layernorm.weight"] = np.asarray(layer["post_attn_norm"], np.float16)
         not_quantized += [f"{p}.input_layernorm.weight", f"{p}.post_attention_layernorm.weight"]
-        for ours, hf in _PROJ_MAP.items():
+        pairs = list(_PROJ_MAP.items())
+        if "moe_gate" in layer:  # mixtral: expert w1/w2/w3 + dense router
+            pairs = pairs[:4]  # q/k/v/o
+            pairs.append(("moe_gate", "block_sparse_moe.gate"))
+            e = 0
+            while f"experts.{e}.gate_proj" in layer:
+                ep = f"block_sparse_moe.experts.{e}"
+                pairs += [
+                    (f"experts.{e}.gate_proj", f"{ep}.w1"),
+                    (f"experts.{e}.down_proj", f"{ep}.w2"),
+                    (f"experts.{e}.up_proj", f"{ep}.w3"),
+                ]
+                e += 1
+        for ours, hf in pairs:
             base = f"{p}.{hf}"
             lin = layer.get(ours)
             if isinstance(lin, QuantizedLinear):

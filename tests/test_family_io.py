@@ -88,3 +88,64 @@ def test_resolve_model_dispatches_by_model_type(tmp_path):
     params, cfg, kind = resolve_model(str(tmp_path / "c"))
     assert kind == "dense" and isinstance(cfg, cohere.CohereConfig)
     assert cfg.logit_scale == 0.125
+
+
+def test_mixtral_hf_aqlm_roundtrip(tmp_path):
+    """Quantized Mixtral export -> HF-layout checkpoint -> import round-trip
+    (the published Mixtral-8x7b AQLM hub layout: quantized attention +
+    expert w1/w2/w3, dense router gate)."""
+    pytest.importorskip("safetensors")
+    from safetensors.numpy import save_file
+    import json, os
+
+    from aqlm_tpu.config import AqlmScheme
+    from aqlm_tpu.io.hf_import import export_hf_aqlm_state_dict, load_hf_aqlm_checkpoint
+    from aqlm_tpu.models import mixtral
+    from aqlm_tpu.ops.dequant import random_aqlm_weight
+    from aqlm_tpu.ops.runtime import QuantizedLinear
+
+    cfg = mixtral.MixtralConfig.tiny(num_layers=2, num_experts=2)
+    params = mixtral.init_random_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    scheme = AqlmScheme(num_codebooks=2, nbits_per_codebook=8, in_group_size=8)
+    key = jax.random.PRNGKey(1)
+    for layer in params["layers"]:
+        for name, lin in list(layer.items()):
+            if name == "moe_gate" or not hasattr(lin, "weight") or lin.weight.ndim != 2:
+                continue
+            out_f, in_f = lin.weight.shape
+            if in_f % scheme.in_group_size:
+                continue
+            key, sub = jax.random.split(key)
+            layer[name] = QuantizedLinear.from_aqlm(
+                random_aqlm_weight(sub, scheme, out_f, in_f, dtype=jnp.float32),
+                mode="reference",
+            )
+
+    sd, qcfg = export_hf_aqlm_state_dict(params, cfg)
+    assert any("block_sparse_moe.experts.0.w1.codes" in k for k in sd), sd.keys()
+    path = tmp_path / "mx"
+    os.makedirs(path)
+    hf_cfg = {
+        "model_type": "mixtral",
+        "vocab_size": cfg.vocab_size, "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers, "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads, "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_eps,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "num_local_experts": cfg.num_experts,
+        "num_experts_per_tok": cfg.num_experts_per_tok,
+        "quantization_config": qcfg,
+    }
+    with open(path / "config.json", "w") as f:
+        json.dump(hf_cfg, f)
+    save_file(sd, str(path / "model.safetensors"))
+
+    loaded, lcfg, lscheme = load_hf_aqlm_checkpoint(str(path), mode="reference")
+    assert isinstance(lcfg, mixtral.MixtralConfig) and lcfg.num_experts == 2
+    assert lscheme == scheme
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, cfg.vocab_size)
+    ref, _ = mixtral.forward(params, cfg, ids)
+    got, _ = mixtral.forward(loaded, lcfg, ids)
+    # f16 storage of norms/embeddings in the hub layout
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-2, rtol=5e-2)
