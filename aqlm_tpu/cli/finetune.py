@@ -108,6 +108,13 @@ def main(argv=None) -> dict:
     student, student_cfg, kind = resolve_model(args.quantized_model, dtype=dtype, mode="reference")
     assert kind == "quantized", "student must be a quantized model"
 
+    from aqlm_tpu.models.family import family_name, forward_fn as family_forward
+
+    fam = family_name(student_cfg)
+    if fam != "llama":
+        assert not args.scan_blocks, "scan_blocks supports llama-family students only"
+        assert not args.offload_teacher, "host-streamed teacher supports llama-family only"
+
     data = load_calibration_data(
         args.dataset, args.nsamples + args.val_size, args.model_seqlen,
         args.base_model, teacher_cfg, seed=args.seed,
@@ -169,7 +176,7 @@ def main(argv=None) -> dict:
 
     fns = make_pv_step(
         student_cfg, teacher_cfg, pv, cont_opt=cont_opt, st_opt=st_opt,
-        teacher_kind=teacher_kind,
+        teacher_kind=teacher_kind, forward_fn=family_forward(student_cfg),
     )
     grad_fn = jax.jit(fns.grad_fn)
     apply_fn = jax.jit(fns.apply_fn)
@@ -254,14 +261,18 @@ def main(argv=None) -> dict:
         if args.eval_every_steps and (step + 1) % args.eval_every_steps == 0:
             params = merge_trainable(state.trainable, state.frozen)
             if val_data is not None:
-                ppl = evaluate_perplexity(params, student_cfg, val_data)
+                ppl = evaluate_perplexity(
+                    params, student_cfg, val_data, forward_fn=family_forward(student_cfg)
+                )
                 logger.log({"ppl_val": ppl}, step=step)
                 print(f"step {step}: val ppl={ppl:.4f}")
             for ds in args.eval_datasets:
                 ids = load_calibration_data(
                     ds, 8, args.model_seqlen, args.base_model, teacher_cfg, eval_mode=True
                 )[:8]
-                ppl = evaluate_perplexity(params, student_cfg, ids)
+                ppl = evaluate_perplexity(
+                    params, student_cfg, ids, forward_fn=family_forward(student_cfg)
+                )
                 logger.log({f"ppl_{ds}": ppl}, step=step)
                 print(f"step {step}: {ds} ppl={ppl:.4f}")
 

@@ -148,14 +148,23 @@ def block_forward_with_taps(x, layer, cfg: CohereConfig, positions):
     return x + attn_out + mlp, taps
 
 
-def forward(params: dict, cfg: CohereConfig, input_ids: jax.Array, *, positions=None, **_):
+def forward(params: dict, cfg: CohereConfig, input_ids: jax.Array, *, positions=None,
+            return_hidden: bool = False, remat_blocks: bool = False, **_):
     b, t = input_ids.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     x = jnp.take(params["embed"], input_ids, axis=0)
-    for layer in params["layers"]:
+
+    def block(x, layer):
         attn_out, mlp, _ = _attn_mlp(x, layer, cfg, positions)
-        x = x + attn_out + mlp
+        return x + attn_out + mlp
+
+    if remat_blocks:  # PV training: recompute block activations in backward
+        block = jax.checkpoint(block)
+    for layer in params["layers"]:
+        x = block(x, layer)
     x = cohere_layer_norm(x, params["final_norm"], cfg.ln_eps)
+    if return_hidden:  # PV chunked-KL path (pv/losses.py applies the head)
+        return x, None
     logits = x @ params["embed"].T.astype(x.dtype)
     return logits * jnp.asarray(cfg.logit_scale, logits.dtype), None

@@ -131,13 +131,19 @@ def block_forward_with_taps(x, layer, cfg: FalconConfig, positions):
     return x + attn_out + mlp, taps
 
 
-def forward(params: dict, cfg: FalconConfig, input_ids: jax.Array, *, positions=None, **_):
+def forward(params: dict, cfg: FalconConfig, input_ids: jax.Array, *, positions=None,
+            return_hidden: bool = False, remat_blocks: bool = False, **_):
     b, t = input_ids.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     x = jnp.take(params["embed"], input_ids, axis=0)
+    block = _block
+    if remat_blocks:  # PV training: recompute block activations in backward
+        block = jax.checkpoint(block, static_argnums=(2,))
     for layer in params["layers"]:
-        x = _block(x, layer, cfg, positions)
+        x = block(x, layer, cfg, positions)
     x = layer_norm(x, params["final_norm"], params["final_norm_bias"], cfg.ln_eps)
+    if return_hidden:  # PV chunked-KL path (pv/losses.py applies the head)
+        return x, None
     logits = apply_linear(x, params["lm_head"])
     return logits, None

@@ -124,13 +124,22 @@ def block_forward_with_taps(x, layer, cfg: OptConfig, positions):
     return x, taps
 
 
-def forward(params: dict, cfg: OptConfig, input_ids: jax.Array, *, positions=None, **_):
+def forward(params: dict, cfg: OptConfig, input_ids: jax.Array, *, positions=None,
+            return_hidden: bool = False, remat_blocks: bool = False, **_):
     b, t = input_ids.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     x = embed(params, input_ids, positions)
+
+    def block(x, layer):
+        return block_forward_with_taps(x, layer, cfg, positions)[0]
+
+    if remat_blocks:  # PV training: recompute block activations in backward
+        block = jax.checkpoint(block)
     for layer in params["layers"]:
-        x, _ = block_forward_with_taps(x, layer, cfg, positions)
+        x = block(x, layer)
     x = layer_norm(x, params["final_norm"], params["final_norm_bias"], cfg.ln_eps)
+    if return_hidden:  # PV chunked-KL path (pv/losses.py applies the head)
+        return x, None
     logits = apply_linear(x, params["lm_head"])
     return logits, None

@@ -52,3 +52,28 @@ def swap_in_quantized(params: dict, layer_idx: int, name: str, w: AqlmWeight, mo
     """Replace one projection with a freshly quantized weight."""
     params["layers"][layer_idx][name] = QuantizedLinear.from_aqlm(w, mode=mode)
     return params
+
+
+def random_quantize_projections(
+    key, params: dict, scheme: AqlmScheme, mode: str = "reference", skip=("moe_gate",)
+):
+    """Swap every quantizable 2-D DenseLinear inside the layer dicts for a
+    random-codes QuantizedLinear — the family-agnostic scaffold (falcon's
+    fc1/fc2, opt's out_proj, mixtral's experts.{e}.* all qualify; router
+    gates are skipped like the reference's linear_weights_not_to_quantize).
+    Biases are preserved on the swapped-in quantized linears."""
+    import dataclasses as _dc
+
+    for layer in params["layers"]:
+        for name, lin in list(layer.items()):
+            if name in skip or not isinstance(lin, DenseLinear) or lin.weight.ndim != 2:
+                continue
+            out_f, in_f = lin.weight.shape
+            if out_f % scheme.out_group_size or in_f % scheme.in_group_size:
+                continue
+            key, sub = jax.random.split(key)
+            w = random_aqlm_weight(sub, scheme, out_f, in_f, dtype=jnp.float32)
+            if lin.bias is not None:
+                w = _dc.replace(w, bias=lin.bias)
+            layer[name] = QuantizedLinear.from_aqlm(w, mode=mode)
+    return params

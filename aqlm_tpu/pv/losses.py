@@ -34,7 +34,7 @@ def kl_divergence_loss(
     return jnp.sum(kl * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def _project(hidden, head_weight, embed, softcap):
+def _project(hidden, head_weight, embed, softcap, logit_scale=None):
     if head_weight is not None:
         logits = jnp.einsum(
             "bth,vh->btv", hidden, head_weight.astype(hidden.dtype),
@@ -45,6 +45,8 @@ def _project(hidden, head_weight, embed, softcap):
             "bth,vh->btv", hidden, embed.astype(hidden.dtype),
             preferred_element_type=jnp.float32,
         )
+    if logit_scale is not None:  # cohere tied-head scaling
+        logits = logits * logit_scale
     if softcap:
         logits = jnp.tanh(logits / softcap) * softcap
     return logits
@@ -61,6 +63,7 @@ def chunked_kl_loss(
     mask: jax.Array | None = None,
     chunk_tokens: int = 256,
     softcap: float | None = None,
+    logit_scale: float | None = None,
 ) -> jax.Array:
     """KL loss from final hidden states, lm_head applied per chunk under remat.
 
@@ -88,8 +91,8 @@ def chunked_kl_loss(
     @jax.checkpoint
     def chunk_loss(args):
         s, tt, m = args
-        s_logits = _project(s, student_head, student_embed, softcap)
-        t_logits = _project(tt, teacher_head, teacher_embed, softcap)
+        s_logits = _project(s, student_head, student_embed, softcap, logit_scale)
+        t_logits = _project(tt, teacher_head, teacher_embed, softcap, logit_scale)
         sl = jax.nn.log_softmax(s_logits, axis=-1)
         tl = jax.nn.log_softmax(t_logits, axis=-1)
         kl = jnp.sum(jnp.exp(tl) * (tl - sl), axis=-1)

@@ -341,6 +341,7 @@ def make_pv_step(
                 s_hidden, jax.lax.stop_gradient(t_hidden), s_head, t_head,
                 student_embed=s_embed, teacher_embed=t_embed, mask=mask,
                 chunk_tokens=pv.chunk_tokens, softcap=student_cfg.logit_softcap,
+                logit_scale=getattr(student_cfg, "logit_scale", None),
             )
         assert teacher_kind == "params", "full-logit KL needs teacher params"
         eff = materialize_st_params(params, st)
