@@ -101,6 +101,11 @@ def model_config_from_hf(hf_config: dict) -> ModelConfig:
         attention_bias=hf_config.get("attention_bias", mt == "qwen2"),
         gemma_norm=mt == "gemma",
         max_position_embeddings=hf_config.get("max_position_embeddings", 4096),
+        sliding_window=(
+            None
+            if mt == "qwen2" and not hf_config.get("use_sliding_window", False)
+            else hf_config.get("sliding_window")
+        ),
     )
 
 

@@ -93,9 +93,16 @@ def rope(q: jax.Array, k: jax.Array, positions: jax.Array, theta: float = 10000.
     return rot(q).astype(q.dtype), rot(k).astype(k.dtype)
 
 
-def make_causal_mask(q_positions: jax.Array, k_positions: jax.Array) -> jax.Array:
-    """[B, 1, Tq, Tk] boolean mask: query may attend to keys with pos <= its own."""
-    return (k_positions[:, None, None, :] <= q_positions[:, None, :, None])
+def make_causal_mask(
+    q_positions: jax.Array, k_positions: jax.Array, window: int | None = None
+) -> jax.Array:
+    """[B, 1, Tq, Tk] boolean mask: query may attend to keys with pos <= its
+    own; with `window`, only to keys in (q - window, q] (mistral's sliding
+    window — HF masks q - k >= sliding_window)."""
+    mask = k_positions[:, None, None, :] <= q_positions[:, None, :, None]
+    if window is not None:
+        mask &= k_positions[:, None, None, :] > q_positions[:, None, :, None] - window
+    return mask
 
 
 def attention(q, k, v, mask, *, scale: float | None = None):

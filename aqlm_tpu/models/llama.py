@@ -47,6 +47,8 @@ class ModelConfig:
     gemma_norm: bool = False  # gemma: (1+w) RMSNorm + embed scaling
     logit_softcap: float | None = None
     max_position_embeddings: int = 4096
+    # mistral/qwen2 sliding-window attention (None = full causal)
+    sliding_window: int | None = None
 
     @property
     def dim_per_head(self) -> int:
@@ -99,7 +101,7 @@ class ModelConfig:
         return cls(
             vocab_size=32000, hidden_size=4096, intermediate_size=14336,
             num_layers=32, num_heads=32, num_kv_heads=8, rope_theta=10000.0,
-            max_position_embeddings=8192,
+            max_position_embeddings=8192, sliding_window=4096,
         )
 
 
@@ -173,7 +175,7 @@ def _block(x, layer, cfg: ModelConfig, positions, kv, cache_positions, kv_len_ma
     else:
         k_all, v_all = k, v
         new_kv = None
-        mask = make_causal_mask(positions, positions)
+        mask = make_causal_mask(positions, positions, window=cfg.sliding_window)
 
     attn = attention(q, k_all, v_all, mask)
     x = res + apply_linear(attn.reshape(b, t, -1), layer["o_proj"])
@@ -204,7 +206,9 @@ def block_forward_with_taps(x, layer, cfg: ModelConfig, positions):
     k = apply_linear(xn, layer["k_proj"]).reshape(b, t, cfg.num_kv_heads, d)
     v = apply_linear(xn, layer["v_proj"]).reshape(b, t, cfg.num_kv_heads, d)
     q, k = rope(q, k, positions, cfg.rope_theta)
-    attn = attention(q, k, v, make_causal_mask(positions, positions)).reshape(b, t, -1)
+    attn = attention(
+        q, k, v, make_causal_mask(positions, positions, window=cfg.sliding_window)
+    ).reshape(b, t, -1)
     taps["o_proj"] = attn
     x = res + apply_linear(attn, layer["o_proj"])
 
@@ -264,7 +268,7 @@ def forward(
         max_len = kv_caches[0][0].shape[1]
         cache_positions = cache_offset if cache_offset is not None else 0
         key_pos = jnp.broadcast_to(jnp.arange(max_len)[None, :], (b, max_len))
-        kv_len_mask = make_causal_mask(positions, key_pos)
+        kv_len_mask = make_causal_mask(positions, key_pos, window=cfg.sliding_window)
 
     new_caches = []
     block = _block

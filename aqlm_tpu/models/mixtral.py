@@ -350,7 +350,9 @@ def block_forward_with_taps(x, layer, cfg: MixtralConfig, positions):
     k = apply_linear(xn, layer["k_proj"]).reshape(b, t, cfg.num_kv_heads, d)
     v = apply_linear(xn, layer["v_proj"]).reshape(b, t, cfg.num_kv_heads, d)
     q, k = rope(q, k, positions, cfg.rope_theta)
-    attn = attention(q, k, v, make_causal_mask(positions, positions)).reshape(b, t, -1)
+    attn = attention(
+        q, k, v, make_causal_mask(positions, positions, window=cfg.sliding_window)
+    ).reshape(b, t, -1)
     taps["o_proj"] = attn
     x = res + apply_linear(attn, layer["o_proj"])
 
@@ -383,7 +385,7 @@ def forward(
     if kv_caches is not None:
         max_len = kv_caches[0][0].shape[1]
         key_pos = jnp.broadcast_to(jnp.arange(max_len)[None, :], (b, max_len))
-        kv_len_mask = make_causal_mask(positions, key_pos)
+        kv_len_mask = make_causal_mask(positions, key_pos, window=cfg.sliding_window)
 
     new_caches = []
     for li, layer in enumerate(params["layers"]):
@@ -400,7 +402,9 @@ def forward(
             attn = attention(q, k_c.astype(q.dtype), v_c.astype(q.dtype), kv_len_mask)
             new_caches.append((k_c, v_c))
         else:
-            attn = attention(q, k, v, make_causal_mask(positions, positions))
+            attn = attention(
+                q, k, v, make_causal_mask(positions, positions, window=cfg.sliding_window)
+            )
         x = res + apply_linear(attn.reshape(b, t, -1), layer["o_proj"])
         res = x
         xn = rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)

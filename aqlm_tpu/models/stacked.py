@@ -193,9 +193,9 @@ def forward_stacked(
 
     if cache is not None:
         key_pos = jnp.broadcast_to(jnp.arange(cache.max_len)[None, :], (b, cache.max_len))
-        mask = make_causal_mask(positions, key_pos)
+        mask = make_causal_mask(positions, key_pos, window=cfg.sliding_window)
     else:
-        mask = make_causal_mask(positions, positions)
+        mask = make_causal_mask(positions, positions, window=cfg.sliding_window)
 
     # Big quantized arrays are NOT scanned over (a scan-sliced operand feeding
     # a pallas_call costs an HBM copy of the whole layer); they are closed
@@ -234,6 +234,10 @@ def forward_stacked(
         # kernel tiling floor: the aliased KV-write and flash BlockSpecs need
         # 128-aligned cache lengths (tiny test caches fall back to XLA)
         flash_ok = cache is not None and cache.max_len % 128 == 0
+        # the flash kernel attends over [0, offset) unmasked: with a sliding
+        # window it is only exact while the window cannot bind
+        if cfg.sliding_window is not None and cache is not None:
+            flash_ok = flash_ok and cache.max_len <= cfg.sliding_window
         use_flash_decode = flash_ok and (has_codes or cache.max_len >= 1024)
     flash = cache is not None and t == 1 and use_flash_decode
 

@@ -265,7 +265,7 @@ def make_tp_decode_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
 
         max_len = cache_kv[0].shape[3]
         key_pos = jnp.broadcast_to(jnp.arange(max_len)[None, :], (b, max_len))
-        mask = make_causal_mask(positions, key_pos)
+        mask = make_causal_mask(positions, key_pos, window=cfg.sliding_window)
 
         stacked_layers = params["layers"]
         qnames = [n for n, v in stacked_layers.items() if isinstance(v, QuantizedLinear)]
