@@ -84,6 +84,23 @@ def _load_state_dict(path: str) -> dict:
     return tensors
 
 
+def _rope_scaling_from_hf(hf_config: dict):
+    rs = hf_config.get("rope_scaling")
+    if not rs:
+        return None
+    kind = rs.get("rope_type", rs.get("type"))
+    if kind in ("default", None):
+        return None
+    if kind == "linear":
+        return ("linear", float(rs["factor"]))
+    if kind == "llama3":
+        return (
+            "llama3", float(rs["factor"]), float(rs["low_freq_factor"]),
+            float(rs["high_freq_factor"]), float(rs["original_max_position_embeddings"]),
+        )
+    raise NotImplementedError(f"rope_scaling type {kind!r} (supported: linear, llama3)")
+
+
 def model_config_from_hf(hf_config: dict) -> ModelConfig:
     """Map a HF config.json (llama/mistral/qwen2/gemma family) to ModelConfig."""
     mt = hf_config.get("model_type", "llama")
@@ -106,6 +123,7 @@ def model_config_from_hf(hf_config: dict) -> ModelConfig:
             if mt == "qwen2" and not hf_config.get("use_sliding_window", False)
             else hf_config.get("sliding_window")
         ),
+        rope_scaling=_rope_scaling_from_hf(hf_config),
     )
 
 

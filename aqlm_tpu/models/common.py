@@ -31,6 +31,7 @@ __all__ = [
     "attention",
     "attention_headmajor",
     "make_causal_mask",
+    "rope_inv_freq",
 ]
 
 
@@ -78,10 +79,39 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-5, plus_one: bool 
     return (xf * w).astype(x.dtype)
 
 
-def rope(q: jax.Array, k: jax.Array, positions: jax.Array, theta: float = 10000.0):
+def rope_inv_freq(d: int, theta: float, scaling=None) -> jax.Array:
+    """Per-pair inverse frequencies, with optional HF rope_scaling.
+
+    scaling is the normalized tuple from ModelConfig.rope_scaling:
+    ("linear", factor) divides all frequencies (position interpolation);
+    ("llama3", factor, low_freq_factor, high_freq_factor, original_max_pos)
+    is the llama-3.1 profile — high-frequency (short-wavelength) components
+    keep their resolution, low-frequency components stretch by `factor`,
+    with a smooth band in between (matches transformers' llama3 rope_type).
+    """
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    if scaling is None:
+        return inv_freq
+    kind = scaling[0]
+    if kind == "linear":
+        return inv_freq / scaling[1]
+    if kind == "llama3":
+        _, factor, low_f, high_f, orig = scaling
+        wavelen = 2.0 * jnp.pi / inv_freq
+        smooth = (orig / wavelen - low_f) / (high_f - low_f)
+        smoothed = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+        return jnp.where(
+            wavelen > orig / low_f, inv_freq / factor,
+            jnp.where(wavelen < orig / high_f, inv_freq, smoothed),
+        )
+    raise ValueError(f"unknown rope scaling {kind!r}")
+
+
+def rope(q: jax.Array, k: jax.Array, positions: jax.Array, theta: float = 10000.0,
+         scaling=None):
     """Rotary embeddings, HF 'half-split' layout. q,k: [B, T, H, D]."""
     d = q.shape[-1]
-    inv_freq = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    inv_freq = rope_inv_freq(d, theta, scaling)
     angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B, T, D/2]
     cos = jnp.cos(angles)[:, :, None, :]
     sin = jnp.sin(angles)[:, :, None, :]

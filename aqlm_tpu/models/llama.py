@@ -49,6 +49,9 @@ class ModelConfig:
     max_position_embeddings: int = 4096
     # mistral/qwen2 sliding-window attention (None = full causal)
     sliding_window: int | None = None
+    # normalized HF rope_scaling: ("linear", factor) or
+    # ("llama3", factor, low_freq_factor, high_freq_factor, original_max_pos)
+    rope_scaling: tuple | None = None
 
     @property
     def dim_per_head(self) -> int:
@@ -94,6 +97,15 @@ class ModelConfig:
             vocab_size=128256, hidden_size=8192, intermediate_size=28672,
             num_layers=80, num_heads=64, num_kv_heads=8, rope_theta=500000.0,
             max_position_embeddings=8192,
+        )
+
+    @classmethod
+    def llama3_1_8b(cls) -> "ModelConfig":
+        return cls(
+            vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8, rope_theta=500000.0,
+            max_position_embeddings=131072,
+            rope_scaling=("llama3", 8.0, 1.0, 4.0, 8192.0),
         )
 
     @classmethod
@@ -162,7 +174,7 @@ def _block(x, layer, cfg: ModelConfig, positions, kv, cache_positions, kv_len_ma
     q = apply_linear(x, layer["q_proj"]).reshape(b, t, cfg.num_heads, d)
     k = apply_linear(x, layer["k_proj"]).reshape(b, t, cfg.num_kv_heads, d)
     v = apply_linear(x, layer["v_proj"]).reshape(b, t, cfg.num_kv_heads, d)
-    q, k = rope(q, k, positions, cfg.rope_theta)
+    q, k = rope(q, k, positions, cfg.rope_theta, scaling=cfg.rope_scaling)
 
     if kv is not None:
         k_cache, v_cache = kv
@@ -205,7 +217,7 @@ def block_forward_with_taps(x, layer, cfg: ModelConfig, positions):
     q = apply_linear(xn, layer["q_proj"]).reshape(b, t, cfg.num_heads, d)
     k = apply_linear(xn, layer["k_proj"]).reshape(b, t, cfg.num_kv_heads, d)
     v = apply_linear(xn, layer["v_proj"]).reshape(b, t, cfg.num_kv_heads, d)
-    q, k = rope(q, k, positions, cfg.rope_theta)
+    q, k = rope(q, k, positions, cfg.rope_theta, scaling=cfg.rope_scaling)
     attn = attention(
         q, k, v, make_causal_mask(positions, positions, window=cfg.sliding_window)
     ).reshape(b, t, -1)

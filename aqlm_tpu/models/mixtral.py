@@ -349,7 +349,7 @@ def block_forward_with_taps(x, layer, cfg: MixtralConfig, positions):
     q = apply_linear(xn, layer["q_proj"]).reshape(b, t, cfg.num_heads, d)
     k = apply_linear(xn, layer["k_proj"]).reshape(b, t, cfg.num_kv_heads, d)
     v = apply_linear(xn, layer["v_proj"]).reshape(b, t, cfg.num_kv_heads, d)
-    q, k = rope(q, k, positions, cfg.rope_theta)
+    q, k = rope(q, k, positions, cfg.rope_theta, scaling=cfg.rope_scaling)
     attn = attention(
         q, k, v, make_causal_mask(positions, positions, window=cfg.sliding_window)
     ).reshape(b, t, -1)
@@ -394,7 +394,7 @@ def forward(
         q = apply_linear(xn, layer["q_proj"]).reshape(b, t, cfg.num_heads, d)
         k = apply_linear(xn, layer["k_proj"]).reshape(b, t, cfg.num_kv_heads, d)
         v = apply_linear(xn, layer["v_proj"]).reshape(b, t, cfg.num_kv_heads, d)
-        q, k = rope(q, k, positions, cfg.rope_theta)
+        q, k = rope(q, k, positions, cfg.rope_theta, scaling=cfg.rope_scaling)
         if kv_caches is not None:
             k_c, v_c = kv_caches[li]
             k_c = jax.lax.dynamic_update_slice_in_dim(k_c, k.astype(k_c.dtype), cache_offset, axis=1)

@@ -279,7 +279,7 @@ def forward_stacked(
                 k = cohere_layer_norm(k, layer["k_norm"], cfg.ln_eps)
             q, k = rope_interleaved(q, k, positions, cfg.rope_theta)
         elif fam != "opt":  # opt: learned positions, no rope
-            q, k = rope(q, k, positions, cfg.rope_theta)
+            q, k = rope(q, k, positions, cfg.rope_theta, scaling=cfg.rope_scaling)
 
         new_kv = None
         if flash:

@@ -197,7 +197,7 @@ def make_tp_decode_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
                 k = cohere_layer_norm(k, layer["k_norm"], cfg.ln_eps)
             q, k = rope_interleaved(q, k, positions, cfg.rope_theta)
         else:
-            q, k = rope(q, k, positions, cfg.rope_theta)
+            q, k = rope(q, k, positions, cfg.rope_theta, scaling=cfg.rope_scaling)
 
         def write_rows(buf, new):
             new_hm = jnp.moveaxis(new, 1, 2)

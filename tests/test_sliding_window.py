@@ -140,3 +140,36 @@ def test_mistral_window_matches_transformers(tmp_path):
         ref = hm(torch.from_numpy(ids)).logits.float().numpy()
     got, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32))
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("rs", [
+    {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+     "high_freq_factor": 4.0, "original_max_position_embeddings": 16},
+    {"rope_type": "linear", "factor": 4.0},
+])
+def test_rope_scaling_matches_transformers(tmp_path, rs):
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+
+    from aqlm_tpu.io.hf_import import load_hf_dense_checkpoint
+
+    torch.manual_seed(0)
+    hc = HFLlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_scaling=dict(rs),
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        attn_implementation="eager",
+    )
+    hm = LlamaForCausalLM(hc).eval()
+    out = tmp_path / f"llama_{rs['rope_type']}"
+    hm.save_pretrained(out, safe_serialization=True)
+
+    params, cfg = load_hf_dense_checkpoint(str(out))
+    assert cfg.rope_scaling is not None and cfg.rope_scaling[0] == rs["rope_type"].replace("default", "")
+    ids = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 24))
+    with torch.no_grad():
+        ref = hm(torch.from_numpy(ids)).logits.float().numpy()
+    got, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-3, rtol=2e-3)
