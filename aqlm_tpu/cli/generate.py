@@ -31,7 +31,41 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", choices=["reference", "codes", "int8"], default="int8")
     p.add_argument("--dtype", choices=["auto", "float32", "bfloat16"], default="bfloat16")
     p.add_argument("--benchmark", action="store_true", help="print tokens/s like the reference generate benchmark")
+    p.add_argument("--draft_model", type=str, default=None,
+                   help="draft model spec for greedy speculative decoding (same formats as model_path)")
+    p.add_argument("--draft_mode", choices=["reference", "codes", "int8"], default=None,
+                   help="runtime mode for the draft model (defaults to --mode)")
+    p.add_argument("--spec_k", type=int, default=4, help="draft tokens proposed per verify step")
     return p
+
+
+def _generate_speculative(args, params, cfg, prompt_ids, tokenizer):
+    from aqlm_tpu.serve.speculative import SpeculativeDecoder
+
+    dparams, dcfg, _ = resolve_model(
+        args.draft_model, dtype=dtype_from_str(args.dtype), mode=args.draft_mode or args.mode
+    )
+    dec = SpeculativeDecoder(
+        params, cfg, dparams, dcfg, k=args.spec_k, max_len=args.max_len,
+        kv_quantized=args.kv_int8,
+    )
+    # compile warmup round, then the timed run
+    dec.generate(prompt_ids, min(args.spec_k + 2, args.max_new_tokens))
+    dec2 = SpeculativeDecoder(
+        params, cfg, dparams, dcfg, k=args.spec_k, max_len=args.max_len,
+        kv_quantized=args.kv_int8,
+    )
+    t0 = time.time()
+    tokens, stats = dec2.generate(prompt_ids, args.max_new_tokens)
+    dt = time.time() - t0
+    tps = len(tokens) / max(dt, 1e-9)
+    if args.benchmark:
+        print(f"<{tps:.2f} tokens per second>")
+    out = {"tokens_per_second": round(tps, 2), "new_tokens": len(tokens),
+           "acceptance": round(stats["acceptance"], 4)}
+    if tokenizer is not None and tokens:
+        out["text"] = tokenizer.decode(tokens)
+    print(json.dumps(out))
 
 
 def main(argv=None):
@@ -46,6 +80,10 @@ def main(argv=None):
     else:
         assert tokenizer is not None, "text prompt requires a tokenizer next to the model"
         prompt_ids = np.asarray(tokenizer(args.prompt).input_ids, np.int32)
+
+    if args.draft_model is not None:
+        _generate_speculative(args, params, cfg, prompt_ids, tokenizer)
+        return
 
     bucket = 1 << max(5, int(np.ceil(np.log2(len(prompt_ids) + 1))))
     engine = Engine(

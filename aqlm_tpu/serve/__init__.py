@@ -4,6 +4,7 @@ from aqlm_tpu.models.stacked import KVCache, forward_stacked, init_kv_cache, sta
 from aqlm_tpu.serve.engine import Engine, Request, ServeConfig
 from aqlm_tpu.serve.fuse import fuse_projections, quantize_lm_head_int8
 from aqlm_tpu.serve.sampler import SamplingParams, sample_tokens
+from aqlm_tpu.serve.speculative import SpeculativeDecoder
 from aqlm_tpu.serve.tp import make_tp_decode_step, tp_shard_serving_params
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "ServeConfig",
     "SamplingParams",
     "sample_tokens",
+    "SpeculativeDecoder",
 ]
