@@ -45,16 +45,14 @@ def _generate_speculative(args, params, cfg, prompt_ids, tokenizer):
     dparams, dcfg, _ = resolve_model(
         args.draft_model, dtype=dtype_from_str(args.dtype), mode=args.draft_mode or args.mode
     )
-    dec = SpeculativeDecoder(
-        params, cfg, dparams, dcfg, k=args.spec_k, max_len=args.max_len,
-        kv_quantized=args.kv_int8,
+    kw = dict(
+        k=args.spec_k, max_len=args.max_len, kv_quantized=args.kv_int8,
+        temperature=args.temperature, top_p=args.top_p, top_k=args.top_k,
     )
+    dec = SpeculativeDecoder(params, cfg, dparams, dcfg, **kw)
     # compile warmup round, then the timed run
     dec.generate(prompt_ids, min(args.spec_k + 2, args.max_new_tokens))
-    dec2 = SpeculativeDecoder(
-        params, cfg, dparams, dcfg, k=args.spec_k, max_len=args.max_len,
-        kv_quantized=args.kv_int8,
-    )
+    dec2 = SpeculativeDecoder(params, cfg, dparams, dcfg, **kw)
     t0 = time.time()
     tokens, stats = dec2.generate(prompt_ids, args.max_new_tokens)
     dt = time.time() - t0
