@@ -21,10 +21,18 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("input", help="model dir (canonical or HF AQLM)")
     p.add_argument("output", help="destination dir")
-    p.add_argument("--to", choices=["hf", "canonical", "2x8"], required=True,
+    p.add_argument("--to", choices=["hf", "canonical", "2x8", "requant"], required=True,
                    help="2x8: re-fit 1x16 codebooks as sums of two 256-entry "
-                        "books (TPU codes-resident serving; reports rel-MSE)")
+                        "books (TPU codes-resident serving; reports rel-MSE); "
+                        "requant: fit a fresh --scheme to the dequantized "
+                        "weights (weight-L2, no calibration data — e.g. a "
+                        "1x8 draft model for speculative serving)")
     p.add_argument("--transcode_iters", type=int, default=25)
+    p.add_argument("--scheme", default="1x8",
+                   help="destination scheme for --to requant (e.g. 1x8, 2x8, 8x8)")
+    p.add_argument("--refine_iters", type=int, default=2,
+                   help="requant: alternating L2-beam-search/codebook-lstsq rounds")
+    p.add_argument("--beam_size", type=int, default=2)
     p.add_argument("--from_format", choices=["auto", "legacy", "legacy_fsdp"],
                    default="auto",
                    help="legacy: reference calibration dir ({i}.pth pickled "
@@ -95,6 +103,20 @@ def main(argv=None):
         save_quantized_model(args.output, params, cfg,
                              extra_config={"transcoded_from": "1x16", "worst_rel_mse": worst})
         print(f"worst per-projection codebook rel-MSE: {worst:.4f}")
+    elif args.to == "requant":
+        from aqlm_tpu.calib.requantize import requantize_params
+        from aqlm_tpu.config import AqlmScheme
+        from aqlm_tpu.io import save_quantized_model
+
+        scheme = AqlmScheme.parse(args.scheme)
+        params, worst = requantize_params(
+            params, scheme, refine_iters=args.refine_iters,
+            beam_size=args.beam_size, verbose=True,
+        )
+        save_quantized_model(args.output, params, cfg,
+                             extra_config={"requantized_to": args.scheme,
+                                           "worst_rel_mse": worst})
+        print(f"worst per-projection weight rel-MSE: {worst:.4f}")
     else:
         from aqlm_tpu.io import export_hf_aqlm_state_dict
 

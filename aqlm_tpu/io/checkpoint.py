@@ -41,6 +41,32 @@ __all__ = [
 
 _NORM_KEYS = ("input_norm", "post_attn_norm")
 
+# numpy's npz cannot represent ml_dtypes (bfloat16 round-trips as void2);
+# store such arrays as a uint16 view under a suffixed key
+_BF16_SUFFIX = "::bf16"
+
+
+def _savez(path: str, arrays: dict) -> None:
+    enc = {}
+    for k, v in arrays.items():
+        v = np.asarray(v)
+        if v.dtype == jnp.bfloat16:
+            enc[k + _BF16_SUFFIX] = v.view(np.uint16)
+        else:
+            enc[k] = v
+    np.savez(path, **enc)
+
+
+def _loadz(path: str) -> dict:
+    out = {}
+    with np.load(path, allow_pickle=False) as data:
+        for k in data.files:
+            if k.endswith(_BF16_SUFFIX):
+                out[k[: -len(_BF16_SUFFIX)]] = data[k].view(jnp.bfloat16)
+            else:
+                out[k] = data[k]
+    return out
+
 
 def _layer_to_flat(layer: dict) -> tuple[dict, dict]:
     """(arrays, meta) for one block."""
@@ -92,7 +118,7 @@ def save_layer_checkpoint(save_dir: str, layer_index: int, layer: dict) -> str:
     os.makedirs(save_dir, exist_ok=True)
     arrays, meta = _layer_to_flat(layer)
     path = os.path.join(save_dir, f"layer_{layer_index}.npz")
-    np.savez(path, __meta__=json.dumps(meta), **arrays)
+    _savez(path, {"__meta__": np.asarray(json.dumps(meta)), **arrays})
     return path
 
 
@@ -101,9 +127,8 @@ def load_layer_checkpoint(save_dir: str, layer_index: int, scheme: AqlmScheme | 
     path = os.path.join(save_dir, f"layer_{layer_index}.npz")
     if not os.path.exists(path):
         return None
-    with np.load(path, allow_pickle=False) as data:
-        meta = json.loads(str(data["__meta__"]))
-        arrays = {k: data[k] for k in data.files if k != "__meta__"}
+    arrays = _loadz(path)
+    meta = json.loads(str(arrays.pop("__meta__")))
     return _layer_from_flat(arrays, meta)
 
 
@@ -149,7 +174,7 @@ def save_quantized_model(save_dir: str, params: dict, cfg: ModelConfig, extra_co
         shared["lm_head.weight"] = np.asarray(params["lm_head"].weight)
         if params["lm_head"].bias is not None:
             shared["lm_head.bias"] = np.asarray(params["lm_head"].bias)
-    np.savez(os.path.join(save_dir, "shared.npz"), **shared)
+    _savez(os.path.join(save_dir, "shared.npz"), shared)
 
     for li, layer in enumerate(params["layers"]):
         save_layer_checkpoint(save_dir, li, layer)
@@ -163,18 +188,18 @@ def load_quantized_model(save_dir: str) -> tuple[dict, ModelConfig]:
 
     cfg = config_class(config.get("model_family", "llama"))(**config["model_config"])
     extras = {}
-    with np.load(os.path.join(save_dir, "shared.npz")) as data:
-        embed = jnp.asarray(data["embed"])
-        final_norm = jnp.asarray(data["final_norm"])
-        for extra in ("final_norm_bias", "pos_embed"):
-            if extra in data.files:
-                extras[extra] = jnp.asarray(data[extra])
-        lm_head = None
-        if "lm_head.weight" in data.files:
-            lm_head = DenseLinear(
-                weight=jnp.asarray(data["lm_head.weight"]),
-                bias=jnp.asarray(data["lm_head.bias"]) if "lm_head.bias" in data.files else None,
-            )
+    data = _loadz(os.path.join(save_dir, "shared.npz"))
+    embed = jnp.asarray(data["embed"])
+    final_norm = jnp.asarray(data["final_norm"])
+    for extra in ("final_norm_bias", "pos_embed"):
+        if extra in data:
+            extras[extra] = jnp.asarray(data[extra])
+    lm_head = None
+    if "lm_head.weight" in data:
+        lm_head = DenseLinear(
+            weight=jnp.asarray(data["lm_head.weight"]),
+            bias=jnp.asarray(data["lm_head.bias"]) if "lm_head.bias" in data else None,
+        )
     layers = []
     for li in range(cfg.num_layers):
         layer = load_layer_checkpoint(save_dir, li)

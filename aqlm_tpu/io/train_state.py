@@ -23,16 +23,15 @@ def _is_none(x):
 
 
 def save_pytree(path: str, tree, metadata: dict | None = None) -> str:
+    from aqlm_tpu.io.checkpoint import _savez
+
     leaves = [l for l in jax.tree.leaves(tree) if l is not None]
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(
-        path,
-        __meta__=json.dumps(
-            {"num_leaves": len(leaves), "metadata": metadata or {}}
-        ),
-        **arrays,
+    arrays["__meta__"] = np.asarray(
+        json.dumps({"num_leaves": len(leaves), "metadata": metadata or {}})
     )
+    _savez(path, arrays)
     return path
 
 
@@ -42,11 +41,13 @@ def load_pytree(path: str, template):
     The template must have the same treedef (build it with the same init
     code, e.g. init_pv_state on freshly loaded params). Returns
     (tree, metadata)."""
+    from aqlm_tpu.io.checkpoint import _loadz
+
     if not path.endswith(".npz"):
         path = path + ".npz"
-    with np.load(path, allow_pickle=False) as data:
-        meta = json.loads(str(data["__meta__"]))
-        saved = [data[f"leaf_{i}"] for i in range(meta["num_leaves"])]
+    data = _loadz(path)
+    meta = json.loads(str(data["__meta__"]))
+    saved = [data[f"leaf_{i}"] for i in range(meta["num_leaves"])]
 
     leaves, treedef = jax.tree.flatten(template)
     non_none = [l for l in leaves if l is not None]
