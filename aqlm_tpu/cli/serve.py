@@ -8,6 +8,8 @@ which batches them continuously across clients.
 
     POST /generate {"prompt": "...", "max_new_tokens": 64, "temperature": 0.7}
       or {"prompt_ids": [1, 2, 3], ...}
+    POST /v1/completions  (OpenAI-compatible, incl. "stream": true SSE)
+    GET  /v1/models
     GET  /health
 """
 
@@ -42,9 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
 class _Server:
     """Single background loop drives Engine.step(); requests enqueue and wait."""
 
-    def __init__(self, engine: Engine, tokenizer):
+    def __init__(self, engine: Engine, tokenizer, model_id: str = "aqlm-tpu"):
         self.engine = engine
         self.tokenizer = tokenizer
+        self.model_id = model_id
         self._submissions: "queue.Queue" = queue.Queue()
         self._done: dict[int, threading.Event] = {}
         self._lock = threading.Lock()
@@ -69,8 +72,17 @@ class _Server:
                 with self._lock:
                     for rid, box in list(self._done.items()):
                         req = self.engine.get_request(rid)
+                        stream_q = box.get("stream_q")
+                        if stream_q is not None:
+                            new = req.generated[box.get("pushed", 0):]
+                            if new:
+                                for t in new:
+                                    stream_q.put(int(t))
+                                box["pushed"] = len(req.generated)
                         if req.done:
                             box["tokens"] = req.generated
+                            if stream_q is not None:
+                                stream_q.put(None)  # end-of-stream sentinel
                             box["finished"].set()
                             del self._done[rid]
             else:
@@ -84,6 +96,21 @@ class _Server:
         if not box["finished"].wait(timeout):
             raise TimeoutError("generation timed out")
         return box["tokens"]
+
+    def generate_stream(self, prompt_ids, sampling: SamplingParams):
+        """Submit and yield tokens as the engine produces them."""
+        box = {
+            "accepted": threading.Event(),
+            "finished": threading.Event(),
+            "stream_q": queue.Queue(),
+            "pushed": 0,
+        }
+        self._submissions.put((prompt_ids, sampling, box))
+        while True:
+            tok = box["stream_q"].get(timeout=600.0)
+            if tok is None:
+                return
+            yield tok
 
     def stop(self):
         self._running = False
@@ -105,34 +132,88 @@ def make_handler(server: _Server):
         def do_GET(self):
             if self.path == "/health":
                 self._reply(200, {"status": "ok"})
+            elif self.path == "/v1/models":
+                self._reply(200, {
+                    "object": "list",
+                    "data": [{"id": server.model_id, "object": "model", "owned_by": "aqlm_tpu"}],
+                })
             else:
                 self._reply(404, {"error": "unknown path"})
 
+        def _parse_request(self, req, openai: bool):
+            if "prompt_ids" in req:
+                ids = np.asarray(req["prompt_ids"], np.int32)
+            else:
+                assert server.tokenizer is not None, "text prompts need a tokenizer"
+                ids = np.asarray(server.tokenizer(req["prompt"]).input_ids, np.int32)
+            max_new = req.get("max_tokens" if openai else "max_new_tokens", 128)
+            sampling = SamplingParams(
+                temperature=float(req.get("temperature", 0.0)),
+                top_p=float(req.get("top_p", 1.0)),
+                max_new_tokens=int(max_new),
+                eos_token_id=getattr(server.tokenizer, "eos_token_id", None)
+                if server.tokenizer
+                else None,
+            )
+            return ids, sampling
+
+        def _completion_payload(self, tokens, text, finish="stop"):
+            return {
+                "id": "cmpl-aqlm",
+                "object": "text_completion",
+                "model": server.model_id,
+                "choices": [{"index": 0, "text": text, "finish_reason": finish,
+                             "token_ids": [int(t) for t in tokens]}],
+                "usage": {"completion_tokens": len(tokens)},
+            }
+
+        def _stream_completion(self, ids, sampling):
+            """OpenAI-style SSE: one chunk per new token, then [DONE]."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            sent_text = ""
+            tokens = []
+            for tok in server.generate_stream(ids, sampling):
+                tokens.append(tok)
+                if server.tokenizer is not None:
+                    full = server.tokenizer.decode(tokens)
+                    delta, sent_text = full[len(sent_text):], full
+                else:
+                    delta = ""
+                chunk = {
+                    "id": "cmpl-aqlm", "object": "text_completion",
+                    "model": server.model_id,
+                    "choices": [{"index": 0, "text": delta, "finish_reason": None,
+                                 "token_ids": [tok]}],
+                }
+                self.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                self.wfile.flush()
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+
         def do_POST(self):
-            if self.path != "/generate":
+            openai = self.path == "/v1/completions"
+            if self.path != "/generate" and not openai:
                 self._reply(404, {"error": "unknown path"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                if "prompt_ids" in req:
-                    ids = np.asarray(req["prompt_ids"], np.int32)
-                else:
-                    assert server.tokenizer is not None, "text prompts need a tokenizer"
-                    ids = np.asarray(server.tokenizer(req["prompt"]).input_ids, np.int32)
-                sampling = SamplingParams(
-                    temperature=float(req.get("temperature", 0.0)),
-                    top_p=float(req.get("top_p", 1.0)),
-                    max_new_tokens=int(req.get("max_new_tokens", 128)),
-                    eos_token_id=getattr(server.tokenizer, "eos_token_id", None)
-                    if server.tokenizer
-                    else None,
-                )
+                ids, sampling = self._parse_request(req, openai)
+                if openai and req.get("stream"):
+                    self._stream_completion(ids, sampling)
+                    return
                 tokens = server.generate(ids, sampling)
-                out = {"tokens": [int(t) for t in tokens]}
-                if server.tokenizer is not None:
-                    out["text"] = server.tokenizer.decode(tokens)
-                self._reply(200, out)
+                text = server.tokenizer.decode(tokens) if server.tokenizer is not None else ""
+                if openai:
+                    self._reply(200, self._completion_payload(tokens, text))
+                else:
+                    out = {"tokens": [int(t) for t in tokens]}
+                    if server.tokenizer is not None:
+                        out["text"] = text
+                    self._reply(200, out)
             except Exception as e:  # surface errors to the client
                 self._reply(500, {"error": repr(e)})
 
@@ -150,9 +231,12 @@ def main(argv=None):
             prefill_buckets=tuple(args.prefill_buckets), kv_quantized=args.kv_int8,
         ),
     )
-    server = _Server(engine, tokenizer)
+    server = _Server(engine, tokenizer, model_id=args.model_path.rstrip("/").split("/")[-1])
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
-    print(f"serving on http://{args.host}:{args.port} (POST /generate, GET /health)")
+    print(
+        f"serving on http://{args.host}:{args.port} "
+        f"(POST /generate, POST /v1/completions, GET /v1/models, GET /health)"
+    )
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -53,6 +53,40 @@ def test_http_generate_concurrent(key):
         solo = Engine(params, cfg, ServeConfig(max_batch=1, max_len=64, prefill_buckets=(8,)))
         expect = solo.generate([np.asarray(prompts[0], np.int32)], SamplingParams(max_new_tokens=4))[0]
         assert results[0] == expect
+
+        # OpenAI-compatible surface: /v1/models, /v1/completions, SSE stream
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/v1/models") as r:
+            models = json.loads(r.read())
+            assert models["data"][0]["object"] == "model"
+
+        body = json.dumps({"prompt_ids": prompts[0], "max_tokens": 4}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            comp = json.loads(r.read())
+        assert comp["object"] == "text_completion"
+        assert comp["choices"][0]["token_ids"] == expect
+        assert comp["usage"]["completion_tokens"] == 4
+
+        body = json.dumps({"prompt_ids": prompts[0], "max_tokens": 4, "stream": True}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        streamed = []
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"].startswith("text/event-stream")
+            for line in r:
+                line = line.decode().strip()
+                if not line.startswith("data: "):
+                    continue
+                payload = line[len("data: "):]
+                if payload == "[DONE]":
+                    break
+                streamed.extend(json.loads(payload)["choices"][0]["token_ids"])
+        assert streamed == expect
     finally:
         httpd.shutdown()
         server.stop()
