@@ -25,6 +25,7 @@ from aqlm_tpu.ops.runtime import (
 
 __all__ = [
     "DenseLinear",
+    "LoraLinear",
     "apply_linear",
     "rms_norm",
     "rope",
@@ -52,8 +53,38 @@ class DenseLinear:
         return self.weight.shape[0]
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["base", "lora_a", "lora_b"],
+    meta_fields=["scale"],
+)
+@dataclasses.dataclass
+class LoraLinear:
+    """Low-rank adapter on a frozen base linear: y = base(x) + scale·(x Aᵀ) Bᵀ.
+
+    The PEFT recipe of the reference's 2-bit-training notebook
+    (/root/reference/notebooks/aqlm_2bit_training.ipynb): adapters train
+    through the quantized matmul's custom VJP while codes/codebooks stay
+    frozen. lora_a [r, IN] (normal init), lora_b [OUT, r] (zeros — the
+    wrapped model starts exactly equal to the base model)."""
+
+    base: object  # DenseLinear | QuantizedLinear
+    lora_a: jax.Array
+    lora_b: jax.Array
+    scale: float  # alpha / r
+
+    @property
+    def out_features(self):
+        return self.lora_b.shape[0]
+
+
 def apply_linear(x: jax.Array, lin) -> jax.Array:
     """x [..., IN] @ W^T for a DenseLinear, QuantizedLinear, or indexed view."""
+    if isinstance(lin, LoraLinear):
+        y = apply_linear(x, lin.base)
+        delta = jnp.einsum("...i,ri->...r", x, lin.lora_a.astype(x.dtype))
+        delta = jnp.einsum("...r,or->...o", delta, lin.lora_b.astype(x.dtype))
+        return y + jnp.asarray(lin.scale, y.dtype) * delta.astype(y.dtype)
     if isinstance(lin, IndexedQuantizedLinear):
         return quantized_matmul_indexed(x, lin)
     if isinstance(lin, IndexedFusedCodesLinear):

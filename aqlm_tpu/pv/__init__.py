@@ -2,6 +2,14 @@
 
 from aqlm_tpu.pv.configurable_adam import ConfigurableAdamState, configurable_adamw
 from aqlm_tpu.pv.losses import chunked_kl_loss, cross_entropy_loss, kl_divergence_loss
+from aqlm_tpu.pv.lora import (
+    LoraTrainState,
+    attach_lora,
+    init_lora_state,
+    make_lora_step,
+    merge_lora,
+    split_lora,
+)
 from aqlm_tpu.pv.straight_through import (
     PVConfig,
     PVState,
@@ -33,4 +41,10 @@ __all__ = [
     "make_distill_step",
     "merge_trainable",
     "split_trainable",
+    "LoraTrainState",
+    "attach_lora",
+    "init_lora_state",
+    "make_lora_step",
+    "merge_lora",
+    "split_lora",
 ]
