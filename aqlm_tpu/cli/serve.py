@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv_int8", action="store_true")
     p.add_argument("--mode", choices=["reference", "codes", "int8"], default="int8")
     p.add_argument("--dtype", choices=["auto", "float32", "bfloat16"], default="bfloat16")
+    p.add_argument("--draft_model", type=str, default=None,
+                   help="draft model spec: enables batched speculative decoding")
+    p.add_argument("--draft_mode", choices=["reference", "codes", "int8"], default=None)
+    p.add_argument("--spec_k", type=int, default=4)
     return p
 
 
@@ -224,12 +228,20 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     params, cfg, _ = resolve_model(args.model_path, dtype=dtype_from_str(args.dtype), mode=args.mode)
     tokenizer = load_tokenizer(args.model_path)
+    spec_kw = {}
+    if args.draft_model is not None:
+        dparams, dcfg, _ = resolve_model(
+            args.draft_model, dtype=dtype_from_str(args.dtype),
+            mode=args.draft_mode or args.mode,
+        )
+        spec_kw = dict(draft_params=dparams, draft_cfg=dcfg, spec_k=args.spec_k)
     engine = Engine(
         params, cfg,
         ServeConfig(
             max_batch=args.max_batch, max_len=args.max_len,
             prefill_buckets=tuple(args.prefill_buckets), kv_quantized=args.kv_int8,
         ),
+        **spec_kw,
     )
     server = _Server(engine, tokenizer, model_id=args.model_path.rstrip("/").split("/")[-1])
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))

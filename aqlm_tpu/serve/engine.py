@@ -24,7 +24,7 @@ import numpy as np
 
 from aqlm_tpu.models import llama
 from aqlm_tpu.models.stacked import KVCache, forward_stacked, init_kv_cache, stack_layer_params
-from aqlm_tpu.serve.sampler import SamplingParams, sample_tokens
+from aqlm_tpu.serve.sampler import SamplingParams, filter_logits, sample_tokens
 
 __all__ = ["ServeConfig", "Engine", "Request"]
 
@@ -59,7 +59,16 @@ class Engine:
     mode); they are stacked once at construction.
     """
 
-    def __init__(self, params: dict, cfg: llama.ModelConfig, serve: ServeConfig = ServeConfig()):
+    def __init__(
+        self,
+        params: dict,
+        cfg: llama.ModelConfig,
+        serve: ServeConfig = ServeConfig(),
+        *,
+        draft_params: dict | None = None,
+        draft_cfg: llama.ModelConfig | None = None,
+        spec_k: int = 4,
+    ):
         self.cfg = cfg
         self.serve = serve
         if serve.fuse_projections or serve.lm_head_int8:
@@ -99,6 +108,7 @@ class Engine:
         self._next_rid = 0
         self._offsets = np.zeros(serve.max_batch, np.int32)  # next write position per slot
         self._last_token = np.zeros(serve.max_batch, np.int32)
+        self._prev_token = np.zeros(serve.max_batch, np.int32)  # token at offset-1 (spec)
         self._temps = np.zeros(serve.max_batch, np.float32)
         self._top_ps = np.ones(serve.max_batch, np.float32)
         self._budgets = np.zeros(serve.max_batch, np.int32)
@@ -141,6 +151,126 @@ class Engine:
         self._decode = decode_step
         self._prefill_fns = {}
 
+        # ---- batched speculative decoding (continuous batching + draft) ----
+        self._spec = None
+        if draft_params is not None:
+            dcfg = draft_cfg or cfg
+            assert dcfg.vocab_size == cfg.vocab_size, "draft vocab must match"
+            assert "moe_gate" not in (draft_params.get("layers") or [{}])[0], (
+                "MoE draft models are not supported"
+            )
+            dp = draft_params
+            if serve.fuse_projections:
+                from aqlm_tpu.serve.fuse import fuse_projections, fuse_projections_codes
+
+                dp = fuse_projections(dp, dcfg, donate=serve.donate_params)
+                dp = fuse_projections_codes(dp, dcfg, donate=serve.donate_params)
+            self._dcfg = dcfg
+            self._dparams = stack_layer_params(dp, donate=serve.donate_params)
+            self._dcache = init_kv_cache(
+                dcfg, serve.max_batch, serve.max_len, quantized=serve.kv_quantized
+            )
+            self.spec_k = spec_k
+            self._spec = self._make_spec_step(spec_k)
+            self.spec_stats = {"proposed": 0, "accepted": 0}
+
+    def _make_spec_step(self, k: int):
+        """Batched draft-and-verify step over the slot prefix [0:bucket].
+
+        Same exactness contract as serve/speculative.py, vectorized over
+        slots with per-slot offsets and sampling params: the draft chunk
+        re-processes each slot's prev token at offset-1 (forced continuation
+        of last) so an all-accepted round leaves no KV hole; the verify is
+        ONE [bucket, k+1] target forward; acceptance is the greedy
+        agree-prefix rule for temperature-0 rows and Leviathan
+        accept/resample for sampled rows."""
+        cfg, dcfg, serve = self.cfg, self._dcfg, self.serve
+        B = serve.max_batch
+        from aqlm_tpu.serve.speculative import speculative_accept
+
+        def sub_cache(cache, bucket):
+            if bucket == B:
+                return cache
+            return jax.tree.map(
+                lambda a: None if a is None else jax.lax.slice_in_dim(a, 0, bucket, axis=1),
+                cache, is_leaf=lambda a: a is None,
+            )
+
+        def put_cache(cache, sub, bucket):
+            if bucket == B:
+                return sub
+            return jax.tree.map(
+                lambda full, part: None if full is None
+                else jax.lax.dynamic_update_slice_in_dim(full, part, 0, axis=1),
+                cache, sub, is_leaf=lambda a: a is None,
+            )
+
+        @partial(jax.jit, donate_argnums=(2, 3), static_argnames=("bucket",))
+        def spec_step(
+            tparams, dparams, tcache, dcache, prev, last, offsets, key,
+            temps, top_ps, bucket=B,
+        ):
+            b = bucket
+            tsub, dsub = sub_cache(tcache, b), sub_cache(dcache, b)
+
+            def dstep(carry, xs):
+                tok, dc, off = carry
+                forced, i = xs
+                logits, dc = forward_stacked(
+                    dparams, dcfg, tok[:, None], cache=dc, cache_offset=off,
+                    use_flash_decode=serve.use_flash_decode,
+                )
+                lg = logits[:, -1, :]
+                scaled = filter_logits(lg, temps, top_ps, serve.top_k)
+                q_row = jax.nn.softmax(scaled, axis=-1)
+                samp = jax.random.categorical(jax.random.fold_in(key, i), scaled, axis=-1)
+                greedy = jnp.argmax(lg, axis=-1)
+                nxt = jnp.where(temps > 0, samp, greedy).astype(jnp.int32)
+                nxt = jnp.where(forced >= 0, forced, nxt)
+                return (nxt, dc, off + 1), (nxt, q_row)
+
+            forced = jnp.concatenate(
+                [last[None, :], jnp.full((k, b), -1, jnp.int32)], axis=0
+            )  # [k+1, b]
+            (_, dsub, _), (toks, q_rows) = jax.lax.scan(
+                dstep, (prev, dsub, offsets - 1), (forced, jnp.arange(k + 1))
+            )
+            draft_toks = toks[1:].T  # [b, k]
+            q_rows = jnp.moveaxis(q_rows[1:], 1, 0)  # [b, k, V]
+
+            ids = jnp.concatenate([last[:, None], draft_toks], axis=1)  # [b, k+1]
+            logits, tsub = forward_stacked(
+                tparams, cfg, ids, cache=tsub, cache_offset=offsets,
+                use_flash_decode=serve.use_flash_decode,
+            )
+
+            def accept_row(lg_row, q_row, d_row, temp, top_p, rkey):
+                preds = jnp.argmax(lg_row.astype(jnp.float32), axis=-1).astype(jnp.int32)
+                agree = preds[:k] == d_row
+                n_g = jnp.argmin(
+                    jnp.concatenate([agree, jnp.array([False])])
+                ).astype(jnp.int32)
+                bonus_g = preds[n_g]
+                scaled = filter_logits(
+                    lg_row, jnp.full((k + 1,), temp), jnp.full((k + 1,), top_p), serve.top_k
+                )
+                n_s, bonus_s = speculative_accept(
+                    jax.nn.softmax(scaled, axis=-1), q_row, d_row, rkey
+                )
+                sampled = temp > 0
+                return jnp.where(sampled, n_s, n_g), jnp.where(sampled, bonus_s, bonus_g)
+
+            rkeys = jax.random.split(jax.random.fold_in(key, k + 1), b)
+            n_acc, bonus = jax.vmap(accept_row)(
+                logits, q_rows, draft_toks, temps, top_ps, rkeys
+            )
+            return (
+                draft_toks, n_acc, bonus,
+                put_cache(tcache, tsub, b), put_cache(dcache, dsub, b),
+            )
+
+        return spec_step
+
     def _decode_bucket(self) -> int:
         """Smallest power-of-two slot prefix covering every active slot."""
         hi = max(self._active) + 1
@@ -167,10 +297,10 @@ class Engine:
         chunks.append((start, rem, self._bucket(rem)))
         return chunks
 
-    def _get_prefill(self, bucket: int):
-        if bucket in self._prefill_fns:
-            return self._prefill_fns[bucket]
-        cfg, serve = self.cfg, self.serve
+    def _get_prefill(self, bucket: int, draft: bool = False):
+        if (bucket, draft) in self._prefill_fns:
+            return self._prefill_fns[bucket, draft]
+        cfg, serve = (self._dcfg if draft else self.cfg), self.serve
 
         @partial(jax.jit, donate_argnums=(1,), static_argnames=())
         def prefill(params, cache: KVCache, ids, slot, start, true_len, key, temp, top_p):
@@ -203,7 +333,7 @@ class Engine:
             )[0]
             return tok, cache
 
-        self._prefill_fns[bucket] = prefill
+        self._prefill_fns[bucket, draft] = prefill
         return prefill
 
     # ---- public API --------------------------------------------------------
@@ -236,6 +366,16 @@ class Engine:
                     start, length, sub,
                     jnp.float32(req.sampling.temperature), jnp.float32(req.sampling.top_p),
                 )
+            if self._spec is not None:
+                for start, length, bucket in self._prefill_chunks(len(req.prompt)):
+                    ids = np.zeros(bucket, np.int32)
+                    ids[:length] = req.prompt[start : start + length]
+                    dprefill = self._get_prefill(bucket, draft=True)
+                    _, self._dcache = dprefill(
+                        self._dparams, self._dcache, jnp.asarray(ids), slot,
+                        start, length, sub, jnp.float32(0.0), jnp.float32(1.0),
+                    )
+                self._prev_token[slot] = req.prompt[-1]
             tok = int(tok)  # sampled from the final chunk's last position
             req.generated.append(tok)
             self._active[slot] = req
@@ -258,12 +398,58 @@ class Engine:
 
             _hq.heappush(self._free_slots, slot)
 
+    def _spec_step(self) -> dict:
+        """One batched draft-and-verify round; emits up to spec_k+1 tokens
+        per active slot."""
+        self._key, sub = jax.random.split(self._key)
+        bucket = self._decode_bucket()
+        k = self.spec_k
+        draft_toks, n_acc, bonus, self.cache, self._dcache = self._spec(
+            self.params, self._dparams, self.cache, self._dcache,
+            jnp.asarray(self._prev_token[:bucket]),
+            jnp.asarray(self._last_token[:bucket]),
+            jnp.asarray(self._offsets[:bucket]),
+            sub,
+            jnp.asarray(self._temps[:bucket]),
+            jnp.asarray(self._top_ps[:bucket]),
+            bucket=bucket,
+        )
+        draft_toks, n_acc, bonus = map(np.asarray, (draft_toks, n_acc, bonus))
+        emitted = {}
+        for slot, req in list(self._active.items()):
+            na = int(n_acc[slot])
+            chunk = [int(t) for t in draft_toks[slot, :na]] + [int(bonus[slot])]
+            self.spec_stats["proposed"] += k
+            self.spec_stats["accepted"] += na
+            # cache rows advanced by the full accepted+bonus chunk
+            before_last = [self._last_token[slot]] + chunk
+            self._offsets[slot] += na + 1
+            self._budgets[slot] -= na + 1
+            eos = req.sampling.eos_token_id
+            if eos is not None and eos in chunk:
+                chunk = chunk[: chunk.index(eos) + 1]
+                self._budgets[slot] = 0
+            if self._budgets[slot] < 0:  # budget truncation ends the request
+                chunk = chunk[: self._budgets[slot]]
+                self._budgets[slot] = 0
+            req.generated.extend(chunk)
+            emitted[req.rid] = chunk
+            self._last_token[slot] = before_last[len(chunk)]
+            self._prev_token[slot] = before_last[len(chunk) - 1]
+            if self._offsets[slot] >= self.serve.max_len - (k + 2):
+                self._budgets[slot] = 0
+            self._maybe_finish(slot)
+        return emitted
+
     def step(self) -> dict:
         """Admit pending requests, run one batched decode step.
-        Returns {rid: new_token} for tokens produced this step."""
+        Returns {rid: new_token} for tokens produced this step
+        ({rid: [tokens]} chunks in speculative mode)."""
         self._admit()
         if not self._active:
             return {}
+        if self._spec is not None:
+            return self._spec_step()
         self._key, sub = jax.random.split(self._key)
         bucket = self._decode_bucket()
         tokens, self.cache = self._decode(
