@@ -40,6 +40,8 @@ class ServeConfig:
     lm_head_int8: bool = False  # int8-quantize the output head
     donate_params: bool = False  # free caller's params during load (big models)
     use_flash_decode: bool | None = None  # None = stacked.forward default (flash on)
+    prefix_cache: bool = True  # reuse KV rows for shared prompt prefixes
+    min_prefix: int = 16  # smallest prefix worth a copy instead of recompute
 
 
 @dataclasses.dataclass
@@ -113,6 +115,10 @@ class Engine:
         self._top_ps = np.ones(serve.max_batch, np.float32)
         self._budgets = np.zeros(serve.max_batch, np.int32)
         self._key = jax.random.PRNGKey(0)
+        # prefix cache: per slot, the prompt whose KV occupies rows [0:len)
+        # (positions are absolute from 0, so prefix KV is slot-portable)
+        self._slot_prompts: dict[int, np.ndarray] = {}
+        self.prefix_stats = {"hits": 0, "tokens_reused": 0}
 
         B = serve.max_batch
 
@@ -150,6 +156,26 @@ class Engine:
 
         self._decode = decode_step
         self._prefill_fns = {}
+
+        @partial(jax.jit, donate_argnums=(0,), static_argnames=("rows",))
+        def copy_prefix(cache_tree, src, dst, rows):
+            """Copy rows [0:rows) of slot `src` to slot `dst` (prefix reuse).
+            rows is bucketed static (pow2) so only a few programs compile;
+            surplus rows beyond the true prefix are overwritten/masked by the
+            destination's own prefill+decode writes."""
+
+            def cp(a):
+                if a is None:
+                    return None
+                part = jax.lax.dynamic_slice_in_dim(a, src, 1, axis=1)
+                part = jax.lax.slice_in_dim(part, 0, rows, axis=3)
+                return jax.lax.dynamic_update_slice(
+                    a, part, (0, dst, 0, 0, 0)
+                )
+
+            return jax.tree.map(cp, cache_tree, is_leaf=lambda a: a is None)
+
+        self._copy_prefix = copy_prefix
 
         # ---- batched speculative decoding (continuous batching + draft) ----
         self._spec = None
@@ -349,6 +375,39 @@ class Engine:
     def get_request(self, rid: int) -> Request:
         return self.requests[rid]
 
+    def _find_prefix(self, slot: int, prompt: np.ndarray) -> int:
+        """Longest reusable prompt prefix materialized in another slot's
+        cache rows; 0 if below min_prefix. Capped at len(prompt)-1 so the
+        final prompt token always prefills (its logits seed generation)."""
+        best_slot, best_len = None, 0
+        for s, toks in self._slot_prompts.items():
+            m = min(len(toks), len(prompt))
+            eq = toks[:m] == prompt[:m]
+            l = int(eq.argmin()) if not eq.all() else m
+            # same-slot reuse is free (rows already in place): prefer it on ties
+            if l > best_len or (l == best_len and s == slot):
+                best_slot, best_len = s, l
+        best_len = min(best_len, len(prompt) - 1)
+        if best_slot is None or best_len < self.serve.min_prefix:
+            return 0
+        if best_slot != slot:
+            rows = 1 << (best_len - 1).bit_length()  # pow2 bucket: few programs
+            rows = min(rows, self.serve.max_len)
+            self.cache = self._copy_prefix(
+                self.cache, jnp.int32(best_slot), jnp.int32(slot), rows=rows
+            )
+            if self._spec is not None:
+                self._dcache = self._copy_prefix(
+                    self._dcache, jnp.int32(best_slot), jnp.int32(slot), rows=rows
+                )
+        self.prefix_stats["hits"] += 1
+        self.prefix_stats["tokens_reused"] += best_len
+        return best_len
+
+    def _chunks_from(self, start: int, n: int):
+        """(start, length, bucket) chunks covering prompt[start:n]."""
+        return [(start + s, l, b) for s, l, b in self._prefill_chunks(n - start)]
+
     def _admit(self):
         import heapq as _hq
 
@@ -357,7 +416,9 @@ class Engine:
             slot = _hq.heappop(self._free_slots)
             req.slot = slot
             self._key, sub = jax.random.split(self._key)
-            for start, length, bucket in self._prefill_chunks(len(req.prompt)):
+            reused = self._find_prefix(slot, req.prompt) if self.serve.prefix_cache else 0
+            self._slot_prompts[slot] = req.prompt.copy()
+            for start, length, bucket in self._chunks_from(reused, len(req.prompt)):
                 ids = np.zeros(bucket, np.int32)
                 ids[:length] = req.prompt[start : start + length]
                 prefill = self._get_prefill(bucket)
@@ -367,7 +428,7 @@ class Engine:
                     jnp.float32(req.sampling.temperature), jnp.float32(req.sampling.top_p),
                 )
             if self._spec is not None:
-                for start, length, bucket in self._prefill_chunks(len(req.prompt)):
+                for start, length, bucket in self._chunks_from(reused, len(req.prompt)):
                     ids = np.zeros(bucket, np.int32)
                     ids[:length] = req.prompt[start : start + length]
                     dprefill = self._get_prefill(bucket, draft=True)
