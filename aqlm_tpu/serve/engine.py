@@ -365,9 +365,16 @@ class Engine:
     # ---- public API --------------------------------------------------------
 
     def submit(self, prompt_ids, sampling: SamplingParams = SamplingParams()) -> int:
+        prompt = np.asarray(prompt_ids, np.int32)
+        room = self.serve.max_len - (self.spec_k + 2 if self._spec is not None else 2)
+        if len(prompt) > room:
+            raise ValueError(
+                f"prompt of {len(prompt)} tokens leaves no decode room at "
+                f"max_len={self.serve.max_len} (limit {room})"
+            )
         rid = self._next_rid
         self._next_rid += 1
-        req = Request(rid=rid, prompt=np.asarray(prompt_ids, np.int32), sampling=sampling)
+        req = Request(rid=rid, prompt=prompt, sampling=sampling)
         self._pending.append(req)
         self.requests[rid] = req
         return rid

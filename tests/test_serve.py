@@ -185,3 +185,16 @@ def test_decode_batch_bucketing(key):
         engine.step()
     assert engine.get_request(r1).generated[:4] == manual[:3] + engine.get_request(r1).generated[3:4]
     assert len(engine.get_request(r2).generated) == 3
+
+
+def test_submit_rejects_oversized_prompt():
+    import pytest
+
+    from aqlm_tpu.models import llama as _llama
+
+    cfg = _llama.ModelConfig.tiny(num_layers=1)
+    params = _llama.init_random_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    eng = Engine(params, cfg, ServeConfig(max_batch=1, max_len=32, prefill_buckets=(8,)))
+    with pytest.raises(ValueError, match="decode room"):
+        eng.submit(np.arange(31, dtype=np.int32))
+    eng.submit(np.arange(16, dtype=np.int32))  # fits
