@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="draft model spec: enables batched speculative decoding")
     p.add_argument("--draft_mode", choices=["reference", "codes", "int8"], default=None)
     p.add_argument("--spec_k", type=int, default=4)
+    p.add_argument("--tp", type=int, default=1,
+                   help=">1: tensor-parallel serving over a model-axis mesh of this size")
     return p
 
 
@@ -235,14 +237,18 @@ def main(argv=None):
             mode=args.draft_mode or args.mode,
         )
         spec_kw = dict(draft_params=dparams, draft_cfg=dcfg, spec_k=args.spec_k)
-    engine = Engine(
-        params, cfg,
-        ServeConfig(
-            max_batch=args.max_batch, max_len=args.max_len,
-            prefill_buckets=tuple(args.prefill_buckets), kv_quantized=args.kv_int8,
-        ),
-        **spec_kw,
+    serve_cfg = ServeConfig(
+        max_batch=args.max_batch, max_len=args.max_len,
+        prefill_buckets=tuple(args.prefill_buckets), kv_quantized=args.kv_int8,
     )
+    if args.tp > 1:
+        from aqlm_tpu.parallel import make_mesh
+        from aqlm_tpu.serve.tp_engine import TPEngine
+
+        assert not spec_kw, "--draft_model is not supported with --tp yet"
+        engine = TPEngine(params, cfg, serve_cfg, mesh=make_mesh(model=args.tp))
+    else:
+        engine = Engine(params, cfg, serve_cfg, **spec_kw)
     server = _Server(engine, tokenizer, model_id=args.model_path.rstrip("/").split("/")[-1])
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
     print(

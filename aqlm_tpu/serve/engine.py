@@ -70,6 +70,7 @@ class Engine:
         draft_params: dict | None = None,
         draft_cfg: llama.ModelConfig | None = None,
         spec_k: int = 4,
+        _fuse_tp: int = 1,  # TPEngine: shard-interleaved fused layout
     ):
         self.cfg = cfg
         self.serve = serve
@@ -79,8 +80,9 @@ class Engine:
             if serve.fuse_projections:
                 from aqlm_tpu.serve.fuse import fuse_projections_codes
 
-                params = fuse_projections(params, cfg, donate=serve.donate_params)
-                params = fuse_projections_codes(params, cfg, donate=serve.donate_params)
+                params = fuse_projections(params, cfg, donate=serve.donate_params, tp=_fuse_tp)
+                if _fuse_tp == 1:  # fused codes layout has no TP interleaving
+                    params = fuse_projections_codes(params, cfg, donate=serve.donate_params)
             if serve.lm_head_int8:
                 params = quantize_lm_head_int8(params)
         # MoE with int8 experts: stack experts into all-expert kernel operands

@@ -33,7 +33,12 @@ from aqlm_tpu.models.common import apply_linear, attention_headmajor, make_causa
 from aqlm_tpu.models.stacked import KVCache, _dequantize_kv, _quantize_kv, model_family
 from aqlm_tpu.ops.runtime import IndexedQuantizedLinear, QuantizedLinear
 
-__all__ = ["tp_shard_serving_params", "make_tp_decode_step", "tp_kv_cache_spec"]
+__all__ = [
+    "tp_shard_serving_params",
+    "make_tp_decode_step",
+    "make_tp_prefill_step",
+    "tp_kv_cache_spec",
+]
 
 # which stacked-layer weights shard which way (fused serving layout)
 _COLUMN = ("qkv_proj", "q_proj", "k_proj", "v_proj", "gateup_proj", "gate_proj", "up_proj")
@@ -156,17 +161,13 @@ def tp_shard_serving_params(stacked: dict, mesh: Mesh, ma: str = "model") -> dic
     return jax.tree.map(place, stacked, specs, is_leaf=lambda x: x is None)
 
 
-def make_tp_decode_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
-    """Build the shard_map'd single-token decode step.
+def _make_local_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
+    """Per-device block stack shared by the TP decode and TP prefill entries.
 
-    step(params, cache, tokens [B,1], offsets [B]) -> (logits [B,1,V], cache)
-    Requires num_kv_heads and num_heads divisible by the model-axis size.
-
-    Families: llama layout and cohere (Command-R). Cohere's PARALLEL block is
-    a TP bonus: o_proj and down_proj partial sums share one residual add, so
-    the two megatron all-reduces per block FUSE into a single psum (falcon's
-    1-KV-head MQA cannot shard kv heads; opt fits one chip — both stay on the
-    single-chip engine).
+    Returns local_step(params, cache_kv, tokens [B,T], offsets [B],
+    last_pos [B] | None) -> (logits, kv): with last_pos given, the lm_head
+    runs on that single position per row (prefill — avoids materializing and
+    all-gathering [B, T, V]); otherwise on every position (decode, T=1).
     """
     fam = model_family(cfg)
     assert fam in ("llama", "cohere"), f"TP serving supports llama/cohere layouts, not {fam}"
@@ -256,7 +257,7 @@ def make_tp_decode_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
         x = res + jax.lax.psum(apply_linear(mlp, layer["down_proj"]), ma)
         return x, new_kv
 
-    def local_step(params, cache_kv, tokens, offsets):
+    def local_step(params, cache_kv, tokens, offsets, last_pos=None):
         b, t = tokens.shape
         positions = offsets[:, None] + jnp.arange(t)[None, :]
         x = jnp.take(params["embed"], tokens, axis=0)
@@ -287,6 +288,10 @@ def make_tp_decode_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
             x = cohere_layer_norm(x, params["final_norm"], cfg.ln_eps)
         else:
             x = rms_norm(x, params["final_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+        if last_pos is not None:  # prefill: head on ONE position per row
+            x = jax.vmap(lambda row, p: jax.lax.dynamic_slice_in_dim(row, p, 1, axis=0))(
+                x, last_pos
+            )
         head = params.get("lm_head")
         assert head is not None, (
             "TP serving needs an explicit (vocab-sharded) lm_head; for tied "
@@ -297,6 +302,23 @@ def make_tp_decode_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
         if fam == "cohere":
             logits = logits * jnp.asarray(cfg.logit_scale, logits.dtype)
         return logits, kv_out
+
+    return local_step
+
+
+def make_tp_decode_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
+    """Build the shard_map'd single-token decode step.
+
+    step(params, cache, tokens [B,1], offsets [B]) -> (logits [B,1,V], cache)
+    Requires num_kv_heads and num_heads divisible by the model-axis size.
+
+    Families: llama layout and cohere (Command-R). Cohere's PARALLEL block is
+    a TP bonus: o_proj and down_proj partial sums share one residual add, so
+    the two megatron all-reduces per block FUSE into a single psum (falcon's
+    1-KV-head MQA cannot shard kv heads; opt fits one chip — both stay on the
+    single-chip engine).
+    """
+    local_step = _make_local_step(cfg, mesh, ma)
 
     def step(params, cache: KVCache, tokens, offsets):
         specs = tp_serving_param_specs(params, ma)
@@ -322,3 +344,54 @@ def make_tp_decode_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
         return logits, new_cache
 
     return step
+
+
+def make_tp_prefill_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
+    """Slot-sliced TP prefill: one padded chunk (batch 1) into `slot` at
+    cache offset `start`; the lm_head runs on the chunk's final true position
+    only, so nothing [T, V]-sized is ever materialized or all-gathered.
+
+    prefill(params, cache, ids [bucket], slot, start, true_len)
+      -> (last-position logits [V], cache)
+    """
+    local_step = _make_local_step(cfg, mesh, ma)
+
+    def local_prefill(params, cache_kv, ids, slot, start, true_len):
+        take = lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1)
+        kv1 = tuple(take(a) for a in cache_kv)
+        logits, kv1 = local_step(
+            params, kv1, ids[None, :], jnp.full((1,), start, jnp.int32),
+            last_pos=(true_len - 1)[None],
+        )
+        put = lambda full, part: jax.lax.dynamic_update_slice_in_dim(full, part, slot, axis=1)
+        cache_kv = tuple(put(f, p) for f, p in zip(cache_kv, kv1))
+        return logits[0, 0], cache_kv
+
+    def prefill(params, cache: KVCache, ids, slot, start, true_len):
+        specs = tp_serving_param_specs(params, ma)
+        cache_spec = tp_kv_cache_spec(ma)
+        if cache.quantized:
+            kv = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+            kv_specs = (cache_spec.k, cache_spec.v, cache_spec.k_scale, cache_spec.v_scale)
+        else:
+            kv = (cache.k, cache.v)
+            kv_specs = (cache_spec.k, cache_spec.v)
+        fn = shard_map(
+            local_prefill,
+            mesh=mesh,
+            in_specs=(specs, kv_specs, P(None), P(), P(), P()),
+            out_specs=(P(None), kv_specs),
+            check_vma=False,
+        )
+        logits, kv_out = fn(
+            params, kv, ids,
+            jnp.asarray(slot, jnp.int32), jnp.asarray(start, jnp.int32),
+            jnp.asarray(true_len, jnp.int32),
+        )
+        if cache.quantized:
+            new_cache = KVCache(k=kv_out[0], v=kv_out[1], k_scale=kv_out[2], v_scale=kv_out[3])
+        else:
+            new_cache = KVCache(k=kv_out[0], v=kv_out[1], k_scale=None, v_scale=None)
+        return logits, new_cache
+
+    return prefill

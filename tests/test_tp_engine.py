@@ -1,0 +1,55 @@
+"""TP continuous-batching engine on the 8-virtual-device CPU mesh: the
+TPEngine must emit token-for-token what the single-chip Engine emits
+(greedy), through chunked prefill, staggered admissions, and prefix reuse."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from aqlm_tpu.config import SCHEME_2X8
+from aqlm_tpu.models import llama
+from aqlm_tpu.models.quantize import random_quantized_params
+from aqlm_tpu.parallel import make_mesh
+from aqlm_tpu.serve import Engine, SamplingParams, ServeConfig
+from aqlm_tpu.serve.fuse import quantize_lm_head_int8
+from aqlm_tpu.serve.tp_engine import TPEngine
+
+
+def _models(mode):
+    cfg = llama.ModelConfig.tiny(num_layers=2, num_heads=8, num_kv_heads=4)
+    params = random_quantized_params(
+        jax.random.PRNGKey(0), cfg, SCHEME_2X8, mode=mode, dtype=jnp.float32
+    )
+    if mode == "int8":
+        params = quantize_lm_head_int8(params)
+    return cfg, params
+
+
+@pytest.mark.parametrize("kv_int8", [False, True])
+def test_tp_engine_matches_single_chip(kv_int8):
+    cfg, params = _models("int8")
+    serve = ServeConfig(
+        max_batch=2, max_len=64, prefill_buckets=(8, 16), kv_quantized=kv_int8,
+        min_prefix=8,
+    )
+    shared = np.arange(1, 13, dtype=np.int32)
+    prompts = [
+        np.concatenate([shared, np.asarray([101, 102], np.int32)]),
+        np.concatenate([shared, np.asarray([55], np.int32)]),
+        np.asarray([9, 8, 7], np.int32),
+    ]
+    sampling = SamplingParams(max_new_tokens=6)
+
+    cfg2, params2 = _models("int8")
+    ref = Engine(params2, cfg2, serve).generate(prompts, sampling)
+
+    mesh = make_mesh(model=4)
+    eng = TPEngine(params, cfg, serve, mesh=mesh)
+    got = eng.generate(prompts, sampling)
+    assert got == ref, (got, ref)
+    assert eng.prefix_stats["hits"] >= 1  # prefix caching works sharded too
