@@ -87,6 +87,7 @@ class _Server:
                                 box["pushed"] = len(req.generated)
                         if req.done:
                             box["tokens"] = req.generated
+                            box["logprobs"] = req.logprobs
                             if stream_q is not None:
                                 stream_q.put(None)  # end-of-stream sentinel
                             box["finished"].set()
@@ -101,7 +102,7 @@ class _Server:
         self._submissions.put((prompt_ids, sampling, box))
         if not box["finished"].wait(timeout):
             raise TimeoutError("generation timed out")
-        return box["tokens"]
+        return box["tokens"], box["logprobs"]
 
     def generate_stream(self, prompt_ids, sampling: SamplingParams):
         """Submit and yield tokens as the engine produces them."""
@@ -163,13 +164,16 @@ def make_handler(server: _Server):
             )
             return ids, sampling
 
-        def _completion_payload(self, tokens, text, finish="stop"):
+        def _completion_payload(self, tokens, text, logprobs=None, finish="stop"):
+            choice = {"index": 0, "text": text, "finish_reason": finish,
+                      "token_ids": [int(t) for t in tokens]}
+            if logprobs is not None:
+                choice["logprobs"] = {"token_logprobs": [round(float(l), 6) for l in logprobs]}
             return {
                 "id": "cmpl-aqlm",
                 "object": "text_completion",
                 "model": server.model_id,
-                "choices": [{"index": 0, "text": text, "finish_reason": finish,
-                             "token_ids": [int(t) for t in tokens]}],
+                "choices": [choice],
                 "usage": {"completion_tokens": len(tokens)},
             }
 
@@ -211,10 +215,13 @@ def make_handler(server: _Server):
                 if openai and req.get("stream"):
                     self._stream_completion(ids, sampling)
                     return
-                tokens = server.generate(ids, sampling)
+                tokens, logprobs = server.generate(ids, sampling)
                 text = server.tokenizer.decode(tokens) if server.tokenizer is not None else ""
                 if openai:
-                    self._reply(200, self._completion_payload(tokens, text))
+                    self._reply(200, self._completion_payload(
+                        tokens, text,
+                        logprobs=logprobs if req.get("logprobs") else None,
+                    ))
                 else:
                     out = {"tokens": [int(t) for t in tokens]}
                     if server.tokenizer is not None:

@@ -50,6 +50,7 @@ class Request:
     prompt: np.ndarray
     sampling: SamplingParams
     generated: list = dataclasses.field(default_factory=list)
+    logprobs: list = dataclasses.field(default_factory=list)  # raw model logprob per token
     slot: int | None = None
     done: bool = False
 
@@ -146,6 +147,8 @@ class Engine:
             next_tokens = sample_tokens(
                 logits[:, -1, :], key, temps, top_ps, top_k=serve.top_k
             )
+            logp = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32), axis=-1)
+            lps = jnp.take_along_axis(logp, next_tokens[:, None], axis=-1)[:, 0]
             if bucket != B:
                 cache = jax.tree.map(
                     lambda full, part: None if full is None
@@ -154,7 +157,7 @@ class Engine:
                 )
             else:
                 cache = sub
-            return next_tokens, cache
+            return next_tokens, lps, cache
 
         self._decode = decode_step
         self._prefill_fns = {}
@@ -286,14 +289,21 @@ class Engine:
                     jax.nn.softmax(scaled, axis=-1), q_row, d_row, rkey
                 )
                 sampled = temp > 0
-                return jnp.where(sampled, n_s, n_g), jnp.where(sampled, bonus_s, bonus_g)
+                n_acc = jnp.where(sampled, n_s, n_g)
+                bonus = jnp.where(sampled, bonus_s, bonus_g)
+                # raw model logprobs of the emitted chunk: d_i from row i-1,
+                # bonus from row n_acc
+                logp = jax.nn.log_softmax(lg_row.astype(jnp.float32), axis=-1)
+                lp_d = jnp.take_along_axis(logp[:k], d_row[:, None], axis=-1)[:, 0]
+                lp_bonus = logp[n_acc, bonus]
+                return n_acc, bonus, lp_d, lp_bonus
 
             rkeys = jax.random.split(jax.random.fold_in(key, k + 1), b)
-            n_acc, bonus = jax.vmap(accept_row)(
+            n_acc, bonus, lp_d, lp_bonus = jax.vmap(accept_row)(
                 logits, q_rows, draft_toks, temps, top_ps, rkeys
             )
             return (
-                draft_toks, n_acc, bonus,
+                draft_toks, n_acc, bonus, lp_d, lp_bonus,
                 put_cache(tcache, tsub, b), put_cache(dcache, dsub, b),
             )
 
@@ -359,7 +369,8 @@ class Engine:
             tok = sample_tokens(
                 last_logits, key, temp[None], top_p[None], top_k=serve.top_k
             )[0]
-            return tok, cache
+            logp = jax.nn.log_softmax(last_logits[0].astype(jnp.float32))
+            return tok, logp[tok], cache
 
         self._prefill_fns[bucket, draft] = prefill
         return prefill
@@ -431,7 +442,7 @@ class Engine:
                 ids = np.zeros(bucket, np.int32)
                 ids[:length] = req.prompt[start : start + length]
                 prefill = self._get_prefill(bucket)
-                tok, self.cache = prefill(
+                tok, lp, self.cache = prefill(
                     self.params, self.cache, jnp.asarray(ids), slot,
                     start, length, sub,
                     jnp.float32(req.sampling.temperature), jnp.float32(req.sampling.top_p),
@@ -441,13 +452,14 @@ class Engine:
                     ids = np.zeros(bucket, np.int32)
                     ids[:length] = req.prompt[start : start + length]
                     dprefill = self._get_prefill(bucket, draft=True)
-                    _, self._dcache = dprefill(
+                    _, _, self._dcache = dprefill(
                         self._dparams, self._dcache, jnp.asarray(ids), slot,
                         start, length, sub, jnp.float32(0.0), jnp.float32(1.0),
                     )
                 self._prev_token[slot] = req.prompt[-1]
             tok = int(tok)  # sampled from the final chunk's last position
             req.generated.append(tok)
+            req.logprobs.append(float(lp))
             self._active[slot] = req
             self._offsets[slot] = len(req.prompt)
             self._last_token[slot] = tok
@@ -474,7 +486,7 @@ class Engine:
         self._key, sub = jax.random.split(self._key)
         bucket = self._decode_bucket()
         k = self.spec_k
-        draft_toks, n_acc, bonus, self.cache, self._dcache = self._spec(
+        draft_toks, n_acc, bonus, lp_d, lp_bonus, self.cache, self._dcache = self._spec(
             self.params, self._dparams, self.cache, self._dcache,
             jnp.asarray(self._prev_token[:bucket]),
             jnp.asarray(self._last_token[:bucket]),
@@ -484,11 +496,14 @@ class Engine:
             jnp.asarray(self._top_ps[:bucket]),
             bucket=bucket,
         )
-        draft_toks, n_acc, bonus = map(np.asarray, (draft_toks, n_acc, bonus))
+        draft_toks, n_acc, bonus, lp_d, lp_bonus = map(
+            np.asarray, (draft_toks, n_acc, bonus, lp_d, lp_bonus)
+        )
         emitted = {}
         for slot, req in list(self._active.items()):
             na = int(n_acc[slot])
             chunk = [int(t) for t in draft_toks[slot, :na]] + [int(bonus[slot])]
+            chunk_lps = [float(l) for l in lp_d[slot, :na]] + [float(lp_bonus[slot])]
             self.spec_stats["proposed"] += k
             self.spec_stats["accepted"] += na
             # cache rows advanced by the full accepted+bonus chunk
@@ -503,6 +518,7 @@ class Engine:
                 chunk = chunk[: self._budgets[slot]]
                 self._budgets[slot] = 0
             req.generated.extend(chunk)
+            req.logprobs.extend(chunk_lps[: len(chunk)])
             emitted[req.rid] = chunk
             self._last_token[slot] = before_last[len(chunk)]
             self._prev_token[slot] = before_last[len(chunk) - 1]
@@ -522,7 +538,7 @@ class Engine:
             return self._spec_step()
         self._key, sub = jax.random.split(self._key)
         bucket = self._decode_bucket()
-        tokens, self.cache = self._decode(
+        tokens, lps, self.cache = self._decode(
             self.params,
             self.cache,
             jnp.asarray(self._last_token[:bucket, None]),
@@ -532,11 +548,12 @@ class Engine:
             jnp.asarray(self._top_ps[:bucket]),
             bucket=bucket,
         )
-        tokens = np.asarray(tokens)
+        tokens, lps = np.asarray(tokens), np.asarray(lps)
         emitted = {}
         for slot, req in list(self._active.items()):
             tok = int(tokens[slot])
             req.generated.append(tok)
+            req.logprobs.append(float(lps[slot]))
             emitted[req.rid] = tok
             self._offsets[slot] += 1
             self._last_token[slot] = tok

@@ -70,7 +70,9 @@ class TPEngine(Engine):
             next_tokens = sample_tokens(
                 logits[:, -1, :], key, temps, top_ps, top_k=serve.top_k
             )
-            return next_tokens, cache
+            logp = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32), axis=-1)
+            lps = jnp.take_along_axis(logp, next_tokens[:, None], axis=-1)[:, 0]
+            return next_tokens, lps, cache
 
         self._decode = decode_step
 
@@ -80,7 +82,8 @@ class TPEngine(Engine):
             tok = sample_tokens(
                 logits[None, :], key, temp[None], top_p[None], top_k=serve.top_k
             )[0]
-            return tok, cache
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+            return tok, logp[tok], cache
 
         self._tp_prefill = prefill
 

@@ -198,3 +198,34 @@ def test_submit_rejects_oversized_prompt():
     with pytest.raises(ValueError, match="decode room"):
         eng.submit(np.arange(31, dtype=np.int32))
     eng.submit(np.arange(16, dtype=np.int32))  # fits
+
+
+def test_engine_logprobs_match_direct_forward():
+    """req.logprobs must equal the raw model log-softmax of each emitted
+    token (greedy), in both plain and speculative engines."""
+    cfg = llama.ModelConfig.tiny(num_layers=1)
+    params = llama.init_random_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    prompt = np.asarray([3, 1, 4], np.int32)
+    serve = ServeConfig(max_batch=1, max_len=64, prefill_buckets=(8,))
+
+    eng = Engine(params, cfg, serve)
+    rid = eng.submit(prompt, SamplingParams(max_new_tokens=5))
+    while eng._pending or eng._active:
+        eng.step()
+    req = eng.get_request(rid)
+    assert len(req.logprobs) == len(req.generated) == 5
+
+    ids = list(prompt)
+    for tok, lp in zip(req.generated, req.logprobs):
+        logits, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32)[None, :])
+        ref = float(jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))[tok])
+        assert abs(ref - lp) < 2e-2, (tok, ref, lp)  # flash-decode vs XLA numerics
+        ids.append(tok)
+
+    spec = Engine(params, cfg, serve, draft_params=params, draft_cfg=cfg, spec_k=2)
+    rid2 = spec.submit(prompt, SamplingParams(max_new_tokens=5))
+    while spec._pending or spec._active:
+        spec.step()
+    req2 = spec.get_request(rid2)
+    assert req2.generated == req.generated
+    np.testing.assert_allclose(req2.logprobs, req.logprobs, atol=2e-2)
