@@ -252,8 +252,7 @@ def main(argv=None):
         from aqlm_tpu.parallel import make_mesh
         from aqlm_tpu.serve.tp_engine import TPEngine
 
-        assert not spec_kw, "--draft_model is not supported with --tp yet"
-        engine = TPEngine(params, cfg, serve_cfg, mesh=make_mesh(model=args.tp))
+        engine = TPEngine(params, cfg, serve_cfg, mesh=make_mesh(model=args.tp), **spec_kw)
     else:
         engine = Engine(params, cfg, serve_cfg, **spec_kw)
     server = _Server(engine, tokenizer, model_id=args.model_path.rstrip("/").split("/")[-1])

@@ -194,8 +194,9 @@ class Engine:
             if serve.fuse_projections:
                 from aqlm_tpu.serve.fuse import fuse_projections, fuse_projections_codes
 
-                dp = fuse_projections(dp, dcfg, donate=serve.donate_params)
-                dp = fuse_projections_codes(dp, dcfg, donate=serve.donate_params)
+                dp = fuse_projections(dp, dcfg, donate=serve.donate_params, tp=_fuse_tp)
+                if _fuse_tp == 1:
+                    dp = fuse_projections_codes(dp, dcfg, donate=serve.donate_params)
             self._dcfg = dcfg
             self._dparams = stack_layer_params(dp, donate=serve.donate_params)
             self._dcache = init_kv_cache(
@@ -217,7 +218,7 @@ class Engine:
         accept/resample for sampled rows."""
         cfg, dcfg, serve = self.cfg, self._dcfg, self.serve
         B = serve.max_batch
-        from aqlm_tpu.serve.speculative import speculative_accept
+        from aqlm_tpu.serve.speculative import batched_accept
 
         def sub_cache(cache, bucket):
             if bucket == B:
@@ -275,32 +276,10 @@ class Engine:
                 use_flash_decode=serve.use_flash_decode,
             )
 
-            def accept_row(lg_row, q_row, d_row, temp, top_p, rkey):
-                preds = jnp.argmax(lg_row.astype(jnp.float32), axis=-1).astype(jnp.int32)
-                agree = preds[:k] == d_row
-                n_g = jnp.argmin(
-                    jnp.concatenate([agree, jnp.array([False])])
-                ).astype(jnp.int32)
-                bonus_g = preds[n_g]
-                scaled = filter_logits(
-                    lg_row, jnp.full((k + 1,), temp), jnp.full((k + 1,), top_p), serve.top_k
-                )
-                n_s, bonus_s = speculative_accept(
-                    jax.nn.softmax(scaled, axis=-1), q_row, d_row, rkey
-                )
-                sampled = temp > 0
-                n_acc = jnp.where(sampled, n_s, n_g)
-                bonus = jnp.where(sampled, bonus_s, bonus_g)
-                # raw model logprobs of the emitted chunk: d_i from row i-1,
-                # bonus from row n_acc
-                logp = jax.nn.log_softmax(lg_row.astype(jnp.float32), axis=-1)
-                lp_d = jnp.take_along_axis(logp[:k], d_row[:, None], axis=-1)[:, 0]
-                lp_bonus = logp[n_acc, bonus]
-                return n_acc, bonus, lp_d, lp_bonus
-
             rkeys = jax.random.split(jax.random.fold_in(key, k + 1), b)
-            n_acc, bonus, lp_d, lp_bonus = jax.vmap(accept_row)(
-                logits, q_rows, draft_toks, temps, top_ps, rkeys
+            n_acc, bonus, lp_d, lp_bonus = batched_accept(
+                logits, q_rows, draft_toks, temps, top_ps, rkeys,
+                k=k, top_k=serve.top_k,
             )
             return (
                 draft_toks, n_acc, bonus, lp_d, lp_bonus,

@@ -38,7 +38,41 @@ from aqlm_tpu.models import llama
 from aqlm_tpu.models.stacked import forward_stacked, init_kv_cache, stack_layer_params
 from aqlm_tpu.serve.sampler import filter_logits
 
-__all__ = ["SpeculativeDecoder", "speculative_accept"]
+__all__ = ["SpeculativeDecoder", "speculative_accept", "batched_accept"]
+
+
+def batched_accept(logits, q_rows, draft_toks, temps, top_ps, rkeys, *, k, top_k):
+    """Vectorized accept over slots (engine spec steps, single-chip and TP).
+
+    logits [b, k+1, V] (target verify forward), q_rows [b, k, V] (draft
+    distributions), draft_toks [b, k]. Greedy agree-prefix rule for
+    temperature-0 rows, Leviathan accept/resample for sampled rows. Returns
+    (n_acc [b], bonus [b], lp_d [b, k], lp_bonus [b]) where lp_* are RAW
+    model logprobs of the proposals/bonus (for Request.logprobs).
+    """
+
+    def accept_row(lg_row, q_row, d_row, temp, top_p, rkey):
+        preds = jnp.argmax(lg_row.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        agree = preds[:k] == d_row
+        n_g = jnp.argmin(jnp.concatenate([agree, jnp.array([False])])).astype(jnp.int32)
+        bonus_g = preds[n_g]
+        scaled = filter_logits(
+            lg_row, jnp.full((k + 1,), temp), jnp.full((k + 1,), top_p), top_k
+        )
+        n_s, bonus_s = speculative_accept(
+            jax.nn.softmax(scaled, axis=-1), q_row, d_row, rkey
+        )
+        sampled = temp > 0
+        n_acc = jnp.where(sampled, n_s, n_g)
+        bonus = jnp.where(sampled, bonus_s, bonus_g)
+        # raw model logprobs of the emitted chunk: d_i from row i-1, bonus
+        # from row n_acc
+        logp = jax.nn.log_softmax(lg_row.astype(jnp.float32), axis=-1)
+        lp_d = jnp.take_along_axis(logp[:k], d_row[:, None], axis=-1)[:, 0]
+        lp_bonus = logp[n_acc, bonus]
+        return n_acc, bonus, lp_d, lp_bonus
+
+    return jax.vmap(accept_row)(logits, q_rows, draft_toks, temps, top_ps, rkeys)
 
 
 def speculative_accept(p_probs, q_probs, draft_toks, key):

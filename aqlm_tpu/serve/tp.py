@@ -102,10 +102,22 @@ def _qlin_spec(name: str, q: QuantizedLinear, ma: str):
 
 def tp_serving_param_specs(stacked: dict, ma: str = "model") -> dict:
     """Specs for a fused, stacked serving params pytree."""
+    from aqlm_tpu.models.common import DenseLinear
+
     layer_specs = {}
     for name, v in stacked["layers"].items():
         if isinstance(v, QuantizedLinear):
             layer_specs[name] = _qlin_spec(name, v, ma)
+        elif isinstance(v, DenseLinear) and (name in _COLUMN or name in _ROW):
+            col = name in _COLUMN
+            assert col or v.bias is None, (
+                "row-parallel dense bias would be added once per shard before "
+                "the psum; fold it into a column-parallel projection instead"
+            )
+            layer_specs[name] = DenseLinear(
+                weight=P(None, ma, None) if col else P(None, None, ma),
+                bias=None if v.bias is None else P(None, ma),
+            )
         elif name in ("q_norm", "k_norm"):  # cohere per-head qk-norm [L, H, D]:
             layer_specs[name] = P(None, ma, None)  # heads shard with the columns
         else:  # norms [L, H] replicated

@@ -53,3 +53,24 @@ def test_tp_engine_matches_single_chip(kv_int8):
     got = eng.generate(prompts, sampling)
     assert got == ref, (got, ref)
     assert eng.prefix_stats["hits"] >= 1  # prefix caching works sharded too
+
+
+def test_tp_engine_speculative_matches_single_chip():
+    """TP x speculation x continuous batching: exact vs the plain engine."""
+    cfg, params = _models("int8")
+    dcfg = llama.ModelConfig.tiny(num_layers=1, num_heads=8, num_kv_heads=4)
+    draft = llama.init_random_params(jax.random.PRNGKey(9), dcfg, dtype=jnp.float32)
+    serve = ServeConfig(max_batch=2, max_len=64, prefill_buckets=(8, 16))
+    prompts = [np.asarray([3, 1, 4, 1], np.int32), np.asarray([2, 7], np.int32)]
+    sampling = SamplingParams(max_new_tokens=7)
+
+    cfg2, params2 = _models("int8")
+    ref = Engine(params2, cfg2, serve).generate(prompts, sampling)
+
+    eng = TPEngine(
+        params, cfg, serve, mesh=make_mesh(model=4),
+        draft_params=draft, draft_cfg=dcfg, spec_k=2,
+    )
+    got = eng.generate(prompts, sampling)
+    assert got == ref, (got, ref)
+    assert eng.spec_stats["proposed"] > 0
