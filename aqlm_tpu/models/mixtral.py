@@ -302,14 +302,25 @@ def moe_mlp_stacked(xn: jax.Array, layer: dict, cfg: MixtralConfig) -> jax.Array
     return jnp.einsum("btei,ehi->bth", act, down_w.astype(xn.dtype))
 
 
-def moe_mlp_stacked_indexed(xn, layer, stacked_layers, idx, cfg: MixtralConfig):
+def moe_mlp_stacked_indexed(
+    xn, layer, stacked_layers, idx, cfg: MixtralConfig, expert_offset=None
+):
     """Scan-over-layers MoE FFN: all experts of layer `idx` in one kernel.
 
     `layer` is the scan-sliced per-layer dict (supplies moe_gate for
     routing); `stacked_layers` holds [L, E, ...] StackedInt8Experts or
     StackedCodesExperts accessed via scalar-prefetch layer indexing (a
-    scan-xs slice would copy all experts' weights to HBM each step)."""
-    weights = _routing(xn, layer, cfg).astype(xn.dtype)  # [B, T, E]
+    scan-xs slice would copy all experts' weights to HBM each step).
+
+    expert_parallel: with `expert_offset` given (a traced scalar), the
+    stacked operands hold only a LOCAL expert shard; routing still runs over
+    all num_experts (moe_gate is replicated) and the combine uses the
+    matching weight slice — the caller psums the partial outputs over the
+    expert/model axis (serve/tp.py)."""
+    weights = _routing(xn, layer, cfg).astype(xn.dtype)  # [B, T, E_total]
+    if expert_offset is not None:
+        e_local = jax.tree.leaves(stacked_layers["experts_gate_proj"])[0].shape[1]
+        weights = jax.lax.dynamic_slice_in_dim(weights, expert_offset, e_local, axis=2)
     b, t, h = xn.shape
     flat = xn.reshape(b * t, h)
     gw = stacked_layers["experts_gate_proj"]
@@ -326,13 +337,19 @@ def moe_mlp_stacked_indexed(xn, layer, stacked_layers, idx, cfg: MixtralConfig):
         down = lut_moe_gemv_kx8_indexed(act.astype(flat.dtype), dw.codes_tl,
                                         dw.codebooks, dw.scales, idx,
                                         group=dw.group)  # [E, N, H]
-    else:
+    elif isinstance(gw, StackedInt8Experts):
         from aqlm_tpu.ops.int8_matmul import int8_moe_matmul_indexed
 
         gate = int8_moe_matmul_indexed(flat, gw.w8, gw.scale, idx)  # [E, N, I]
         up = int8_moe_matmul_indexed(flat, uw.w8, uw.scale, idx)
         act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
         down = int8_moe_matmul_indexed(act, dw.w8, dw.scale, idx)  # [E, N, H]
+    else:  # dense stacked experts [L, E, OUT, IN]
+        g_l, u_l, d_l = gw[idx], uw[idx], dw[idx]
+        gate = jnp.einsum("nh,eih->eni", flat, g_l.astype(flat.dtype))
+        up = jnp.einsum("nh,eih->eni", flat, u_l.astype(flat.dtype))
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        down = jnp.einsum("eni,ehi->enh", act, d_l.astype(act.dtype))  # [E, N, H]
     down = down.reshape(-1, b, t, h)
     return jnp.einsum("ebth,bte->bth", down.astype(xn.dtype), weights)
 

@@ -94,7 +94,10 @@ class Engine:
             from aqlm_tpu.ops.runtime import QuantizedLinear as _QL
 
             e0 = layers[0].get("experts.0.gate_proj")
-            if isinstance(e0, _QL) and e0.mode == "int8":
+            # expert-parallel TP always needs the stacked [E, ...] layout
+            if (isinstance(e0, _QL) and e0.mode == "int8") or (
+                _fuse_tp > 1 and e0 is not None
+            ):
                 params = dict(params)
                 params["layers"] = [mixtral.stack_experts(l, cfg) for l in layers]
         self.params = stack_layer_params(params, donate=serve.donate_params)

@@ -103,10 +103,27 @@ def _qlin_spec(name: str, q: QuantizedLinear, ma: str):
 def tp_serving_param_specs(stacked: dict, ma: str = "model") -> dict:
     """Specs for a fused, stacked serving params pytree."""
     from aqlm_tpu.models.common import DenseLinear
+    from aqlm_tpu.models.mixtral import StackedCodesExperts, StackedInt8Experts
 
     layer_specs = {}
     for name, v in stacked["layers"].items():
-        if isinstance(v, QuantizedLinear):
+        if name.startswith("experts_"):
+            # stacked experts [L, E, ...]: the E axis IS the model axis
+            # (expert parallelism); everything else per-leaf replicated
+            if isinstance(v, StackedInt8Experts):
+                layer_specs[name] = StackedInt8Experts(
+                    w8=P(None, ma, None, None), scale=P(None, ma, None)
+                )
+            elif isinstance(v, StackedCodesExperts):
+                layer_specs[name] = StackedCodesExperts(
+                    codes_tl=P(*([None, ma] + [None] * (v.codes_tl.ndim - 2))),
+                    codebooks=P(*([None, ma] + [None] * (v.codebooks.ndim - 2))),
+                    scales=P(None, ma, None),
+                    group=v.group, num_codebooks=v.num_codebooks,
+                )
+            else:  # dense experts [L, E, OUT, IN]
+                layer_specs[name] = P(*([None, ma] + [None] * (v.ndim - 2)))
+        elif isinstance(v, QuantizedLinear):
             layer_specs[name] = _qlin_spec(name, v, ma)
         elif isinstance(v, DenseLinear) and (name in _COLUMN or name in _ROW):
             col = name in _COLUMN
@@ -120,8 +137,8 @@ def tp_serving_param_specs(stacked: dict, ma: str = "model") -> dict:
             )
         elif name in ("q_norm", "k_norm"):  # cohere per-head qk-norm [L, H, D]:
             layer_specs[name] = P(None, ma, None)  # heads shard with the columns
-        else:  # norms [L, H] replicated
-            layer_specs[name] = jax.tree.map(lambda _: P(None, None), v)
+        else:  # norms / routing gate: replicated (rank-matched spec)
+            layer_specs[name] = jax.tree.map(lambda a: P(*([None] * jnp.ndim(a))), v)
     head = stacked.get("lm_head")
     if isinstance(head, QuantizedLinear):
         if head.mode == "int8":
@@ -188,7 +205,7 @@ def _make_local_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
     d = cfg.dim_per_head
     hq_l, hkv_l = cfg.num_heads // tp, cfg.num_kv_heads // tp
 
-    def local_block(x, layer, kv, positions, offsets, mask, b, t):
+    def local_block(x, layer, kv, positions, offsets, mask, b, t, i=None, stacked_layers=None):
         res = x
         if fam == "cohere":
             xn = cohere_layer_norm(x, layer["input_norm"], cfg.ln_eps)
@@ -258,6 +275,17 @@ def _make_local_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
 
         res = x
         xn = rms_norm(x, layer["post_attn_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
+        if "moe_gate" in layer:  # mixtral: EXPERT-parallel FFN over the same axis
+            from aqlm_tpu.models import mixtral as _mixtral
+
+            e_local = jax.tree.leaves(stacked_layers["experts_gate_proj"])[0].shape[1]
+            off = jax.lax.axis_index(ma) * e_local
+            out_local = _mixtral.moe_mlp_stacked_indexed(
+                xn, layer, stacked_layers, i, cfg, expert_offset=off
+            )
+            # combine over the expert shards (megatron AR #2's seat)
+            x = res + jax.lax.psum(out_local.astype(x.dtype), ma)
+            return x, new_kv
         if "gateup_proj" in layer:
             gu = apply_linear(xn, layer["gateup_proj"])
             gate, up = jnp.split(gu, 2, axis=-1)
@@ -282,7 +310,12 @@ def _make_local_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
 
         stacked_layers = params["layers"]
         qnames = [n for n, v in stacked_layers.items() if isinstance(v, QuantizedLinear)]
-        rest = {n: v for n, v in stacked_layers.items() if n not in qnames}
+        # stacked experts index by scalar prefetch, not scan slicing (a scan
+        # xs slice would copy every expert's weights to HBM per step)
+        rest = {
+            n: v for n, v in stacked_layers.items()
+            if n not in qnames and not n.startswith("experts_")
+        }
         layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
 
         def block(carry, scan_in):
@@ -291,7 +324,10 @@ def _make_local_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
             layer = dict(rest_i)
             for n in qnames:
                 layer[n] = IndexedQuantizedLinear(stacked=stacked_layers[n], idx=i)
-            x, new_kv = local_block(x, layer, kv, positions, offsets, mask, b, t)
+            x, new_kv = local_block(
+                x, layer, kv, positions, offsets, mask, b, t,
+                i=i, stacked_layers=stacked_layers,
+            )
             return x, new_kv
 
         x, kv_out = jax.lax.scan(block, x, (layer_ids, rest, cache_kv))

@@ -55,6 +55,47 @@ def test_tp_engine_matches_single_chip(kv_int8):
     assert eng.prefix_stats["hits"] >= 1  # prefix caching works sharded too
 
 
+@pytest.mark.parametrize("quant", [True, False], ids=["int8", "dense"])
+def test_tp_engine_mixtral_expert_parallel(quant):
+    """Mixtral through the TP engine: attention TP + expert-parallel FFN on
+    the same model axis, exact vs the single-chip engine (which serves the
+    dense case through the UNstacked per-expert loop — cross-layout check)."""
+    from aqlm_tpu.config import AqlmScheme
+    from aqlm_tpu.models import mixtral
+    from aqlm_tpu.ops.dequant import random_aqlm_weight
+    from aqlm_tpu.ops.runtime import QuantizedLinear
+
+    def quantized_moe(key):
+        cfg = mixtral.MixtralConfig.tiny_moe(num_layers=2)
+        params = mixtral.init_random_params(key, cfg, dtype=jnp.float32)
+        if not quant:
+            return cfg, params
+        scheme = AqlmScheme(num_codebooks=2, nbits_per_codebook=8, in_group_size=8)
+        kk = jax.random.PRNGKey(7)
+        for layer in params["layers"]:
+            for name in list(layer):
+                lin = layer[name]
+                if name == "moe_gate" or not hasattr(lin, "weight"):
+                    continue
+                if name.startswith(("q_", "k_", "v_", "o_", "experts.")):
+                    kk, sub = jax.random.split(kk)
+                    w = random_aqlm_weight(sub, scheme, *lin.weight.shape)
+                    layer[name] = QuantizedLinear.from_aqlm(w, mode="int8")
+        return cfg, params
+
+    cfg, params = quantized_moe(jax.random.PRNGKey(0))
+    serve = ServeConfig(max_batch=2, max_len=64, prefill_buckets=(8,), fuse_projections=False)
+    prompts = [np.asarray([1, 2, 3], np.int32), np.asarray([5, 6, 7, 8], np.int32)]
+    sampling = SamplingParams(max_new_tokens=6)
+
+    cfg2, params2 = quantized_moe(jax.random.PRNGKey(0))
+    ref = Engine(params2, cfg2, serve).generate(prompts, sampling)
+
+    eng = TPEngine(params, cfg, serve, mesh=make_mesh(model=2))
+    got = eng.generate(prompts, sampling)
+    assert got == ref, (got, ref)
+
+
 def test_tp_engine_speculative_matches_single_chip():
     """TP x speculation x continuous batching: exact vs the plain engine."""
     cfg, params = _models("int8")
