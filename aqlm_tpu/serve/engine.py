@@ -42,6 +42,9 @@ class ServeConfig:
     use_flash_decode: bool | None = None  # None = stacked.forward default (flash on)
     prefix_cache: bool = True  # reuse KV rows for shared prompt prefixes
     min_prefix: int = 16  # smallest prefix worth a copy instead of recompute
+    spec_min_acceptance: float = 0.0  # >0: permanently drop the draft when the
+    # measured acceptance (after spec_warmup proposals) falls below this
+    spec_warmup: int = 64
 
 
 @dataclasses.dataclass
@@ -208,6 +211,7 @@ class Engine:
             self.spec_k = spec_k
             self._spec = self._make_spec_step(spec_k)
             self.spec_stats = {"proposed": 0, "accepted": 0}
+            self.spec_disabled = False  # adaptive: see spec_min_acceptance
 
     def _make_spec_step(self, k: int):
         """Batched draft-and-verify step over the slot prefix [0:bucket].
@@ -429,7 +433,7 @@ class Engine:
                     start, length, sub,
                     jnp.float32(req.sampling.temperature), jnp.float32(req.sampling.top_p),
                 )
-            if self._spec is not None:
+            if self._spec is not None and not self.spec_disabled:
                 for start, length, bucket in self._chunks_from(reused, len(req.prompt)):
                     ids = np.zeros(bucket, np.int32)
                     ids[:length] = req.prompt[start : start + length]
@@ -516,8 +520,19 @@ class Engine:
         self._admit()
         if not self._active:
             return {}
-        if self._spec is not None:
-            return self._spec_step()
+        if self._spec is not None and not self.spec_disabled:
+            emitted = self._spec_step()
+            # adaptive speculation: a draft that rarely agrees costs k extra
+            # forwards per round for nothing — drop it (permanently: the
+            # draft cache goes stale the moment we stop maintaining it)
+            if (
+                self.serve.spec_min_acceptance > 0.0
+                and self.spec_stats["proposed"] >= self.serve.spec_warmup
+                and self.spec_stats["accepted"]
+                < self.serve.spec_min_acceptance * self.spec_stats["proposed"]
+            ):
+                self.spec_disabled = True
+            return emitted
         self._key, sub = jax.random.split(self._key)
         bucket = self._decode_bucket()
         tokens, lps, self.cache = self._decode(

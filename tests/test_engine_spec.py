@@ -69,6 +69,28 @@ def test_spec_engine_self_draft_accepts_all():
     assert eng.spec_stats["accepted"] == eng.spec_stats["proposed"], eng.spec_stats
 
 
+def test_adaptive_speculation_disables_bad_draft():
+    """A draft that never agrees gets dropped after the warmup, and the
+    output stays exact (the engine continues on the plain decode path)."""
+    import dataclasses
+
+    cfg, params = _cfg_params()
+    draft = llama.init_random_params(jax.random.PRNGKey(9), cfg, dtype=jnp.float32)
+    serve = ServeConfig(max_batch=1, max_len=160, prefill_buckets=(8,),
+                        spec_min_acceptance=0.3, spec_warmup=12)
+    prompts = [np.asarray([3, 1, 4], np.int32)]
+    sampling = SamplingParams(max_new_tokens=30)
+    ref = Engine(params, cfg, dataclasses.replace(serve, spec_min_acceptance=0.0)).generate(
+        prompts, sampling
+    )
+    eng = Engine(params, cfg, serve, draft_params=draft, draft_cfg=cfg, spec_k=3)
+    got = eng.generate(prompts, sampling)
+    assert got == ref, (got, ref)
+    assert eng.spec_disabled
+    # proposals stopped shortly after the warmup threshold
+    assert eng.spec_stats["proposed"] <= serve.spec_warmup + 3
+
+
 def test_spec_engine_eos_mid_chunk():
     """An EOS accepted inside a chunk must end the request at the EOS."""
     cfg, params = _cfg_params()
