@@ -161,3 +161,63 @@ def test_chunked_kl_matches_reference_loss():
         chunk_tokens=5,
     )
     assert abs(float(ours) - ref_mean) < 1e-5, (float(ours), ref_mean)
+
+
+# ---------------------------------------------------------------------------
+# k-means (multi-D and the exact sort-based 1-D variant)
+# ---------------------------------------------------------------------------
+
+
+def test_fit_kmeans_matches_reference_inertia():
+    """Different RNGs, same algorithm: both must reach the same clustering
+    quality. On unstructured (gaussian) data the result is init-insensitive
+    — strict bar; on a separable mixture a single random init can miss a
+    true cluster on EITHER side, so compare best-of-3 seeds."""
+    from src.kmeans import fit_kmeans as ref_fit
+
+    from aqlm_tpu.calib.kmeans import fit_kmeans
+
+    rng = np.random.RandomState(0)
+
+    def inertia(data, cl):
+        d = ((data[:, None, :] - cl[None, :, :]) ** 2).sum(-1)
+        return float(d.min(axis=1).sum())
+
+    gauss = rng.randn(4096, 8).astype(np.float32)
+    ref_clusters, _, _ = ref_fit(torch.from_numpy(gauss.copy()), k=16, max_iter=200)
+    ours, _, _ = fit_kmeans(jnp.asarray(gauss), 16, key=jax.random.PRNGKey(0), max_iter=200)
+    assert inertia(gauss, np.asarray(ours)) <= inertia(gauss, ref_clusters.numpy()) * 1.02
+
+    centers = rng.randn(16, 8) * 3
+    mix = (centers[rng.randint(0, 16, 4096)] + rng.randn(4096, 8)).astype(np.float32)
+    torch.manual_seed(0)
+    ref_best = min(
+        inertia(mix, ref_fit(torch.from_numpy(mix.copy()), k=16, max_iter=200)[0].numpy())
+        for _ in range(3)
+    )
+    our_best = min(
+        inertia(
+            mix,
+            np.asarray(fit_kmeans(jnp.asarray(mix), 16, key=jax.random.PRNGKey(s), max_iter=200)[0]),
+        )
+        for s in range(3)
+    )
+    assert our_best <= ref_best * 1.05, (our_best, ref_best)
+
+
+def test_fit_kmeans_1d_matches_reference():
+    """The sort-based exact 1-D EM: same data -> near-identical restored
+    values (both are deterministic given the data)."""
+    from src.kmeans import fit_kmeans_1d as ref_fit1d
+
+    from aqlm_tpu.calib.kmeans import fit_kmeans_1d
+
+    rng = np.random.RandomState(0)
+    data = rng.randn(8, 512).astype(np.float32)  # [groups, group_size]
+
+    ref_c, ref_idx, ref_restored = ref_fit1d(torch.from_numpy(data.copy()), k=16, max_iter=100)
+    ours_c, ours_idx, ours_restored = fit_kmeans_1d(jnp.asarray(data), 16, max_iter=100)
+
+    ref_err = float(((ref_restored.numpy() - data) ** 2).mean())
+    our_err = float(((np.asarray(ours_restored) - data) ** 2).mean())
+    assert our_err <= ref_err * 1.02 + 1e-9, (our_err, ref_err)
