@@ -381,6 +381,25 @@ class Engine:
     def get_request(self, rid: int) -> Request:
         return self.requests[rid]
 
+    def abort(self, rid: int) -> bool:
+        """Cancel a request: pending ones leave the queue, active ones free
+        their slot after the current step. Returns False if already done."""
+        req = self.requests.get(rid)
+        if req is None or req.done:
+            return False
+        req.done = True
+        if req.slot is not None and req.slot in self._active:
+            import heapq as _hq
+
+            del self._active[req.slot]
+            _hq.heappush(self._free_slots, req.slot)
+        else:
+            try:
+                self._pending.remove(req)
+            except ValueError:
+                pass
+        return True
+
     def _find_prefix(self, slot: int, prompt: np.ndarray) -> int:
         """Longest reusable prompt prefix materialized in another slot's
         cache rows; 0 if below min_prefix. Capped at len(prompt)-1 so the

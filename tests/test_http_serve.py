@@ -90,3 +90,44 @@ def test_http_generate_concurrent(key):
     finally:
         httpd.shutdown()
         server.stop()
+
+
+def test_http_over_speculative_engine():
+    """The daemon over a speculative engine with prefix caching: concurrent
+    clients sharing a prompt prefix get exactly the plain engine's tokens."""
+    cfg = llama.ModelConfig.tiny(num_layers=1)
+    params = llama.init_random_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    draft = llama.init_random_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    serve_cfg = ServeConfig(max_batch=2, max_len=64, prefill_buckets=(8,), min_prefix=4)
+    prompts = [[9, 9, 9, 9, 1], [9, 9, 9, 9, 2, 3], [9, 9, 9, 9, 7]]
+
+    plain = Engine(params, cfg, serve_cfg)
+    ref = plain.generate([np.asarray(p, np.int32) for p in prompts],
+                         SamplingParams(max_new_tokens=5))
+
+    engine = Engine(params, cfg, serve_cfg, draft_params=draft, draft_cfg=cfg, spec_k=2)
+    server = _Server(engine, tokenizer=None)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        results = {}
+
+        def client(i, prompt):
+            body = json.dumps({"prompt_ids": prompt, "max_new_tokens": 5}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=180) as r:
+                results[i] = json.loads(r.read())["tokens"]
+
+        threads = [threading.Thread(target=client, args=(i, p)) for i, p in enumerate(prompts)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=240)
+        assert [results[i] for i in range(3)] == ref, (results, ref)
+    finally:
+        httpd.shutdown()
+        server.stop()

@@ -229,3 +229,20 @@ def test_engine_logprobs_match_direct_forward():
     req2 = spec.get_request(rid2)
     assert req2.generated == req.generated
     np.testing.assert_allclose(req2.logprobs, req.logprobs, atol=2e-2)
+
+
+def test_abort_frees_slot_and_stops_generation():
+    cfg = llama.ModelConfig.tiny(num_layers=1)
+    params = llama.init_random_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    eng = Engine(params, cfg, ServeConfig(max_batch=1, max_len=64, prefill_buckets=(8,)))
+    r1 = eng.submit(np.asarray([1, 2, 3], np.int32), SamplingParams(max_new_tokens=50))
+    r2 = eng.submit(np.asarray([4, 5], np.int32), SamplingParams(max_new_tokens=4))
+    eng.step(); eng.step()
+    n_before = len(eng.get_request(r1).generated)
+    assert eng.abort(r1)
+    assert not eng.abort(r1)  # idempotent
+    # r2 (queued behind the aborted request) now runs to completion
+    while eng._pending or eng._active:
+        eng.step()
+    assert len(eng.get_request(r1).generated) == n_before
+    assert len(eng.get_request(r2).generated) == 4
