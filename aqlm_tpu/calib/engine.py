@@ -217,8 +217,16 @@ def quantize_weight(
     XTX: jax.Array,
     scheme: AqlmScheme,
     config: CalibConfig = CalibConfig(),
+    *,
+    mesh=None,
+    model_axis: str = "model",
 ) -> tuple[AqlmWeight, dict]:
     """Full per-layer quantization: init + (Adam || beam search) alternation.
+
+    With `mesh`, the beam search (the dominant cost at 1x16) shards its
+    out-groups over the mesh's model axis (calib/parallel.py — the TPU form
+    of the reference's out-channel parallel_apply, aq_engine.py:139-208);
+    falls back to the single-device search when OG doesn't divide.
 
     Returns (quantized weight, stats dict with loss trajectory).
     """
@@ -291,15 +299,31 @@ def quantize_weight(
             ],
             axis=1,
         ).astype(np.int32)
-        codes, _ = beam_search_optimal_codes(
-            XTX,
-            reference_weight,
-            effective_codebooks(codebooks, config),
-            codes,
-            effective_scales(scales, config),
-            beam_size=config.beam_size,
-            steps_order=jnp.asarray(order),
-        )
+        sharded = mesh is not None and codes.shape[0] % mesh.shape[model_axis] == 0
+        if sharded:
+            from aqlm_tpu.calib.parallel import beam_search_optimal_codes_sharded
+
+            codes, _ = beam_search_optimal_codes_sharded(
+                XTX,
+                reference_weight,
+                effective_codebooks(codebooks, config),
+                codes,
+                effective_scales(scales, config),
+                mesh,
+                model_axis=model_axis,
+                beam_size=config.beam_size,
+                steps_order=jnp.asarray(order),
+            )
+        else:
+            codes, _ = beam_search_optimal_codes(
+                XTX,
+                reference_weight,
+                effective_codebooks(codebooks, config),
+                codes,
+                effective_scales(scales, config),
+                beam_size=config.beam_size,
+                steps_order=jnp.asarray(order),
+            )
 
     # bake the second-level quantization into the stored values (the reference
     # re-derives it on every forward via get_codebooks/get_scales; a canonical

@@ -61,6 +61,12 @@ class QuantizePipelineConfig:
     offload_activations: bool = False  # keep hidden states in host RAM
     on_save: str | None = None  # python snippet exec'd after each layer save
     verbose: bool = True
+    # multi-chip calibration (SURVEY §2.3): shard activation batches over the
+    # mesh's data axis (XTX psum is implicit in the sharded contraction) and
+    # the beam search's out-groups over the model axis
+    mesh: object | None = None  # jax.sharding.Mesh
+    data_axis: str = "data"
+    model_axis: str = "model"
 
 
 def _concat(parts, offload: bool):
@@ -69,17 +75,19 @@ def _concat(parts, offload: bool):
     return jnp.concatenate(parts, axis=0)
 
 
-def _capture_taps(layer, cfg, hidden, positions, names, batch_size, taps_fn, offload=False):
+def _capture_taps(layer, cfg, hidden, positions, names, batch_size, taps_fn,
+                  offload=False, place=jnp.asarray):
     """One pass over all samples: accumulate XTX per tap + block outputs.
 
     With offload=True, `hidden` lives in host RAM (numpy) and only one batch
     is resident on device at a time — the reference's --offload_activations
-    (/root/reference/main.py:105-113)."""
+    (/root/reference/main.py:105-113). `place` puts a batch on device
+    (sharded over the data axis for mesh calibration)."""
     jit_fn = jax.jit(lambda x, lyr: taps_fn(x, lyr, cfg, positions))
     accs = {}
     outs = []
     for start in range(0, hidden.shape[0], batch_size):
-        xb = jnp.asarray(hidden[start : start + batch_size])
+        xb = place(hidden[start : start + batch_size])
         out, taps = jit_fn(xb, layer)
         outs.append(np.asarray(out) if offload else out)
         for name in names:
@@ -89,11 +97,12 @@ def _capture_taps(layer, cfg, hidden, positions, names, batch_size, taps_fn, off
     return accs, _concat(outs, offload)
 
 
-def _propagate(layer, cfg, hidden, positions, batch_size, taps_fn, offload=False):
+def _propagate(layer, cfg, hidden, positions, batch_size, taps_fn,
+               offload=False, place=jnp.asarray):
     fwd = jax.jit(lambda x, lyr: taps_fn(x, lyr, cfg, positions)[0])
     outs = []
     for s in range(0, hidden.shape[0], batch_size):
-        out = fwd(jnp.asarray(hidden[s : s + batch_size]), layer)
+        out = fwd(place(hidden[s : s + batch_size]), layer)
         outs.append(np.asarray(out) if offload else out)
     return _concat(outs, offload)
 
@@ -124,6 +133,16 @@ def quantize_model(
 
     offload = pipeline.offload_activations
 
+    if pipeline.mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _place(x):
+            x = jnp.asarray(x)
+            spec = PartitionSpec(pipeline.data_axis, *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(pipeline.mesh, spec))
+    else:
+        _place = jnp.asarray
+
     # layer-0 inputs: embedding lookup (the reference's Catcher, main.py:64-161).
     # embed_fn(params, ids, positions) overrides for architectures whose
     # layer-0 input is more than a token lookup (OPT's learned positions —
@@ -133,7 +152,7 @@ def quantize_model(
             return None
         parts = []
         for s in range(0, ids.shape[0], pipeline.batch_size):
-            batch = jnp.asarray(ids[s : s + pipeline.batch_size])
+            batch = _place(ids[s : s + pipeline.batch_size])
             if embed_fn is not None:
                 x = embed_fn(params, batch, jnp.broadcast_to(positions, batch.shape))
             else:
@@ -155,9 +174,9 @@ def quantize_model(
             loaded = load_layer_checkpoint(pipeline.save_dir, li, scheme)
             if loaded is not None:
                 params["layers"][li] = layer = loaded
-                hidden = _propagate(layer, cfg, hidden, positions, pipeline.batch_size, taps_fn, offload)
+                hidden = _propagate(layer, cfg, hidden, positions, pipeline.batch_size, taps_fn, offload, place=_place)
                 if val_hidden is not None:
-                    val_hidden = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size, taps_fn, offload)
+                    val_hidden = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size, taps_fn, offload, place=_place)
                 if pipeline.verbose:
                     print(f"layer {li}: loaded from checkpoint")
                 continue
@@ -180,18 +199,20 @@ def quantize_model(
         val_targets = None
         targets = None
         if val_hidden is not None:
-            val_targets = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size, taps_fn, offload)
+            val_targets = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size, taps_fn, offload, place=_place)
 
         for names in groups:
             if not names:
                 continue
             accs, targets = _capture_taps(
-                layer, cfg, hidden, positions, names, pipeline.batch_size, taps_fn, offload
+                layer, cfg, hidden, positions, names, pipeline.batch_size, taps_fn,
+                offload, place=_place,
             )
             for name in names:
                 dense: DenseLinear = layer[name]
                 ref_w = dense.weight.astype(jnp.float32)
-                qw, wstats = quantize_weight(ref_w, accs[name].mean, scheme, pipeline.calib)
+                qw, wstats = quantize_weight(ref_w, accs[name].mean, scheme, pipeline.calib,
+                                             mesh=pipeline.mesh, model_axis=pipeline.model_axis)
                 qw = AqlmWeight(
                     codes=qw.codes, codebooks=qw.codebooks, scales=qw.scales,
                     bias=dense.bias, scheme=scheme,
@@ -218,7 +239,7 @@ def quantize_model(
                 )
                 params["layers"][li] = layer
 
-        new_hidden = _propagate(layer, cfg, hidden, positions, pipeline.batch_size, taps_fn, offload)
+        new_hidden = _propagate(layer, cfg, hidden, positions, pipeline.batch_size, taps_fn, offload, place=_place)
         # relative out loss vs the (last group's) pre-quantization targets
         out_loss = float("nan")
         if targets is not None:
@@ -229,7 +250,7 @@ def quantize_model(
         stats["out_loss"].append(out_loss)
         hidden = new_hidden
         if val_hidden is not None:
-            val_hidden = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size, taps_fn, offload)
+            val_hidden = _propagate(layer, cfg, val_hidden, positions, pipeline.batch_size, taps_fn, offload, place=_place)
 
         if pipeline.save_dir:
             save_layer_checkpoint(pipeline.save_dir, li, layer)

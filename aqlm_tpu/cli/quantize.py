@@ -11,6 +11,7 @@ recipes translate directly:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import time
 
@@ -63,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--on_save", type=str, default=None,
                    help="python snippet exec'd after each layer checkpoint")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="data-parallel axis size for activation capture (multi-chip)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="model-axis size: out-group-sharded beam search (multi-chip)")
     p.add_argument("--dtype", choices=["auto", "float32", "bfloat16"], default="auto")
     p.add_argument("--eval_datasets", nargs="*", default=[])
     p.add_argument("--eval_nsamples", type=int, default=16)
@@ -115,6 +120,12 @@ def main(argv=None) -> dict:
         offload_activations=args.offload_activations,
         on_save=args.on_save,
     )
+    if args.mesh_data > 1 or args.mesh_model > 1:
+        from aqlm_tpu.parallel import make_mesh
+
+        pipe = dataclasses.replace(
+            pipe, mesh=make_mesh(data=args.mesh_data, model=args.mesh_model)
+        )
     t0 = time.time()
     from aqlm_tpu.models.family import forward_fn, taps_fn
 

@@ -49,3 +49,53 @@ def test_sharded_beam_search_matches_single_device(key):
     np.testing.assert_allclose(
         np.asarray(losses_sh), np.asarray(losses_ref), rtol=1e-5, atol=1e-6
     )
+
+
+def test_quantize_model_mesh_matches_single_device(key):
+    """The whole calibration pipeline under a (data=2, model=4) mesh must
+    reproduce the single-device pipeline: sharded XTX capture + out-group
+    sharded beam search change reduction grouping only."""
+    import copy
+
+    from aqlm_tpu.calib import CalibConfig, QuantizePipelineConfig, quantize_model
+    from aqlm_tpu.models import llama
+    from aqlm_tpu.ops.dequant import dequantize_weight
+
+    cfg = llama.ModelConfig.tiny(num_layers=2)
+    params = llama.init_random_params(key, cfg, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 32), 0, cfg.vocab_size)
+
+    def pipe(mesh):
+        return QuantizePipelineConfig(
+            scheme=AqlmScheme(2, 4, in_group_size=8),
+            calib=CalibConfig(max_epochs=1, steps_per_epoch=3, beam_size=2,
+                              init_max_iter=5, seed=0),
+            finetune=None,
+            batch_size=4,
+            verbose=False,
+            mesh=mesh,
+        )
+
+    q_ref, stats_ref = quantize_model(copy.deepcopy(params), cfg, ids, pipe(None))
+    mesh = make_mesh(data=2, model=4)
+    with mesh:
+        q_sh, stats_sh = quantize_model(copy.deepcopy(params), cfg, ids, pipe(mesh))
+
+    for li in range(cfg.num_layers):
+        for name, q in q_ref["layers"][li].items():
+            if not hasattr(q, "scheme") or q.scheme is None:
+                continue
+            w_ref = np.asarray(dequantize_weight(
+                __import__("aqlm_tpu.ops.dequant", fromlist=["AqlmWeight"]).AqlmWeight(
+                    codes=q.codes, codebooks=q.codebooks, scales=q.scales,
+                    bias=None, scheme=q.scheme),
+                dtype=jnp.float32))
+            q2 = q_sh["layers"][li][name]
+            w_sh = np.asarray(dequantize_weight(
+                __import__("aqlm_tpu.ops.dequant", fromlist=["AqlmWeight"]).AqlmWeight(
+                    codes=q2.codes, codebooks=q2.codebooks, scales=q2.scales,
+                    bias=None, scheme=q2.scheme),
+                dtype=jnp.float32))
+            err = np.abs(w_ref - w_sh).max()
+            assert err < 5e-3, (li, name, err)
+    np.testing.assert_allclose(stats_sh["out_loss"], stats_ref["out_loss"], rtol=0.2, atol=1e-5)
