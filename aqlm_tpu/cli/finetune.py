@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume from <save>/train_state.npz if present")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="data-parallel axis size (multi-chip PV)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="model-axis size: megatron-sharded student/teacher params")
     p.add_argument("--dtype", choices=["auto", "float32", "bfloat16"], default="auto")
     p.add_argument("--wandb", action="store_true")
     return p
@@ -107,6 +111,20 @@ def main(argv=None) -> dict:
     assert kind == "dense", "teacher must be a dense model"
     student, student_cfg, kind = resolve_model(args.quantized_model, dtype=dtype, mode="reference")
     assert kind == "quantized", "student must be a quantized model"
+
+    mesh = None
+    if args.mesh_data > 1 or args.mesh_model > 1:
+        # multi-chip PV: params/moments shard across chips — the mesh IS the
+        # memory headroom, so the single-chip host-offload flags don't apply
+        assert not args.st_window and not args.offload_teacher, (
+            "--st_window/--offload_teacher are the single-chip memory design; "
+            "with a mesh the shardings provide the headroom"
+        )
+        from aqlm_tpu.parallel import make_mesh, model_param_specs, shard_params
+
+        mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
+        student = shard_params(student, model_param_specs(student), mesh)
+        teacher = shard_params(teacher, model_param_specs(teacher), mesh)
 
     from aqlm_tpu.models.family import family_name, forward_fn as family_forward
 
@@ -217,6 +235,12 @@ def main(argv=None) -> dict:
         for _ in range(n_micro):
             idx = rng.randint(0, n, size=micro)
             batch = data[idx]
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                batch = jax.device_put(
+                    jnp.asarray(batch), NamedSharding(mesh, PartitionSpec("data", None))
+                )
             t_in = host_teacher.batch(batch) if host_teacher is not None else teacher
             loss, grads = grad_fn(state, t_in, batch, None, win_start)
             loss_sum += float(loss)

@@ -144,3 +144,20 @@ def test_convert_transcode_2x8(tmp_path):
         c = _json.load(f)
     assert c["quantization_config"]["num_codebooks"] == 2
     assert c["quantization_config"]["nbits_per_codebook"] == 8
+
+
+@pytest.mark.slow
+def test_finetune_cli_mesh(quantized_dir, tmp_path):
+    """PV over a (data=2, model=4) mesh: losses must track the single-chip
+    run (same batch stream; shardings change float-reduction grouping only)."""
+    common = [
+        "--base_model", "random:tiny:1",
+        "--quantized_model", quantized_dir,
+        "--dataset", "random", "--nsamples", "4", "--model_seqlen", "16",
+        "--batch_size", "2", "--total_steps", "3", "--code_update_every", "2",
+        "--max_code_change_per_step", "0.2",
+    ]
+    ref = cli_finetune.main(common)
+    sharded = cli_finetune.main(common + ["--mesh_data", "2", "--mesh_model", "4"])
+    assert np.isfinite(sharded["final_kl"])
+    np.testing.assert_allclose(sharded["losses"], ref["losses"], rtol=0.05, atol=1e-4)
