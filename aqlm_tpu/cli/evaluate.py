@@ -26,6 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", choices=["auto", "float32", "bfloat16"], default="auto")
     p.add_argument("--mode", choices=["reference", "codes", "int8"], default="reference")
     p.add_argument("--tasks", nargs="*", default=[], help="lm-eval harness tasks (requires lm_eval)")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help=">1: shard PPL windows over a data-axis mesh (multi-chip eval)")
     return p
 
 
@@ -41,9 +43,19 @@ def main(argv=None) -> dict:
             ids = ids[: args.nsamples]
         from aqlm_tpu.models.family import forward_fn
 
-        ppl = evaluate_perplexity(
-            params, cfg, ids, batch_size=args.batch_size, forward_fn=forward_fn(cfg)
-        )
+        if args.mesh_data > 1:
+            from aqlm_tpu.data import evaluate_perplexity_sharded
+            from aqlm_tpu.parallel import make_mesh
+
+            ppl = evaluate_perplexity_sharded(
+                params, cfg, ids, make_mesh(data=args.mesh_data, model=1),
+                rows_per_device=max(1, args.batch_size // args.mesh_data),
+                forward_fn=forward_fn(cfg),
+            )
+        else:
+            ppl = evaluate_perplexity(
+                params, cfg, ids, batch_size=args.batch_size, forward_fn=forward_fn(cfg)
+            )
         results[f"ppl_{ds}"] = ppl
         print(f"{ds} perplexity: {ppl:.4f}")
 
