@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spec_k", type=int, default=4)
     p.add_argument("--tp", type=int, default=1,
                    help=">1: tensor-parallel serving over a model-axis mesh of this size")
+    p.add_argument("--decode_chunk", type=int, default=1,
+                   help=">1: emit this many tokens per compiled decode (one host sync per chunk)")
     return p
 
 
@@ -247,6 +249,7 @@ def main(argv=None):
     serve_cfg = ServeConfig(
         max_batch=args.max_batch, max_len=args.max_len,
         prefill_buckets=tuple(args.prefill_buckets), kv_quantized=args.kv_int8,
+        decode_chunk=args.decode_chunk,
     )
     if args.tp > 1:
         from aqlm_tpu.parallel import make_mesh

@@ -45,6 +45,8 @@ class ServeConfig:
     spec_min_acceptance: float = 0.0  # >0: permanently drop the draft when the
     # measured acceptance (after spec_warmup proposals) falls below this
     spec_warmup: int = 64
+    decode_chunk: int = 1  # >1: emit this many tokens per compiled step (one
+    # host sync per chunk; a request finishing mid-chunk wastes its tail steps)
 
 
 @dataclasses.dataclass
@@ -166,6 +168,57 @@ class Engine:
             return next_tokens, lps, cache
 
         self._decode = decode_step
+
+        @partial(jax.jit, donate_argnums=(1,), static_argnames=("bucket", "n"))
+        def decode_chunk(params, cache: KVCache, tokens, offsets, key, temps, top_ps,
+                         bucket=B, n=1):
+            """n decode steps in ONE compiled loop (one host sync per chunk):
+            the serving-loop form of the bench's fori_loop chaining. Slots
+            that hit EOS/budget mid-chunk keep decoding (their tail tokens
+            are discarded at ingest; their extra KV writes land beyond the
+            finished request and are overwritten on slot reuse)."""
+            if bucket == B:
+                sub = cache
+            else:
+                sub = jax.tree.map(
+                    lambda a: None if a is None else jax.lax.slice_in_dim(a, 0, bucket, axis=1),
+                    cache, is_leaf=lambda a: a is None,
+                )
+
+            def body(i, carry):
+                tok, sub, off, toks, lps = carry
+                logits, sub = forward_stacked(
+                    params, cfg, tok, cache=sub, cache_offset=off,
+                    use_flash_decode=serve.use_flash_decode,
+                )
+                nxt = sample_tokens(
+                    logits[:, -1, :], jax.random.fold_in(key, i), temps, top_ps,
+                    top_k=serve.top_k,
+                )
+                logp = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32), axis=-1)
+                lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+                return (
+                    nxt[:, None], sub, off + 1,
+                    jax.lax.dynamic_update_index_in_dim(toks, nxt, i, axis=0),
+                    jax.lax.dynamic_update_index_in_dim(lps, lp, i, axis=0),
+                )
+
+            toks0 = jnp.zeros((n, bucket), jnp.int32)
+            lps0 = jnp.zeros((n, bucket), jnp.float32)
+            _, sub, _, toks, lps = jax.lax.fori_loop(
+                0, n, body, (tokens, sub, offsets, toks0, lps0)
+            )
+            if bucket != B:
+                cache = jax.tree.map(
+                    lambda full, part: None if full is None
+                    else jax.lax.dynamic_update_slice_in_dim(full, part, 0, axis=1),
+                    cache, sub, is_leaf=lambda a: a is None,
+                )
+            else:
+                cache = sub
+            return toks, lps, cache
+
+        self._decode_chunk = decode_chunk
         self._prefill_fns = {}
 
         @partial(jax.jit, donate_argnums=(0,), static_argnames=("rows",))
@@ -532,10 +585,41 @@ class Engine:
             self._maybe_finish(slot)
         return emitted
 
+    def _chunk_step(self, bucket: int, n: int, key) -> dict:
+        toks, lps, self.cache = self._decode_chunk(
+            self.params, self.cache,
+            jnp.asarray(self._last_token[:bucket, None]),
+            jnp.asarray(self._offsets[:bucket]),
+            key,
+            jnp.asarray(self._temps[:bucket]),
+            jnp.asarray(self._top_ps[:bucket]),
+            bucket=bucket, n=n,
+        )
+        toks, lps = np.asarray(toks), np.asarray(lps)  # [n, bucket]
+        emitted = {}
+        for slot, req in list(self._active.items()):
+            take = min(n, int(self._budgets[slot]))
+            sub = [int(t) for t in toks[:take, slot]]
+            eos = req.sampling.eos_token_id
+            if eos is not None and eos in sub:
+                sub = sub[: sub.index(eos) + 1]
+                self._budgets[slot] = 0
+            req.generated.extend(sub)
+            req.logprobs.extend(float(l) for l in lps[: len(sub), slot])
+            emitted[req.rid] = sub
+            self._offsets[slot] += n  # the cache advanced n rows regardless
+            self._budgets[slot] -= n
+            self._last_token[slot] = toks[-1, slot]
+            self._prev_token[slot] = toks[-2, slot] if n >= 2 else self._last_token[slot]
+            if self._offsets[slot] >= self.serve.max_len - 1:
+                self._budgets[slot] = 0
+            self._maybe_finish(slot)
+        return emitted
+
     def step(self) -> dict:
         """Admit pending requests, run one batched decode step.
         Returns {rid: new_token} for tokens produced this step
-        ({rid: [tokens]} chunks in speculative mode)."""
+        ({rid: [tokens]} chunks in speculative or decode_chunk mode)."""
         self._admit()
         if not self._active:
             return {}
@@ -554,6 +638,16 @@ class Engine:
             return emitted
         self._key, sub = jax.random.split(self._key)
         bucket = self._decode_bucket()
+        if self.serve.decode_chunk > 1 and not self._pending:
+            # chunked decode: n steps per host sync; don't run steps past the
+            # longest remaining budget or anyone's cache room
+            room = min(
+                self.serve.max_len - 1 - int(self._offsets[s]) for s in self._active
+            )
+            n = max(1, min(self.serve.decode_chunk, room,
+                           max(int(self._budgets[s]) for s in self._active)))
+            if n > 1:
+                return self._chunk_step(bucket, n, sub)
         tokens, lps, self.cache = self._decode(
             self.params,
             self.cache,

@@ -84,6 +84,34 @@ class TPEngine(Engine):
 
         self._decode = decode_step
 
+        @partial(jax.jit, donate_argnums=(1,), static_argnames=("bucket", "n"))
+        def decode_chunk(params, cache, tokens, offsets, key, temps, top_ps, bucket=B, n=1):
+            """n TP decode steps per host sync (Engine._chunk_step contract)."""
+
+            def body(i, carry):
+                tok, cache, off, toks, lps = carry
+                logits, cache = tp_step(params, cache, tok, off)
+                nxt = sample_tokens(
+                    logits[:, -1, :], jax.random.fold_in(key, i), temps, top_ps,
+                    top_k=serve.top_k,
+                )
+                logp = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32), axis=-1)
+                lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+                return (
+                    nxt[:, None], cache, off + 1,
+                    jax.lax.dynamic_update_index_in_dim(toks, nxt, i, axis=0),
+                    jax.lax.dynamic_update_index_in_dim(lps, lp, i, axis=0),
+                )
+
+            toks0 = jnp.zeros((n, B), jnp.int32)
+            lps0 = jnp.zeros((n, B), jnp.float32)
+            _, cache, _, toks, lps = jax.lax.fori_loop(
+                0, n, body, (tokens, cache, offsets, toks0, lps0)
+            )
+            return toks, lps, cache
+
+        self._decode_chunk = decode_chunk
+
         def make_prefill(tp_prefill_fn):
             @partial(jax.jit, donate_argnums=(1,))
             def prefill(params, cache, ids, slot, start, true_len, key, temp, top_p):

@@ -246,3 +246,33 @@ def test_abort_frees_slot_and_stops_generation():
         eng.step()
     assert len(eng.get_request(r1).generated) == n_before
     assert len(eng.get_request(r2).generated) == 4
+
+
+def test_decode_chunk_matches_single_step():
+    """decode_chunk=4 must emit exactly the single-step engine's tokens,
+    including a budget that is not a multiple of the chunk, an EOS inside a
+    chunk, and admissions queued behind full slots."""
+    import dataclasses
+
+    cfg = llama.ModelConfig.tiny(num_layers=1)
+    params = llama.init_random_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    serve = ServeConfig(max_batch=2, max_len=96, prefill_buckets=(8,))
+    prompts = [np.asarray([3, 1, 4], np.int32), np.asarray([2, 7], np.int32),
+               np.asarray([5, 5, 5, 5], np.int32)]
+    sampling = SamplingParams(max_new_tokens=11)  # 11 % 4 != 0
+
+    ref = Engine(params, cfg, serve).generate(prompts, sampling)
+    chunked = Engine(params, cfg, dataclasses.replace(serve, decode_chunk=4))
+    got = chunked.generate(prompts, sampling)
+    assert got == ref, (got, ref)
+
+    # eos inside a chunk
+    eos = ref[0][4]
+    if eos not in ref[0][:4]:
+        s2 = SamplingParams(max_new_tokens=11, eos_token_id=int(eos))
+        ref_e = Engine(params, cfg, serve).generate([prompts[0]], s2)
+        got_e = Engine(params, cfg, dataclasses.replace(serve, decode_chunk=4)).generate(
+            [prompts[0]], s2
+        )
+        assert got_e == ref_e, (got_e, ref_e)
+        assert got_e[0][-1] == eos

@@ -115,3 +115,16 @@ def test_tp_engine_speculative_matches_single_chip():
     got = eng.generate(prompts, sampling)
     assert got == ref, (got, ref)
     assert eng.spec_stats["proposed"] > 0
+
+
+def test_tp_engine_decode_chunk():
+    cfg, params = _models("int8")
+    serve = ServeConfig(max_batch=2, max_len=64, prefill_buckets=(8,))
+    prompts = [np.asarray([1, 2, 3], np.int32), np.asarray([4, 5], np.int32)]
+    sampling = SamplingParams(max_new_tokens=9)
+    cfg2, params2 = _models("int8")
+    ref = Engine(params2, cfg2, serve).generate(prompts, sampling)
+    eng = TPEngine(params, cfg, dataclasses.replace(serve, decode_chunk=4),
+                   mesh=make_mesh(model=4))
+    got = eng.generate(prompts, sampling)
+    assert got == ref, (got, ref)
