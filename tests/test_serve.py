@@ -276,3 +276,20 @@ def test_decode_chunk_matches_single_step():
         )
         assert got_e == ref_e, (got_e, ref_e)
         assert got_e[0][-1] == eos
+
+
+def test_sampled_generation_deterministic_given_seed():
+    """Engine RNG plumbing: identical engines produce identical SAMPLED
+    streams (per-step keys derive from the engine key, not wall state)."""
+    cfg = llama.ModelConfig.tiny(num_layers=1)
+    params = llama.init_random_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    serve = ServeConfig(max_batch=2, max_len=64, prefill_buckets=(8,))
+    prompts = [np.asarray([3, 1, 4], np.int32), np.asarray([8, 8], np.int32)]
+    sampling = SamplingParams(max_new_tokens=8, temperature=0.9, top_p=0.9)
+
+    a = Engine(params, cfg, serve).generate(prompts, sampling)
+    b = Engine(params, cfg, serve).generate(prompts, sampling)
+    assert a == b, (a, b)
+    # temperature actually does something (not silently greedy)
+    g = Engine(params, cfg, serve).generate(prompts, SamplingParams(max_new_tokens=8))
+    assert a != g
