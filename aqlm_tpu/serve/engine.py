@@ -87,8 +87,9 @@ class Engine:
                 from aqlm_tpu.serve.fuse import fuse_projections_codes
 
                 params = fuse_projections(params, cfg, donate=serve.donate_params, tp=_fuse_tp)
-                if _fuse_tp == 1:  # fused codes layout has no TP interleaving
-                    params = fuse_projections_codes(params, cfg, donate=serve.donate_params)
+                params = fuse_projections_codes(
+                    params, cfg, donate=serve.donate_params, tp=_fuse_tp
+                )
             if serve.lm_head_int8:
                 params = quantize_lm_head_int8(params)
         # MoE with int8 experts: stack experts into all-expert kernel operands
@@ -254,8 +255,7 @@ class Engine:
                 from aqlm_tpu.serve.fuse import fuse_projections, fuse_projections_codes
 
                 dp = fuse_projections(dp, dcfg, donate=serve.donate_params, tp=_fuse_tp)
-                if _fuse_tp == 1:
-                    dp = fuse_projections_codes(dp, dcfg, donate=serve.donate_params)
+                dp = fuse_projections_codes(dp, dcfg, donate=serve.donate_params, tp=_fuse_tp)
             self._dcfg = dcfg
             self._dparams = stack_layer_params(dp, donate=serve.donate_params)
             self._dcache = init_kv_cache(

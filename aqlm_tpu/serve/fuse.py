@@ -128,23 +128,45 @@ def quantize_lm_head_int8(params: dict) -> dict:
 from aqlm_tpu.ops.runtime import FusedCodesLinear
 
 
-def _concat_codes(lins: list[QuantizedLinear]) -> FusedCodesLinear:
-    # tiled codes concat along the TILE axis == concat along OUT
+def _concat_codes(lins: list[QuantizedLinear], tp: int = 1) -> FusedCodesLinear:
+    """Concatenate tiled-codes linears along the tile axis (== along OUT).
+
+    tp > 1 interleaves per-shard tile chunks ([q_s0, k_s0, v_s0, q_s1, ...])
+    so column-sharding the fused tile axis over `tp` devices hands every
+    device its own (q, k, v) tile block — the codes analogue of
+    _concat_int8's layout. out_sizes are then recorded PER SHARD (local
+    widths): the fused kernel's tile->projection map and the prefill split
+    both run inside shard_map on the local shard."""
     assert all(
         l.mode == "codes" and l.codes_tl is not None and l.bias is None for l in lins
     )
     s0 = lins[0].scheme
     assert all(l.scheme == s0 for l in lins)
+    if tp == 1:
+        codes_tl = jnp.concatenate([l.codes_tl for l in lins], axis=0)
+        scales = jnp.concatenate([l.scales for l in lins])
+    else:
+        tiles, scales_parts = [], []
+        for s in range(tp):
+            for l in lins:
+                nt, n = l.codes_tl.shape[0], l.scales.shape[0]
+                assert nt % tp == 0 and n % tp == 0, (nt, n, tp)
+                tiles.append(l.codes_tl[s * (nt // tp) : (s + 1) * (nt // tp)])
+                scales_parts.append(l.scales[s * (n // tp) : (s + 1) * (n // tp)])
+        codes_tl = jnp.concatenate(tiles, axis=0)
+        scales = jnp.concatenate(scales_parts)
     return FusedCodesLinear(
-        codes_tl=jnp.concatenate([l.codes_tl for l in lins], axis=0),
+        codes_tl=codes_tl,
         codebooks=jnp.stack([l.codebooks for l in lins]),
-        scales=jnp.concatenate([l.scales for l in lins]),
-        out_sizes=tuple(l.codes_tl.shape[0] * l.codes_tl.shape[2] for l in lins),
+        scales=scales,
+        out_sizes=tuple(
+            l.codes_tl.shape[0] * l.codes_tl.shape[2] // tp for l in lins
+        ),
         scheme=s0,
     )
 
 
-def _codes_fusible(lins) -> bool:
+def _codes_fusible(lins, tp: int = 1) -> bool:
     return (
         all(
             isinstance(l, QuantizedLinear) and l.mode == "codes"
@@ -153,26 +175,34 @@ def _codes_fusible(lins) -> bool:
         )
         and len({l.scheme for l in lins}) == 1
         and len({l.codes_tl.shape[1:] for l in lins}) == 1  # same K*IG and tn
+        # shard-interleaved layout needs a whole number of tiles per shard
+        # (e.g. GQA kv_proj 1024-wide at tn=512 cannot split 4 ways: such a
+        # projection serves unfused under that tp)
+        and all(l.codes_tl.shape[0] % tp == 0 for l in lins)
     )
 
 
-def fuse_projections_codes(params: dict, cfg: ModelConfig, donate: bool = False) -> dict:
+def fuse_projections_codes(
+    params: dict, cfg: ModelConfig, donate: bool = False, tp: int = 1
+) -> dict:
     """codes-mode analogue of fuse_projections: qkv / gate+up fused into one
     decode launch each (7 -> 4 launches per block). Prefill still runs the
-    per-projection one-hot kernels (forward_stacked splits fused outputs)."""
+    per-projection one-hot kernels (forward_stacked splits fused outputs).
+    tp > 1 lays tiles out in per-shard interleaved order for tensor-parallel
+    serving (serve/tp.py); non-tile-divisible projections stay unfused."""
     new_layers = []
     for orig in params["layers"]:
         layer = dict(orig)
         qkv = [layer.get(n) for n in ("q_proj", "k_proj", "v_proj")]
-        if _codes_fusible(qkv):
-            layer["qkv_proj"] = _concat_codes(qkv)
+        if _codes_fusible(qkv, tp):
+            layer["qkv_proj"] = _concat_codes(qkv, tp=tp)
             for n in ("q_proj", "k_proj", "v_proj"):
                 del layer[n]
                 if donate:
                     orig[n] = None
         gu = [layer.get(n) for n in ("gate_proj", "up_proj")]
-        if _codes_fusible(gu):
-            layer["gateup_proj"] = _concat_codes(gu)
+        if _codes_fusible(gu, tp):
+            layer["gateup_proj"] = _concat_codes(gu, tp=tp)
             for n in ("gate_proj", "up_proj"):
                 del layer[n]
                 if donate:

@@ -31,7 +31,12 @@ from aqlm_tpu.models import llama
 from aqlm_tpu.models.cohere import cohere_layer_norm, rope_interleaved
 from aqlm_tpu.models.common import apply_linear, attention_headmajor, make_causal_mask, rms_norm, rope
 from aqlm_tpu.models.stacked import KVCache, _dequantize_kv, _quantize_kv, model_family
-from aqlm_tpu.ops.runtime import IndexedQuantizedLinear, QuantizedLinear
+from aqlm_tpu.ops.runtime import (
+    FusedCodesLinear,
+    IndexedFusedCodesLinear,
+    IndexedQuantizedLinear,
+    QuantizedLinear,
+)
 
 __all__ = [
     "tp_shard_serving_params",
@@ -125,6 +130,19 @@ def tp_serving_param_specs(stacked: dict, ma: str = "model") -> dict:
                 layer_specs[name] = P(*([None, ma] + [None] * (v.ndim - 2)))
         elif isinstance(v, QuantizedLinear):
             layer_specs[name] = _qlin_spec(name, v, ma)
+        elif isinstance(v, FusedCodesLinear):
+            # qkv/gate+up fused codes (always column-parallel): the tile axis
+            # is shard-INTERLEAVED at fusion time (fuse.py _concat_codes
+            # tp>1), so sharding it hands each device its own (q, k, v)
+            # block with per-shard-local out_sizes; codebooks [L, P, K, S, g]
+            # are tiny and replicated
+            assert name in _COLUMN, name
+            layer_specs[name] = FusedCodesLinear(
+                codes_tl=P(None, ma, None, None),
+                codebooks=P(None, None, None, None, None),
+                scales=P(None, ma),
+                out_sizes=v.out_sizes, scheme=v.scheme,
+            )
         elif isinstance(v, DenseLinear) and (name in _COLUMN or name in _ROW):
             col = name in _COLUMN
             assert col or v.bias is None, (
@@ -310,11 +328,12 @@ def _make_local_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
 
         stacked_layers = params["layers"]
         qnames = [n for n, v in stacked_layers.items() if isinstance(v, QuantizedLinear)]
-        # stacked experts index by scalar prefetch, not scan slicing (a scan
-        # xs slice would copy every expert's weights to HBM per step)
+        fnames = [n for n, v in stacked_layers.items() if isinstance(v, FusedCodesLinear)]
+        # stacked experts / fused codes index by scalar prefetch, not scan
+        # slicing (a scan xs slice would copy the weights to HBM per step)
         rest = {
             n: v for n, v in stacked_layers.items()
-            if n not in qnames and not n.startswith("experts_")
+            if n not in qnames and n not in fnames and not n.startswith("experts_")
         }
         layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
 
@@ -324,6 +343,8 @@ def _make_local_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
             layer = dict(rest_i)
             for n in qnames:
                 layer[n] = IndexedQuantizedLinear(stacked=stacked_layers[n], idx=i)
+            for n in fnames:
+                layer[n] = IndexedFusedCodesLinear(stacked=stacked_layers[n], idx=i)
             x, new_kv = local_block(
                 x, layer, kv, positions, offsets, mask, b, t,
                 i=i, stacked_layers=stacked_layers,

@@ -117,6 +117,40 @@ def test_tp_engine_speculative_matches_single_chip():
     assert eng.spec_stats["proposed"] > 0
 
 
+def test_tp_engine_codes_fused_matches_single_chip():
+    """codes-mode TP engine with the shard-interleaved FUSED qkv/gate+up
+    layout (fuse.py _concat_codes tp>1): token-exact vs the single-chip
+    engine, whose fused layout is the plain tp=1 concatenation."""
+    from aqlm_tpu.ops.runtime import FusedCodesLinear
+
+    def make():
+        # 256-wide everything: per-shard OUT stays a whole tile (tn=128) at
+        # tp=2, so every projection takes the fused interleaved layout
+        cfg = llama.ModelConfig.tiny(
+            num_layers=2, hidden_size=256, intermediate_size=256,
+            num_heads=4, num_kv_heads=4,
+        )
+        params = random_quantized_params(
+            jax.random.PRNGKey(0), cfg, SCHEME_2X8, mode="codes", dtype=jnp.float32
+        )
+        return cfg, params
+
+    serve = ServeConfig(max_batch=2, max_len=64, prefill_buckets=(8, 16))
+    prompts = [np.asarray([1, 2, 3], np.int32), np.asarray([4, 5, 6, 7], np.int32)]
+    sampling = SamplingParams(max_new_tokens=6)
+
+    cfg2, params2 = make()
+    ref = Engine(params2, cfg2, serve).generate(prompts, sampling)
+
+    cfg, params = make()
+    eng = TPEngine(params, cfg, serve, mesh=make_mesh(model=2))
+    assert any(
+        isinstance(v, FusedCodesLinear) for v in eng.params["layers"].values()
+    ), "fused codes layout must land under TP"
+    got = eng.generate(prompts, sampling)
+    assert got == ref, (got, ref)
+
+
 def test_tp_engine_decode_chunk():
     cfg, params = _models("int8")
     serve = ServeConfig(max_batch=2, max_len=64, prefill_buckets=(8,))

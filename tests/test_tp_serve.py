@@ -20,6 +20,7 @@ from aqlm_tpu.serve.tp import make_tp_decode_step, tp_shard_serving_params
 @pytest.mark.parametrize("quantized_kv", [True, False])
 @pytest.mark.parametrize("mode,fused", [
     ("int8", True), ("int8", False), ("codes", False), ("codes_tiled", False),
+    ("codes_tiled", True),
 ])
 def test_tp_decode_matches_single_device(quantized_kv, mode, fused):
     if mode == "codes_tiled":
@@ -75,7 +76,15 @@ def test_tp_decode_matches_single_device(quantized_kv, mode, fused):
         logits_ref.append(lg[:, 0])
 
     # TP rollout (fusion uses the shard-interleaved layout)
-    tp_params = fuse_projections(params, cfg, tp=tp) if fused else params
+    if fused and mode.startswith("codes"):
+        from aqlm_tpu.serve.fuse import fuse_projections_codes
+
+        tp_params = fuse_projections_codes(params, cfg, tp=tp)
+        assert any("qkv_proj" in l for l in tp_params["layers"])
+    elif fused:
+        tp_params = fuse_projections(params, cfg, tp=tp)
+    else:
+        tp_params = params
     tp_stacked = stack_layer_params(tp_params)
     mesh = make_mesh(data=8 // tp, model=tp)
     with mesh:
