@@ -54,6 +54,62 @@ def test_engine_fusion_consistency(key):
     assert out1 == out2, (out1, out2)
 
 
+def test_concat_codes_interleaved_layout(key):
+    """tp>1 fused codes layout contract: shard s's tile block dequantizes to
+    [q_s, k_s, v_s] (each part's s-th OUT slice), and out_sizes are the
+    per-shard local widths — what serve/tp.py's column sharding relies on."""
+    from aqlm_tpu.ops.dequant import random_aqlm_weight
+    from aqlm_tpu.ops.kernels import dequantize_onehot
+    from aqlm_tpu.ops.lut_gemv import untile_codes
+    from aqlm_tpu.ops.runtime import QuantizedLinear
+    from aqlm_tpu.serve.fuse import _codes_fusible, _concat_codes
+
+    tp, out, infeat = 2, 256, 128  # tn = 128 -> 2 tiles per projection
+    keys = jax.random.split(key, 3)
+    lins = [
+        QuantizedLinear.from_aqlm(
+            random_aqlm_weight(k, SCHEME_2X8, out, infeat), mode="codes"
+        )
+        for k in keys
+    ]
+    fused = _concat_codes(lins, tp=tp)
+    assert fused.out_sizes == (out // tp,) * 3
+
+    def dense(codes_tl, codebooks, scales, scheme):
+        return dequantize_onehot(
+            untile_codes(codes_tl, scheme.num_codebooks), codebooks, scales,
+            group=scheme.in_group_size, dtype=jnp.float32,
+        ).T  # [OUT, IN]
+
+    tn = lins[0].codes_tl.shape[2]
+    tiles_per_shard = sum(sz // tn for sz in fused.out_sizes)
+    for s in range(tp):
+        shard_tiles = fused.codes_tl[s * tiles_per_shard : (s + 1) * tiles_per_shard]
+        shard_scales = fused.scales[s * (3 * out // tp) : (s + 1) * (3 * out // tp)]
+        off = 0
+        for p, l in enumerate(lins):
+            w_full = dense(l.codes_tl, l.codebooks, l.scales, l.scheme)
+            loc = out // tp
+            got = dense(
+                shard_tiles[off // tn : (off + loc) // tn],
+                fused.codebooks[p],
+                shard_scales[off : off + loc],
+                fused.scheme,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(w_full[s * loc : (s + 1) * loc]),
+                atol=1e-6, rtol=1e-6,
+            )
+            off += loc
+
+    # non-tile-divisible projections must refuse the interleaved layout
+    small = QuantizedLinear.from_aqlm(
+        random_aqlm_weight(keys[0], SCHEME_2X8, 128, infeat), mode="codes"
+    )
+    assert not _codes_fusible([small, small], tp=2)  # 1 tile, tp=2
+    assert _codes_fusible(lins, tp=tp)
+
+
 @pytest.mark.slow
 def test_codes_fusion_matches_unfused(key):
     """Fused qkv/gate+up codes decode == unfused codes decode (stacked scan)."""
