@@ -234,10 +234,6 @@ def forward_stacked(
         # kernel tiling floor: the aliased KV-write and flash BlockSpecs need
         # 128-aligned cache lengths (tiny test caches fall back to XLA)
         flash_ok = cache is not None and cache.max_len % 128 == 0
-        # the flash kernel attends over [0, offset) unmasked: with a sliding
-        # window it is only exact while the window cannot bind
-        if cfg.sliding_window is not None and cache is not None:
-            flash_ok = flash_ok and cache.max_len <= cfg.sliding_window
         use_flash_decode = flash_ok and (has_codes or cache.max_len >= 1024)
     flash = cache is not None and t == 1 and use_flash_decode
 
@@ -295,7 +291,8 @@ def forward_stacked(
                 )
                 kv_full = (k_all, v_all, ks_all, vs_all)
                 attn = flash_decode_attention_indexed(
-                    q, k_all, v_all, ks_all, vs_all, i, offsets + 1
+                    q, k_all, v_all, ks_all, vs_all, i, offsets + 1,
+                    window=cfg.sliding_window,
                 )
             else:
                 k_all, v_all = kv_full
@@ -303,7 +300,8 @@ def forward_stacked(
                 v_all = kv_write_inplace(v_all, hm(v), i, offsets)
                 kv_full = (k_all, v_all)
                 attn = flash_decode_attention_indexed(
-                    q, k_all, v_all, None, None, i, offsets + 1
+                    q, k_all, v_all, None, None, i, offsets + 1,
+                    window=cfg.sliding_window,
                 )
         elif kv is not None:
             if len(kv) == 4:  # int8
@@ -316,7 +314,10 @@ def forward_stacked(
                 vs_c = write_rows(vs_c, vs[..., None])
                 new_kv = (k_c, v_c, ks_c, vs_c)
                 if t == 1 and use_flash_decode:
-                    attn = flash_decode_attention(q, k_c, v_c, ks_c, vs_c, offsets + 1)
+                    attn = flash_decode_attention(
+                        q, k_c, v_c, ks_c, vs_c, offsets + 1,
+                        window=cfg.sliding_window,
+                    )
                 else:
                     k_all = _dequantize_kv(k_c, ks_c, q.dtype)
                     v_all = _dequantize_kv(v_c, vs_c, q.dtype)
@@ -327,7 +328,10 @@ def forward_stacked(
                 v_c = write_rows(v_c, v.astype(v_c.dtype))
                 new_kv = (k_c, v_c)
                 if t == 1 and use_flash_decode:
-                    attn = flash_decode_attention(q, k_c, v_c, None, None, offsets + 1)
+                    attn = flash_decode_attention(
+                        q, k_c, v_c, None, None, offsets + 1,
+                        window=cfg.sliding_window,
+                    )
                 else:
                     attn = attention_headmajor(q, k_c.astype(q.dtype), v_c.astype(q.dtype), mask)
         else:

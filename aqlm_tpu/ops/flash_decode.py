@@ -29,7 +29,7 @@ __all__ = ["flash_decode_attention"]
 NEG_INF = -1e30
 
 
-def _kernel(lengths_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref, *, ts, scale, quantized, compute_dtype):
+def _kernel(lengths_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref, *, ts, scale, quantized, compute_dtype, window):
     b = pl.program_id(0)
     s = pl.program_id(2)
 
@@ -55,7 +55,12 @@ def _kernel(lengths_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref, l_
 
     length = lengths_ref[b]
     key_pos = s * ts + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(key_pos < length, logits, NEG_INF)
+    valid = key_pos < length
+    if window is not None:
+        # sliding window: the (single) query sits at length - 1 and may only
+        # see keys in (q - window, q] (make_causal_mask's convention)
+        valid &= key_pos >= length - window
+    logits = jnp.where(valid, logits, NEG_INF)
 
     m_prev, l_prev = m_ref[:], l_ref[:]
     m_cur = jnp.max(logits, axis=-1, keepdims=True)  # [rep, 1]
@@ -74,8 +79,8 @@ def _kernel(lengths_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref, l_
         out_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret", "ts"))
-def _call(q, k, v, k_scale, v_scale, lengths, *, scale, interpret, ts=512):
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "ts", "window"))
+def _call(q, k, v, k_scale, v_scale, lengths, *, scale, interpret, ts=512, window=None):
     b, hkv, rep, d = q.shape
     s_len = k.shape[2]
     ts = min(ts, s_len)
@@ -86,7 +91,8 @@ def _call(q, k, v, k_scale, v_scale, lengths, *, scale, interpret, ts=512):
     # CPU interpret mode lacks bf16xbf16->f32 dots; TPU uses bf16 on the MXU
     compute_dtype = jnp.float32 if interpret else jnp.bfloat16
     kern = functools.partial(
-        _kernel, ts=ts, scale=scale, quantized=quantized, compute_dtype=compute_dtype
+        _kernel, ts=ts, scale=scale, quantized=quantized, compute_dtype=compute_dtype,
+        window=window,
     )
     if not quantized:
         # dummy tiny scale operands keep one kernel signature
@@ -127,6 +133,7 @@ def flash_decode_attention(
     lengths: jax.Array,  # [B] attend to key positions < lengths[b]
     *,
     scale: float | None = None,
+    window: int | None = None,  # sliding window: keys in (q - window, q]
 ) -> jax.Array:
     """Returns attention output [B, 1, Hq, D] bf16."""
     b, t, hq, d = q.shape
@@ -138,7 +145,7 @@ def flash_decode_attention(
     q_hm = q.reshape(b, 1, hkv, rep, d)[:, 0].astype(jnp.bfloat16)  # [B, Hkv, rep, D]
     out = _call(
         q_hm, k_hm, v_hm, k_scale, v_scale, lengths,
-        scale=scale, interpret=should_interpret(),
+        scale=scale, interpret=should_interpret(), window=window,
     )
     return out.reshape(b, 1, hq, d)
 
@@ -282,7 +289,7 @@ def kv_write4_inplace(k_all, v_all, ks_all, vs_all, nk, nv, nks, nvs, layer_idx,
 # ---------------------------------------------------------------------------
 
 
-def _kernel_idx(scalars_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref, *, ts, scale, quantized, compute_dtype):
+def _kernel_idx(scalars_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref, *, ts, scale, quantized, compute_dtype, window):
     # scalars_ref = [layer_idx, length_0, ..., length_{B-1}]
     b = pl.program_id(0)
     s = pl.program_id(2)
@@ -308,7 +315,10 @@ def _kernel_idx(scalars_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref
     ) * scale
     length = scalars_ref[1 + b]
     key_pos = s * ts + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(key_pos < length, logits, NEG_INF)
+    valid = key_pos < length
+    if window is not None:
+        valid &= key_pos >= length - window  # (q - window, q], q = length - 1
+    logits = jnp.where(valid, logits, NEG_INF)
 
     m_prev, l_prev = m_ref[:], l_ref[:]
     m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
@@ -325,8 +335,8 @@ def _kernel_idx(scalars_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref
         out_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret", "ts"))
-def _call_idx(q, k_all, v_all, ks_all, vs_all, scalars, *, scale, interpret, ts=512):
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "ts", "window"))
+def _call_idx(q, k_all, v_all, ks_all, vs_all, scalars, *, scale, interpret, ts=512, window=None):
     b, hkv, rep, d = q.shape
     L, b2, hkv2, s_len, _ = k_all.shape
     ts = min(ts, s_len)
@@ -335,7 +345,8 @@ def _call_idx(q, k_all, v_all, ks_all, vs_all, scalars, *, scale, interpret, ts=
     grid = (b, hkv, s_len // ts)
     compute_dtype = jnp.float32 if interpret else jnp.bfloat16
     kern = functools.partial(
-        _kernel_idx, ts=ts, scale=scale, quantized=quantized, compute_dtype=compute_dtype
+        _kernel_idx, ts=ts, scale=scale, quantized=quantized, compute_dtype=compute_dtype,
+        window=window,
     )
     if not quantized:
         ks_all = jnp.zeros((L, b, hkv, s_len, 1), jnp.float32) if ks_all is None else ks_all
@@ -376,6 +387,7 @@ def flash_decode_attention_indexed(
     lengths: jax.Array,  # [B]
     *,
     scale: float | None = None,
+    window: int | None = None,  # sliding window: keys in (q - window, q]
 ) -> jax.Array:
     """Flash decode reading layer `layer_idx` straight out of the stacked
     cache via scalar-prefetch index maps — no per-layer cache slice/copy
@@ -392,6 +404,6 @@ def flash_decode_attention_indexed(
     )
     out = _call_idx(
         q_hm, k_all, v_all, ks_all, vs_all, scalars,
-        scale=scale, interpret=should_interpret(),
+        scale=scale, interpret=should_interpret(), window=window,
     )
     return out.reshape(b, 1, hq, d)

@@ -51,6 +51,63 @@ def test_flash_matches_oracle_int8(key):
     )
 
 
+def test_flash_sliding_window_matches_oracle(key):
+    """Windowed flash decode vs the XLA mask oracle with the window BINDING
+    (length > window): only keys in (q - window, q] may contribute."""
+    b, s, d, hq, hkv, window = 2, 128, 32, 8, 4, 24
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, 1, hq, d), jnp.float32).astype(jnp.bfloat16)
+    k = jax.random.normal(kk, (b, hkv, s, d), jnp.float32).astype(jnp.bfloat16)
+    v = jax.random.normal(kv, (b, hkv, s, d), jnp.float32).astype(jnp.bfloat16)
+    lengths = jnp.asarray([100, 20], jnp.int32)  # binds for row 0, not row 1
+
+    got = flash_decode_attention(q, k, v, None, None, lengths, window=window)
+    key_pos = np.broadcast_to(np.arange(s)[None, :], (b, s))
+    L = np.asarray(lengths)[:, None]
+    mask = jnp.asarray((key_pos < L) & (key_pos >= L - window))[:, None, None, :]
+    ref = attention_headmajor(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), mask
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=0.03, rtol=0.03
+    )
+
+
+def test_windowed_model_decode_flash_vs_xla(key):
+    """End-to-end: a sliding-window model (mistral-style) decodes identically
+    through the flash kernel and the XLA mask path once the cache outgrows
+    the window — the case that previously forced the XLA fallback."""
+    from aqlm_tpu.config import SCHEME_2X8
+    from aqlm_tpu.models import llama
+    from aqlm_tpu.models.quantize import random_quantized_params
+    from aqlm_tpu.models.stacked import forward_stacked, init_kv_cache, stack_layer_params
+
+    cfg = llama.ModelConfig.tiny(num_layers=2, sliding_window=8)
+    params = random_quantized_params(
+        key, cfg, SCHEME_2X8, mode="codes", dtype=jnp.float32
+    )
+    stacked = stack_layer_params(params)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 14), 0, cfg.vocab_size)
+
+    def rollout(use_flash):
+        cache = init_kv_cache(cfg, 2, 128)  # 128-aligned: flash-eligible
+        outs = []
+        for pos in range(ids.shape[1]):
+            lg, cache = forward_stacked(
+                stacked, cfg, ids[:, pos : pos + 1], cache=cache,
+                cache_offset=jnp.full((2,), pos, jnp.int32),
+                use_flash_decode=use_flash,
+            )
+            outs.append(lg[:, 0])
+        return outs
+
+    for ref, got in zip(rollout(False), rollout(True)):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+
 def test_flash_length_one(key):
     """Degenerate single-valid-key case: output must equal that value row."""
     b, s, d, h = 1, 16, 8, 2

@@ -65,18 +65,25 @@ def test_windowed_cached_decode_matches_full_forward():
     )
 
 
-def test_flash_decode_gated_off_when_window_binds():
-    """Default flash routing must not kick in when the cache outgrows the
-    window (the flash kernel attends over [0, offset) unmasked)."""
+def test_flash_decode_windowed_default_routing():
+    """Default flash routing with a BINDING window (cache longer than the
+    window): the flash kernel now carries the window mask itself, so a
+    codes-mode model — which defaults to the flash path — must still equal
+    the full windowed forward. (Before the windowed kernel landed, this
+    configuration was force-fallen-back to the XLA mask path.)"""
+    from aqlm_tpu.config import SCHEME_2X8
+    from aqlm_tpu.models.quantize import random_quantized_params
+
     cfg = dataclasses.replace(
-        llama.ModelConfig.tiny(num_layers=1), sliding_window=128
+        llama.ModelConfig.tiny(num_layers=1), sliding_window=5
     )
-    params = llama.init_random_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params = random_quantized_params(
+        jax.random.PRNGKey(0), cfg, SCHEME_2X8, mode="codes", dtype=jnp.float32
+    )
     stacked = stack_layer_params(params)
     ids = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, cfg.vocab_size)
 
-    # max_len > window: stepwise decode must follow the masked XLA path and
-    # therefore equal the full windowed forward
+    # codes mode + 128-aligned cache: default routing picks flash decode
     full, _ = forward_stacked(stacked, cfg, ids)
     cache = init_kv_cache(cfg, 1, 256)
     logits, cache = forward_stacked(
