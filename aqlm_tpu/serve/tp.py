@@ -31,6 +31,11 @@ from aqlm_tpu.models import llama
 from aqlm_tpu.models.cohere import cohere_layer_norm, rope_interleaved
 from aqlm_tpu.models.common import apply_linear, attention_headmajor, make_causal_mask, rms_norm, rope
 from aqlm_tpu.models.stacked import KVCache, _dequantize_kv, _quantize_kv, model_family
+from aqlm_tpu.ops.flash_decode import (
+    flash_decode_attention_indexed,
+    kv_write4_inplace,
+    kv_write_inplace,
+)
 from aqlm_tpu.ops.runtime import (
     FusedCodesLinear,
     IndexedFusedCodesLinear,
@@ -208,7 +213,10 @@ def tp_shard_serving_params(stacked: dict, mesh: Mesh, ma: str = "model") -> dic
     return jax.tree.map(place, stacked, specs, is_leaf=lambda x: x is None)
 
 
-def _make_local_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
+def _make_local_step(
+    cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model",
+    use_flash_decode: bool | None = None,
+):
     """Per-device block stack shared by the TP decode and TP prefill entries.
 
     Returns local_step(params, cache_kv, tokens [B,T], offsets [B],
@@ -223,7 +231,10 @@ def _make_local_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
     d = cfg.dim_per_head
     hq_l, hkv_l = cfg.num_heads // tp, cfg.num_kv_heads // tp
 
-    def local_block(x, layer, kv, positions, offsets, mask, b, t, i=None, stacked_layers=None):
+    def local_block(
+        x, layer, kv, positions, offsets, mask, b, t, i=None, stacked_layers=None,
+        kv_full=None,
+    ):
         res = x
         if fam == "cohere":
             xn = cohere_layer_norm(x, layer["input_norm"], cfg.ln_eps)
@@ -253,6 +264,39 @@ def _make_local_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
                 lambda c, xx, off: jax.lax.dynamic_update_slice_in_dim(c, xx, off, axis=1)
             )(buf, new_hm, offsets)
 
+        if kv_full is not None:
+            # flash decode over the LOCAL head shard: in-place writes into the
+            # full stacked cache (scan carry) + layer-indexed flash kernel,
+            # exactly the single-chip design (models/stacked.py flash branch)
+            hm = lambda a: jnp.moveaxis(a, 1, 2)  # [B, T, H, ...] -> [B, H, T, ...]
+            if len(kv_full) == 4:  # int8 cache
+                k_all, v_all, ks_all, vs_all = kv_full
+                k8, ks = _quantize_kv(k)
+                v8, vs = _quantize_kv(v)
+                k_all, v_all, ks_all, vs_all = kv_write4_inplace(
+                    k_all, v_all, ks_all, vs_all,
+                    hm(k8), hm(v8), hm(ks[..., None]), hm(vs[..., None]),
+                    i, offsets,
+                )
+                kv_full = (k_all, v_all, ks_all, vs_all)
+                attn = flash_decode_attention_indexed(
+                    q, k_all, v_all, ks_all, vs_all, i, offsets + 1,
+                    window=cfg.sliding_window,
+                )
+            else:
+                k_all, v_all = kv_full
+                k_all = kv_write_inplace(k_all, hm(k), i, offsets)
+                v_all = kv_write_inplace(v_all, hm(v), i, offsets)
+                kv_full = (k_all, v_all)
+                attn = flash_decode_attention_indexed(
+                    q, k_all, v_all, None, None, i, offsets + 1,
+                    window=cfg.sliding_window,
+                )
+            return _attn_epilogue(
+                x, res, xn, attn.reshape(b, t, -1), layer, kv_full, b, t,
+                i=i, stacked_layers=stacked_layers,
+            )
+
         if len(kv) == 4:  # int8 cache
             k_c, v_c, ks_c, vs_c = kv
             k8, ks = _quantize_kv(k)
@@ -272,6 +316,12 @@ def _make_local_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
             k_all, v_all = k_c.astype(q.dtype), v_c.astype(q.dtype)
 
         attn = attention_headmajor(q, k_all, v_all, mask).reshape(b, t, -1)
+        return _attn_epilogue(
+            x, res, xn, attn, layer, new_kv, b, t, i=i, stacked_layers=stacked_layers
+        )
+
+    def _attn_epilogue(x, res, xn, attn, layer, new_kv, b, t, i=None, stacked_layers=None):
+        """o_proj through MLP, shared by the flash and XLA attention paths."""
         o_part = apply_linear(attn, layer["o_proj"])
 
         if fam == "cohere":
@@ -337,21 +387,51 @@ def _make_local_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
         }
         layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
 
-        def block(carry, scan_in):
-            x = carry
-            i, rest_i, kv = scan_in
+        # flash decode over the local head shard: same default routing as the
+        # single-chip path (models/stacked.py) — codes-mode models always,
+        # int8/dense from 1024 ctx; needs 128-aligned cache lengths
+        flash = use_flash_decode
+        if flash is None:
+            has_codes = any(
+                isinstance(v, FusedCodesLinear)
+                or (isinstance(v, QuantizedLinear) and v.mode == "codes")
+                for v in stacked_layers.values()
+            )
+            flash = max_len % 128 == 0 and (has_codes or max_len >= 1024)
+        flash = flash and t == 1 and max_len % 128 == 0
+
+        def make_layer(i, rest_i):
             layer = dict(rest_i)
             for n in qnames:
                 layer[n] = IndexedQuantizedLinear(stacked=stacked_layers[n], idx=i)
             for n in fnames:
                 layer[n] = IndexedFusedCodesLinear(stacked=stacked_layers[n], idx=i)
-            x, new_kv = local_block(
-                x, layer, kv, positions, offsets, mask, b, t,
-                i=i, stacked_layers=stacked_layers,
-            )
-            return x, new_kv
+            return layer
 
-        x, kv_out = jax.lax.scan(block, x, (layer_ids, rest, cache_kv))
+        if flash:
+            # the cache rides the scan CARRY (full stacked arrays); the flash
+            # and KV-write kernels index layer i via scalar prefetch
+            def block(carry, scan_in):
+                x, kv_full = carry
+                i, rest_i = scan_in
+                x, kv_full = local_block(
+                    x, make_layer(i, rest_i), None, positions, offsets, mask, b, t,
+                    i=i, stacked_layers=stacked_layers, kv_full=kv_full,
+                )
+                return (x, kv_full), None
+
+            (x, kv_out), _ = jax.lax.scan(block, (x, cache_kv), (layer_ids, rest))
+        else:
+            def block(carry, scan_in):
+                x = carry
+                i, rest_i, kv = scan_in
+                x, new_kv = local_block(
+                    x, make_layer(i, rest_i), kv, positions, offsets, mask, b, t,
+                    i=i, stacked_layers=stacked_layers,
+                )
+                return x, new_kv
+
+            x, kv_out = jax.lax.scan(block, x, (layer_ids, rest, cache_kv))
 
         if fam == "cohere":
             x = cohere_layer_norm(x, params["final_norm"], cfg.ln_eps)
@@ -375,7 +455,10 @@ def _make_local_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
     return local_step
 
 
-def make_tp_decode_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
+def make_tp_decode_step(
+    cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model",
+    use_flash_decode: bool | None = None,
+):
     """Build the shard_map'd single-token decode step.
 
     step(params, cache, tokens [B,1], offsets [B]) -> (logits [B,1,V], cache)
@@ -386,8 +469,11 @@ def make_tp_decode_step(cfg: llama.ModelConfig, mesh: Mesh, ma: str = "model"):
     the two megatron all-reduces per block FUSE into a single psum (falcon's
     1-KV-head MQA cannot shard kv heads; opt fits one chip — both stay on the
     single-chip engine).
+
+    Attention runs the flash-decode kernel on each device's local head shard
+    (single-chip default routing; use_flash_decode overrides).
     """
-    local_step = _make_local_step(cfg, mesh, ma)
+    local_step = _make_local_step(cfg, mesh, ma, use_flash_decode=use_flash_decode)
 
     def step(params, cache: KVCache, tokens, offsets):
         specs = tp_serving_param_specs(params, ma)

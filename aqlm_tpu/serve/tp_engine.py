@@ -68,7 +68,9 @@ class TPEngine(Engine):
             place, self.cache, cache_spec, is_leaf=lambda x: x is None
         )
 
-        tp_step = make_tp_decode_step(cfg, mesh, model_axis)
+        tp_step = make_tp_decode_step(
+            cfg, mesh, model_axis, use_flash_decode=serve.use_flash_decode
+        )
         tp_prefill = make_tp_prefill_step(cfg, mesh, model_axis)
         B = serve.max_batch
 
@@ -136,7 +138,9 @@ class TPEngine(Engine):
                 place, self._dcache, tp_kv_cache_spec(model_axis),
                 is_leaf=lambda x: x is None,
             )
-            tp_dstep = make_tp_decode_step(dcfg, mesh, model_axis)
+            tp_dstep = make_tp_decode_step(
+                dcfg, mesh, model_axis, use_flash_decode=serve.use_flash_decode
+            )
             self._tp_prefill_draft = make_prefill(make_tp_prefill_step(dcfg, mesh, model_axis))
             self._spec = self._make_tp_spec_step(spec_k, tp_step, tp_dstep)
 

@@ -107,6 +107,48 @@ def test_tp_decode_matches_single_device(quantized_kv, mode, fused):
         )
 
 
+@pytest.mark.parametrize("quantized_kv", [False, True])
+def test_tp_flash_decode_matches_xla(quantized_kv):
+    """Flash decode under shard_map (local head shard, in-place KV writes,
+    layer-indexed kernel) must match the XLA-attention TP step."""
+    cfg = llama.ModelConfig.tiny(
+        num_layers=2, hidden_size=256, intermediate_size=256,
+        num_heads=4, num_kv_heads=4,
+    )
+    tp = 2
+    params = random_quantized_params(
+        jax.random.PRNGKey(0), cfg, SCHEME_2X8, mode="codes", dtype=jnp.float32
+    )
+    stacked = stack_layer_params(params)
+    b = 2
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, 6), 0, cfg.vocab_size)
+
+    mesh = make_mesh(data=8 // tp, model=tp)
+    with mesh:
+        sharded = tp_shard_serving_params(stacked, mesh)
+        from aqlm_tpu.serve.tp import make_tp_decode_step as mk
+
+        logits = {}
+        for name, flash in (("xla", False), ("flash", True)):
+            step = mk(cfg, mesh, use_flash_decode=flash)
+            cache = init_kv_cache(cfg, b, 128, quantized=quantized_kv)  # 128-aligned
+            outs = []
+            for pos in range(ids.shape[1]):
+                lg, cache = step(
+                    sharded, cache, ids[:, pos : pos + 1],
+                    jnp.full((b,), pos, jnp.int32),
+                )
+                outs.append(lg[:, 0])
+            logits[name] = outs
+
+    # the flash kernel emits bf16 attention outputs (the XLA path keeps f32),
+    # so the comparison carries bf16-rounding noise compounded over layers
+    for ref, got in zip(logits["xla"], logits["flash"]):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=8e-2
+        )
+
+
 @pytest.mark.parametrize("fused", [False, True])
 def test_tp_cohere_matches_single_device(fused):
     """Cohere parallel-block TP: one fused all-reduce per block, qk-norm
