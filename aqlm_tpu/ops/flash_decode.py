@@ -29,7 +29,16 @@ __all__ = ["flash_decode_attention"]
 NEG_INF = -1e30
 
 
-def _kernel(lengths_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref, *, ts, scale, quantized, compute_dtype, window):
+def _window_start_tile(length, *, ts, window, nt_full, n_tiles):
+    """First seq-tile the windowed grid visits for a row with `length` valid
+    keys: the tile containing key length - window, clamped so the n_tiles
+    visited tiles stay in bounds. Shared by the BlockSpec index maps and the
+    in-kernel key_pos reconstruction (they MUST agree)."""
+    start = jnp.maximum(length - window, 0) // ts
+    return jnp.clip(start, 0, nt_full - n_tiles)
+
+
+def _kernel(lengths_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref, *, ts, scale, quantized, compute_dtype, window, nt_full, n_tiles):
     b = pl.program_id(0)
     s = pl.program_id(2)
 
@@ -54,7 +63,14 @@ def _kernel(lengths_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref, l_
     ) * scale  # [rep, ts]
 
     length = lengths_ref[b]
-    key_pos = s * ts + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    tile = s
+    if window is not None and n_tiles < nt_full:
+        # windowed grid skip: grid step s visits tile start + s (the index
+        # maps fetched that block), so reconstruct the true key positions
+        tile = _window_start_tile(
+            length, ts=ts, window=window, nt_full=nt_full, n_tiles=n_tiles
+        ) + s
+    key_pos = tile * ts + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     valid = key_pos < length
     if window is not None:
         # sliding window: the (single) query sits at length - 1 and may only
@@ -86,13 +102,30 @@ def _call(q, k, v, k_scale, v_scale, lengths, *, scale, interpret, ts=512, windo
     ts = min(ts, s_len)
     assert s_len % ts == 0, (s_len, ts)
     quantized = k.dtype == jnp.int8
-    grid = (b, hkv, s_len // ts)
+    nt_full = s_len // ts
+    # windowed grid skip: only ceil(window/ts) + 1 tiles can intersect the
+    # window, so a binding window visits (and DMAs) just those — the rest of
+    # the cache is never read
+    n_tiles = nt_full
+    if window is not None and window < s_len:
+        n_tiles = min(nt_full, -(-window // ts) + 1)
+    grid = (b, hkv, n_tiles)
+
+    def stile(L, bi):
+        return _window_start_tile(
+            L[bi], ts=ts, window=window, nt_full=nt_full, n_tiles=n_tiles
+        )
+
+    if n_tiles < nt_full:
+        seq_ix = lambda bi, h, si, L: (bi, h, stile(L, bi) + si, 0)
+    else:
+        seq_ix = lambda bi, h, si, L: (bi, h, si, 0)
 
     # CPU interpret mode lacks bf16xbf16->f32 dots; TPU uses bf16 on the MXU
     compute_dtype = jnp.float32 if interpret else jnp.bfloat16
     kern = functools.partial(
         _kernel, ts=ts, scale=scale, quantized=quantized, compute_dtype=compute_dtype,
-        window=window,
+        window=window, nt_full=nt_full, n_tiles=n_tiles,
     )
     if not quantized:
         # dummy tiny scale operands keep one kernel signature
@@ -104,10 +137,10 @@ def _call(q, k, v, k_scale, v_scale, lengths, *, scale, interpret, ts=512, windo
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, rep, d), lambda bi, h, si, L: (bi, h, 0, 0)),
-            pl.BlockSpec((1, 1, ts, d), lambda bi, h, si, L: (bi, h, si, 0)),
-            pl.BlockSpec((1, 1, ts, d), lambda bi, h, si, L: (bi, h, si, 0)),
-            pl.BlockSpec((1, 1, ts, 1), lambda bi, h, si, L: (bi, h, si, 0)),
-            pl.BlockSpec((1, 1, ts, 1), lambda bi, h, si, L: (bi, h, si, 0)),
+            pl.BlockSpec((1, 1, ts, d), seq_ix),
+            pl.BlockSpec((1, 1, ts, d), seq_ix),
+            pl.BlockSpec((1, 1, ts, 1), seq_ix),
+            pl.BlockSpec((1, 1, ts, 1), seq_ix),
         ],
         out_specs=pl.BlockSpec((1, 1, rep, d), lambda bi, h, si, L: (bi, h, 0, 0)),
         scratch_shapes=[
@@ -289,7 +322,7 @@ def kv_write4_inplace(k_all, v_all, ks_all, vs_all, nk, nv, nks, nvs, layer_idx,
 # ---------------------------------------------------------------------------
 
 
-def _kernel_idx(scalars_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref, *, ts, scale, quantized, compute_dtype, window):
+def _kernel_idx(scalars_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref, *, ts, scale, quantized, compute_dtype, window, nt_full, n_tiles):
     # scalars_ref = [layer_idx, length_0, ..., length_{B-1}]
     b = pl.program_id(0)
     s = pl.program_id(2)
@@ -314,7 +347,12 @@ def _kernel_idx(scalars_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, m_ref
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     length = scalars_ref[1 + b]
-    key_pos = s * ts + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    tile = s
+    if window is not None and n_tiles < nt_full:
+        tile = _window_start_tile(
+            length, ts=ts, window=window, nt_full=nt_full, n_tiles=n_tiles
+        ) + s
+    key_pos = tile * ts + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     valid = key_pos < length
     if window is not None:
         valid &= key_pos >= length - window  # (q - window, q], q = length - 1
@@ -342,25 +380,39 @@ def _call_idx(q, k_all, v_all, ks_all, vs_all, scalars, *, scale, interpret, ts=
     ts = min(ts, s_len)
     assert s_len % ts == 0
     quantized = k_all.dtype == jnp.int8
-    grid = (b, hkv, s_len // ts)
+    nt_full = s_len // ts
+    n_tiles = nt_full
+    if window is not None and window < s_len:
+        n_tiles = min(nt_full, -(-window // ts) + 1)  # windowed grid skip
+    grid = (b, hkv, n_tiles)
     compute_dtype = jnp.float32 if interpret else jnp.bfloat16
     kern = functools.partial(
         _kernel_idx, ts=ts, scale=scale, quantized=quantized, compute_dtype=compute_dtype,
-        window=window,
+        window=window, nt_full=nt_full, n_tiles=n_tiles,
     )
     if not quantized:
         ks_all = jnp.zeros((L, b, hkv, s_len, 1), jnp.float32) if ks_all is None else ks_all
         vs_all = jnp.zeros((L, b, hkv, s_len, 1), jnp.float32) if vs_all is None else vs_all
+
+    def stile(sc, bi):
+        return _window_start_tile(
+            sc[1 + bi], ts=ts, window=window, nt_full=nt_full, n_tiles=n_tiles
+        )
+
+    if n_tiles < nt_full:
+        seq_ix = lambda bi, h, si, sc: (sc[0], bi, h, stile(sc, bi) + si, 0)
+    else:
+        seq_ix = lambda bi, h, si, sc: (sc[0], bi, h, si, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, rep, d), lambda bi, h, si, sc: (bi, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, ts, d), lambda bi, h, si, sc: (sc[0], bi, h, si, 0)),
-            pl.BlockSpec((1, 1, 1, ts, d), lambda bi, h, si, sc: (sc[0], bi, h, si, 0)),
-            pl.BlockSpec((1, 1, 1, ts, 1), lambda bi, h, si, sc: (sc[0], bi, h, si, 0)),
-            pl.BlockSpec((1, 1, 1, ts, 1), lambda bi, h, si, sc: (sc[0], bi, h, si, 0)),
+            pl.BlockSpec((1, 1, 1, ts, d), seq_ix),
+            pl.BlockSpec((1, 1, 1, ts, d), seq_ix),
+            pl.BlockSpec((1, 1, 1, ts, 1), seq_ix),
+            pl.BlockSpec((1, 1, 1, ts, 1), seq_ix),
         ],
         out_specs=pl.BlockSpec((1, 1, rep, d), lambda bi, h, si, sc: (bi, h, 0, 0)),
         scratch_shapes=[

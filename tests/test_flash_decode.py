@@ -73,6 +73,59 @@ def test_flash_sliding_window_matches_oracle(key):
     )
 
 
+def test_flash_window_tile_skip_matches_oracle(key):
+    """Multi-tile cache (2048 keys, 512-key tiles) with a 100-key window:
+    the grid visits only ceil(window/ts)+1 = 2 tiles per row (start clamped
+    per batch row) and must still match the full masked oracle."""
+    b, s, d, hq, hkv, window = 3, 2048, 32, 4, 4, 100
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, 1, hq, d), jnp.float32).astype(jnp.bfloat16)
+    k = jax.random.normal(kk, (b, hkv, s, d), jnp.float32).astype(jnp.bfloat16)
+    v = jax.random.normal(kv, (b, hkv, s, d), jnp.float32).astype(jnp.bfloat16)
+    # rows exercise: window straddling a tile boundary, start clamped to 0,
+    # and length at the cache end
+    lengths = jnp.asarray([560, 40, 2048], jnp.int32)
+
+    got = flash_decode_attention(q, k, v, None, None, lengths, window=window)
+    key_pos = np.broadcast_to(np.arange(s)[None, :], (b, s))
+    L = np.asarray(lengths)[:, None]
+    mask = jnp.asarray((key_pos < L) & (key_pos >= L - window))[:, None, None, :]
+    ref = attention_headmajor(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), mask
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=0.03, rtol=0.03
+    )
+
+
+def test_flash_indexed_window_tile_skip_matches_oracle(key):
+    """Layer-indexed variant of the tile-skip path over a stacked cache."""
+    from aqlm_tpu.ops.flash_decode import flash_decode_attention_indexed
+
+    L_layers, b, s, d, hq, hkv, window = 2, 2, 2048, 32, 4, 4, 100
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, 1, hq, d), jnp.float32).astype(jnp.bfloat16)
+    k_all = jax.random.normal(kk, (L_layers, b, hkv, s, d), jnp.float32).astype(jnp.bfloat16)
+    v_all = jax.random.normal(kv, (L_layers, b, hkv, s, d), jnp.float32).astype(jnp.bfloat16)
+    lengths = jnp.asarray([560, 2048], jnp.int32)
+
+    for li in range(L_layers):
+        got = flash_decode_attention_indexed(
+            q, k_all, v_all, None, None, jnp.asarray(li), lengths, window=window
+        )
+        key_pos = np.broadcast_to(np.arange(s)[None, :], (b, s))
+        Lm = np.asarray(lengths)[:, None]
+        mask = jnp.asarray((key_pos < Lm) & (key_pos >= Lm - window))[:, None, None, :]
+        ref = attention_headmajor(
+            q.astype(jnp.float32), k_all[li].astype(jnp.float32),
+            v_all[li].astype(jnp.float32), mask,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=0.03, rtol=0.03,
+        )
+
+
 def test_windowed_model_decode_flash_vs_xla(key):
     """End-to-end: a sliding-window model (mistral-style) decodes identically
     through the flash kernel and the XLA mask path once the cache outgrows
