@@ -14,5 +14,7 @@ cd /root/repo
   timeout 3600 python bench.py || exit 1
   echo "--- 4. speculative economics"
   timeout 2400 python experiments/spec_probe.py 4 || exit 1
+  echo "--- 5. windowed flash tile-skip win (mistral-shaped)"
+  timeout 1200 python experiments/window_flash_probe.py || exit 1
   echo "=== queue done $(date) ==="
 } 2>&1 | tee -a /tmp/onchip_queue.log
