@@ -35,9 +35,7 @@ from aqlm_tpu.models.falcon import FalconConfig, layer_norm
 from aqlm_tpu.models.opt import OptConfig
 from aqlm_tpu.ops.flash_decode import (
     flash_decode_attention,
-    flash_decode_attention_indexed,
-    kv_write4_inplace,
-    kv_write_inplace,
+    flash_decode_write_attention_indexed,
 )
 
 __all__ = ["KVCache", "stack_layer_params", "forward_stacked", "init_kv_cache", "model_family"]
@@ -279,30 +277,26 @@ def forward_stacked(
 
         new_kv = None
         if flash:
-            hm = lambda a: jnp.moveaxis(a, 1, 2)  # [B, T, H, ...] -> [B, H, T, ...]
             if cache.quantized:
+                # fused single launch: write the new row + attend (the
+                # separate kv_write4 + attention launches cost ~launch
+                # overhead x layers; the row is merged in-register)
                 k_all, v_all, ks_all, vs_all = kv_full
                 k8, ks = _quantize_kv(k)
                 v8, vs = _quantize_kv(v)
-                k_all, v_all, ks_all, vs_all = kv_write4_inplace(
-                    k_all, v_all, ks_all, vs_all,
-                    hm(k8), hm(v8), hm(ks[..., None]), hm(vs[..., None]),
-                    i, offsets,
+                attn, k_all, v_all, ks_all, vs_all = flash_decode_write_attention_indexed(
+                    q, k8, v8, k_all, v_all, ks_all, vs_all, i, offsets,
+                    k_scale_new=ks[..., None], v_scale_new=vs[..., None],
+                    window=cfg.sliding_window,
                 )
                 kv_full = (k_all, v_all, ks_all, vs_all)
-                attn = flash_decode_attention_indexed(
-                    q, k_all, v_all, ks_all, vs_all, i, offsets + 1,
-                    window=cfg.sliding_window,
-                )
             else:
                 k_all, v_all = kv_full
-                k_all = kv_write_inplace(k_all, hm(k), i, offsets)
-                v_all = kv_write_inplace(v_all, hm(v), i, offsets)
-                kv_full = (k_all, v_all)
-                attn = flash_decode_attention_indexed(
-                    q, k_all, v_all, None, None, i, offsets + 1,
+                attn, k_all, v_all, _, _ = flash_decode_write_attention_indexed(
+                    q, k, v, k_all, v_all, None, None, i, offsets,
                     window=cfg.sliding_window,
                 )
+                kv_full = (k_all, v_all)
         elif kv is not None:
             if len(kv) == 4:  # int8
                 k_c, v_c, ks_c, vs_c = kv

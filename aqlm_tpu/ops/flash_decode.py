@@ -184,6 +184,224 @@ def flash_decode_attention(
 
 
 # ---------------------------------------------------------------------------
+# fused write + attend: ONE launch per layer writes the new KV row and runs
+# flash attention (replaces kv_write4_inplace/kv_write_inplace + the separate
+# attention launch on the decode path)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_idx_wattn(
+    scalars_ref, q_ref, nk_ref, nv_ref, nks_ref, nvs_ref,
+    k_ref, v_ref, ks_ref, vs_ref,
+    out_ref, ok_ref, ov_ref, oks_ref, ovs_ref,
+    m_ref, l_ref, acc_ref,
+    *, ts, scale, quantized, compute_dtype, window, nt_full, n_tiles,
+):
+    """Fused decode step for layer scalars[0]: merge the new KV row for
+    b = row scalars[1+b] IN REGISTER (attention is exact regardless of when
+    the HBM write lands), write back only the 32-row cache window holding the
+    row (out blocks are constant over the seq grid, flushed once per (b, h)),
+    and run the online-softmax loop of _kernel_idx."""
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    offset = scalars_ref[1 + b]
+    length = offset + 1
+    tile = s
+    if window is not None and n_tiles < nt_full:
+        tile = _window_start_tile(
+            length, ts=ts, window=window, nt_full=nt_full, n_tiles=n_tiles
+        ) + s
+
+    # merge the new row into the loaded tile (storage dtype, pre-dequant)
+    row_pos = tile * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, 1), 0)
+    sel = row_pos == offset  # all-false when the row is in another tile
+    nk_row, nv_row = nk_ref[0, 0], nv_ref[0, 0]  # [1, D] storage dtype
+    k_raw = jnp.where(sel, nk_row, k_ref[0, 0, 0])
+    v_raw = jnp.where(sel, nv_row, v_ref[0, 0, 0])
+    if quantized:
+        ks_raw = jnp.where(sel, nks_ref[0, 0], ks_ref[0, 0, 0])
+        vs_raw = jnp.where(sel, nvs_ref[0, 0], vs_ref[0, 0, 0])
+        k = k_raw.astype(compute_dtype) * ks_raw.astype(compute_dtype)
+        v = v_raw.astype(compute_dtype) * vs_raw.astype(compute_dtype)
+    else:
+        k = k_raw.astype(compute_dtype)
+        v = v_raw.astype(compute_dtype)
+
+    # write back the 32-row window around the row, once, at the tile that
+    # holds it (the out index maps are constant over s, so the block is
+    # flushed exactly once per (b, h))
+    @pl.when(tile == offset // ts)
+    def _():
+        wbase = (offset // _WRITE_SB) * _WRITE_SB - tile * ts  # 32-aligned
+        win = lambda a: jax.lax.dynamic_slice_in_dim(a, wbase, _WRITE_SB, axis=0)
+        ok_ref[0, 0, 0] = win(k_raw)
+        ov_ref[0, 0, 0] = win(v_raw)
+        if quantized:
+            oks_ref[0, 0, 0] = win(ks_raw)
+            ovs_ref[0, 0, 0] = win(vs_raw)
+
+    q = q_ref[0, 0].astype(compute_dtype)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    key_pos = tile * ts + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = key_pos < length
+    if window is not None:
+        valid &= key_pos >= length - window  # (q - window, q], q = length - 1
+    logits = jnp.where(valid, logits, NEG_INF)
+
+    m_prev, l_prev = m_ref[:], l_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)
+    l_ref[:] = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+        p.astype(compute_dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+
+    @pl.when(s == pl.num_programs(2) - 1)
+    def _():
+        out_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret", "ts", "window"),
+    donate_argnums=(5, 6, 7, 8),
+)
+def _call_idx_wattn(
+    q, nk, nv, nks, nvs, k_all, v_all, ks_all, vs_all, scalars,
+    *, scale, interpret, ts=512, window=None,
+):
+    b, hkv, rep, d = q.shape
+    L, _, _, s_len, _ = k_all.shape
+    ts = min(ts, s_len)
+    assert s_len % ts == 0 and s_len % _WRITE_SB == 0
+    quantized = k_all.dtype == jnp.int8
+    nt_full = s_len // ts
+    n_tiles = nt_full
+    if window is not None and window < s_len:
+        n_tiles = min(nt_full, -(-window // ts) + 1)  # windowed grid skip
+    grid = (b, hkv, n_tiles)
+    compute_dtype = jnp.float32 if interpret else jnp.bfloat16
+    kern = functools.partial(
+        _kernel_idx_wattn, ts=ts, scale=scale, quantized=quantized,
+        compute_dtype=compute_dtype, window=window, nt_full=nt_full, n_tiles=n_tiles,
+    )
+    if not quantized:  # dummy tiny operands keep one kernel signature
+        nks = jnp.zeros((b, hkv, 1, 1), jnp.float32) if nks is None else nks
+        nvs = jnp.zeros((b, hkv, 1, 1), jnp.float32) if nvs is None else nvs
+        ks_all = jnp.zeros((L, b, hkv, s_len, 1), jnp.float32) if ks_all is None else ks_all
+        vs_all = jnp.zeros((L, b, hkv, s_len, 1), jnp.float32) if vs_all is None else vs_all
+
+    def stile(sc, bi):
+        return _window_start_tile(
+            sc[1 + bi] + 1, ts=ts, window=window, nt_full=nt_full, n_tiles=n_tiles
+        )
+
+    if n_tiles < nt_full:
+        seq_ix = lambda bi, h, si, sc: (sc[0], bi, h, stile(sc, bi) + si, 0)
+    else:
+        seq_ix = lambda bi, h, si, sc: (sc[0], bi, h, si, 0)
+    new_ix = lambda bi, h, si, sc: (bi, h, 0, 0)
+    # write window: constant over the seq grid -> flushed once per (b, h)
+    win_ix = lambda bi, h, si, sc: (sc[0], bi, h, sc[1 + bi] // _WRITE_SB, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, d), lambda bi, h, si, sc: (bi, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, d), new_ix),
+            pl.BlockSpec((1, 1, 1, d), new_ix),
+            pl.BlockSpec((1, 1, 1, 1), new_ix),
+            pl.BlockSpec((1, 1, 1, 1), new_ix),
+            pl.BlockSpec((1, 1, 1, ts, d), seq_ix),
+            pl.BlockSpec((1, 1, 1, ts, d), seq_ix),
+            pl.BlockSpec((1, 1, 1, ts, 1), seq_ix),
+            pl.BlockSpec((1, 1, 1, ts, 1), seq_ix),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, rep, d), lambda bi, h, si, sc: (bi, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, _WRITE_SB, d), win_ix),
+            pl.BlockSpec((1, 1, 1, _WRITE_SB, d), win_ix),
+            pl.BlockSpec((1, 1, 1, _WRITE_SB, 1), win_ix),
+            pl.BlockSpec((1, 1, 1, _WRITE_SB, 1), win_ix),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rep, 1), jnp.float32),
+            pltpu.VMEM((rep, 1), jnp.float32),
+            pltpu.VMEM((rep, d), jnp.float32),
+        ],
+    )
+    attn, k_out, v_out, ks_out, vs_out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, rep, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+            jax.ShapeDtypeStruct(ks_all.shape, ks_all.dtype),
+            jax.ShapeDtypeStruct(vs_all.shape, vs_all.dtype),
+        ],
+        # scalars=0, q=1, nk..nvs=2..5, caches=6..9 -> outputs 1..4
+        input_output_aliases={6: 1, 7: 2, 8: 3, 9: 4},
+        interpret=interpret,
+    )(scalars, q, nk, nv, nks, nvs, k_all, v_all, ks_all, vs_all)
+    return attn, k_out, v_out, ks_out, vs_out
+
+
+def flash_decode_write_attention_indexed(
+    q,  # [B, 1, Hq, D]
+    k_new, v_new,  # [B, 1, Hkv, D] storage dtype (int8 or cache float)
+    k_all, v_all,  # [L, B, Hkv, S, D]
+    ks_all, vs_all,  # [L, B, Hkv, S, 1] or None (with k_scale_new/v_scale_new)
+    layer_idx, offsets,  # scalar layer, [B] write positions
+    *,
+    k_scale_new=None, v_scale_new=None,  # [B, 1, Hkv, 1]
+    scale: float | None = None,
+    window: int | None = None,
+):
+    """One launch per decode step: writes the new KV row (and scales) into
+    the stacked cache at (layer_idx, b, :, offsets[b]) IN PLACE and returns
+    flash attention over keys < offsets + 1. The row is merged in register,
+    so attention sees it regardless of HBM write timing. Replaces the
+    kv_write4_inplace/kv_write_inplace launches + flash_decode_attention
+    _indexed pair (launch overhead was why short contexts preferred XLA).
+
+    Returns (attn [B, 1, Hq, D] bf16, k_all, v_all, ks_all, vs_all).
+    """
+    b, t, hq, d = q.shape
+    assert t == 1
+    hkv = k_all.shape[2]
+    rep = hq // hkv
+    if scale is None:
+        scale = d ** -0.5
+    q_hm = q.reshape(b, 1, hkv, rep, d)[:, 0].astype(jnp.bfloat16)
+    hm = lambda a: None if a is None else jnp.moveaxis(a, 1, 2)  # [B,1,H,*] -> [B,H,1,*]
+    scalars = jnp.concatenate(
+        [jnp.asarray(layer_idx, jnp.int32).reshape(1), offsets.astype(jnp.int32)]
+    )
+    attn, k_out, v_out, ks_out, vs_out = _call_idx_wattn(
+        q_hm, hm(k_new).astype(k_all.dtype), hm(v_new).astype(v_all.dtype),
+        None if k_scale_new is None else hm(k_scale_new).astype(jnp.float32),
+        None if v_scale_new is None else hm(v_scale_new).astype(jnp.float32),
+        k_all, v_all, ks_all, vs_all, scalars,
+        scale=scale, interpret=should_interpret(), window=window,
+    )
+    if ks_all is None:
+        ks_out = vs_out = None
+    return attn.reshape(b, 1, hq, d), k_out, v_out, ks_out, vs_out
+
+
+# ---------------------------------------------------------------------------
 # in-place cache write (aliased pallas) — the companion of the indexed kernel
 # ---------------------------------------------------------------------------
 

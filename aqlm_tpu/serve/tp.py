@@ -31,11 +31,7 @@ from aqlm_tpu.models import llama
 from aqlm_tpu.models.cohere import cohere_layer_norm, rope_interleaved
 from aqlm_tpu.models.common import apply_linear, attention_headmajor, make_causal_mask, rms_norm, rope
 from aqlm_tpu.models.stacked import KVCache, _dequantize_kv, _quantize_kv, model_family
-from aqlm_tpu.ops.flash_decode import (
-    flash_decode_attention_indexed,
-    kv_write4_inplace,
-    kv_write_inplace,
-)
+from aqlm_tpu.ops.flash_decode import flash_decode_write_attention_indexed
 from aqlm_tpu.ops.runtime import (
     FusedCodesLinear,
     IndexedFusedCodesLinear,
@@ -265,33 +261,26 @@ def _make_local_step(
             )(buf, new_hm, offsets)
 
         if kv_full is not None:
-            # flash decode over the LOCAL head shard: in-place writes into the
-            # full stacked cache (scan carry) + layer-indexed flash kernel,
-            # exactly the single-chip design (models/stacked.py flash branch)
-            hm = lambda a: jnp.moveaxis(a, 1, 2)  # [B, T, H, ...] -> [B, H, T, ...]
+            # flash decode over the LOCAL head shard: one fused launch writes
+            # the new KV row in place and attends, exactly the single-chip
+            # design (models/stacked.py flash branch)
             if len(kv_full) == 4:  # int8 cache
                 k_all, v_all, ks_all, vs_all = kv_full
                 k8, ks = _quantize_kv(k)
                 v8, vs = _quantize_kv(v)
-                k_all, v_all, ks_all, vs_all = kv_write4_inplace(
-                    k_all, v_all, ks_all, vs_all,
-                    hm(k8), hm(v8), hm(ks[..., None]), hm(vs[..., None]),
-                    i, offsets,
+                attn, k_all, v_all, ks_all, vs_all = flash_decode_write_attention_indexed(
+                    q, k8, v8, k_all, v_all, ks_all, vs_all, i, offsets,
+                    k_scale_new=ks[..., None], v_scale_new=vs[..., None],
+                    window=cfg.sliding_window,
                 )
                 kv_full = (k_all, v_all, ks_all, vs_all)
-                attn = flash_decode_attention_indexed(
-                    q, k_all, v_all, ks_all, vs_all, i, offsets + 1,
-                    window=cfg.sliding_window,
-                )
             else:
                 k_all, v_all = kv_full
-                k_all = kv_write_inplace(k_all, hm(k), i, offsets)
-                v_all = kv_write_inplace(v_all, hm(v), i, offsets)
-                kv_full = (k_all, v_all)
-                attn = flash_decode_attention_indexed(
-                    q, k_all, v_all, None, None, i, offsets + 1,
+                attn, k_all, v_all, _, _ = flash_decode_write_attention_indexed(
+                    q, k, v, k_all, v_all, None, None, i, offsets,
                     window=cfg.sliding_window,
                 )
+                kv_full = (k_all, v_all)
             return _attn_epilogue(
                 x, res, xn, attn.reshape(b, t, -1), layer, kv_full, b, t,
                 i=i, stacked_layers=stacked_layers,

@@ -161,6 +161,74 @@ def test_windowed_model_decode_flash_vs_xla(key):
         )
 
 
+@pytest.mark.parametrize("window", [None, 100])
+@pytest.mark.parametrize("quantized", [True, False])
+def test_fused_write_attention_matches_two_launch(key, quantized, window):
+    """The single-launch write+attend kernel == kv_write[4]_inplace followed
+    by flash_decode_attention_indexed: same updated cache, same attention."""
+    from aqlm_tpu.ops.flash_decode import (
+        flash_decode_attention_indexed,
+        flash_decode_write_attention_indexed,
+        kv_write4_inplace,
+        kv_write_inplace,
+    )
+
+    L_layers, b, s, d, hq, hkv = 2, 2, 1024, 32, 8, 4
+    kq, kk, kv, kn = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, 1, hq, d), jnp.float32).astype(jnp.bfloat16)
+    offsets = jnp.asarray([700, 31], jnp.int32)  # mid-tile and window-edge rows
+    li = jnp.asarray(1, jnp.int32)
+
+    if quantized:
+        k_all = jax.random.randint(kk, (L_layers, b, hkv, s, d), -127, 128, jnp.int32).astype(jnp.int8)
+        v_all = jax.random.randint(kv, (L_layers, b, hkv, s, d), -127, 128, jnp.int32).astype(jnp.int8)
+        ks_all = jax.random.uniform(kk, (L_layers, b, hkv, s, 1), jnp.float32, 0.01, 0.03)
+        vs_all = jax.random.uniform(kv, (L_layers, b, hkv, s, 1), jnp.float32, 0.01, 0.03)
+        k_new = jax.random.randint(kn, (b, 1, hkv, d), -127, 128, jnp.int32).astype(jnp.int8)
+        v_new = jax.random.randint(kn, (b, 1, hkv, d), -127, 128, jnp.int32).astype(jnp.int8)
+        ks_new = jax.random.uniform(kn, (b, 1, hkv, 1), jnp.float32, 0.01, 0.03)
+        vs_new = jax.random.uniform(kn, (b, 1, hkv, 1), jnp.float32, 0.01, 0.03)
+
+        hm = lambda a: jnp.moveaxis(a, 1, 2)
+        k2, v2, ks2, vs2 = kv_write4_inplace(
+            k_all.copy(), v_all.copy(), ks_all.copy(), vs_all.copy(),
+            hm(k_new), hm(v_new), hm(ks_new), hm(vs_new), li, offsets,
+        )
+        ref_attn = flash_decode_attention_indexed(
+            q, k2, v2, ks2, vs2, li, offsets + 1, window=window
+        )
+        got_attn, gk, gv, gks, gvs = flash_decode_write_attention_indexed(
+            q, k_new, v_new, k_all, v_all, ks_all, vs_all, li, offsets,
+            k_scale_new=ks_new, v_scale_new=vs_new, window=window,
+        )
+        np.testing.assert_array_equal(np.asarray(gk), np.asarray(k2))
+        np.testing.assert_array_equal(np.asarray(gv), np.asarray(v2))
+        np.testing.assert_allclose(np.asarray(gks), np.asarray(ks2), rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(gvs), np.asarray(vs2), rtol=0, atol=0)
+    else:
+        k_all = jax.random.normal(kk, (L_layers, b, hkv, s, d), jnp.float32).astype(jnp.bfloat16)
+        v_all = jax.random.normal(kv, (L_layers, b, hkv, s, d), jnp.float32).astype(jnp.bfloat16)
+        k_new = jax.random.normal(kn, (b, 1, hkv, d), jnp.float32).astype(jnp.bfloat16)
+        v_new = jax.random.normal(kn, (b, 1, hkv, d), jnp.float32).astype(jnp.bfloat16)
+
+        hm = lambda a: jnp.moveaxis(a, 1, 2)
+        k2 = kv_write_inplace(k_all.copy(), hm(k_new), li, offsets)
+        v2 = kv_write_inplace(v_all.copy(), hm(v_new), li, offsets)
+        ref_attn = flash_decode_attention_indexed(
+            q, k2, v2, None, None, li, offsets + 1, window=window
+        )
+        got_attn, gk, gv, _, _ = flash_decode_write_attention_indexed(
+            q, k_new, v_new, k_all, v_all, None, None, li, offsets, window=window
+        )
+        np.testing.assert_array_equal(np.asarray(gk), np.asarray(k2))
+        np.testing.assert_array_equal(np.asarray(gv), np.asarray(v2))
+
+    np.testing.assert_allclose(
+        np.asarray(got_attn, np.float32), np.asarray(ref_attn, np.float32),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
 def test_flash_length_one(key):
     """Degenerate single-valid-key case: output must equal that value row."""
     b, s, d, h = 1, 16, 8, 2
