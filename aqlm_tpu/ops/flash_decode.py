@@ -236,16 +236,26 @@ def _kernel_idx_wattn(
 
     # write back the 32-row window around the row, once, at the tile that
     # holds it (the out index maps are constant over s, so the block is
-    # flushed exactly once per (b, h))
+    # flushed exactly once per (b, h)). The window's ORIGINAL rows come from
+    # a dynamic-start ref read (the proven _write_kernel access pattern —
+    # safer in Mosaic than dynamically slicing a loaded value) and the new
+    # row is merged by vector select.
     @pl.when(tile == offset // ts)
     def _():
         wbase = (offset // _WRITE_SB) * _WRITE_SB - tile * ts  # 32-aligned
-        win = lambda a: jax.lax.dynamic_slice_in_dim(a, wbase, _WRITE_SB, axis=0)
-        ok_ref[0, 0, 0] = win(k_raw)
-        ov_ref[0, 0, 0] = win(v_raw)
+        wsel = (
+            jax.lax.broadcasted_iota(jnp.int32, (_WRITE_SB, 1), 0)
+            == offset % _WRITE_SB
+        )
+        ok_ref[0, 0, 0] = jnp.where(wsel, nk_row, k_ref[0, 0, 0, pl.ds(wbase, _WRITE_SB)])
+        ov_ref[0, 0, 0] = jnp.where(wsel, nv_row, v_ref[0, 0, 0, pl.ds(wbase, _WRITE_SB)])
         if quantized:
-            oks_ref[0, 0, 0] = win(ks_raw)
-            ovs_ref[0, 0, 0] = win(vs_raw)
+            oks_ref[0, 0, 0] = jnp.where(
+                wsel, nks_ref[0, 0], ks_ref[0, 0, 0, pl.ds(wbase, _WRITE_SB)]
+            )
+            ovs_ref[0, 0, 0] = jnp.where(
+                wsel, nvs_ref[0, 0], vs_ref[0, 0, 0, pl.ds(wbase, _WRITE_SB)]
+            )
 
     q = q_ref[0, 0].astype(compute_dtype)
     logits = jax.lax.dot_general(
