@@ -56,6 +56,11 @@ class QuantizePipelineConfig:
     true_sequential: bool = False
     batch_size: int = 4  # samples per activation-capture forward
     skip_names: tuple = ()  # projections to keep dense (e.g. mixtral .gate handled upstream)
+    # per-projection scheme overrides: ((name_substring, AqlmScheme), ...) —
+    # first match wins. Powers the reference's mixtral --mix_compression
+    # (attention at 2x the codebooks of the experts, main.py:258-264);
+    # per-weight schemes round-trip through the layer checkpoints.
+    scheme_overrides: tuple = ()
     save_dir: str | None = None
     resume: bool = False
     offload_activations: bool = False  # keep hidden states in host RAM
@@ -210,15 +215,18 @@ def quantize_model(
             )
             for name in names:
                 dense: DenseLinear = layer[name]
+                sch = next(
+                    (s for pat, s in pipeline.scheme_overrides if pat in name), scheme
+                )
                 ref_w = dense.weight.astype(jnp.float32)
-                qw, wstats = quantize_weight(ref_w, accs[name].mean, scheme, pipeline.calib,
+                qw, wstats = quantize_weight(ref_w, accs[name].mean, sch, pipeline.calib,
                                              mesh=pipeline.mesh, model_axis=pipeline.model_axis)
                 qw = AqlmWeight(
                     codes=qw.codes, codebooks=qw.codebooks, scales=qw.scales,
-                    bias=dense.bias, scheme=scheme,
+                    bias=dense.bias, scheme=sch,
                 )
                 layer[name] = QuantizedLinear.from_aqlm(qw, mode="reference")
-                bits = scheme.estimate_nbits_per_parameter(
+                bits = sch.estimate_nbits_per_parameter(
                     *ref_w.shape,
                     scale_nbits=pipeline.calib.scale_nbits,
                     codebook_value_nbits=pipeline.calib.codebook_value_nbits,

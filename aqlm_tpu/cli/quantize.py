@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scale_nbits", type=int, default=0)
     p.add_argument("--codebook_value_nbits", type=int, default=16)
     p.add_argument("--codebook_value_num_groups", type=int, default=1)
+    p.add_argument("--mix_compression", action="store_true",
+                   help="attention projections at 2x num_codebooks, MLP/experts "
+                        "at the base scheme (reference main.py:258-264)")
     # init (main.py:714-732)
     p.add_argument("--init_max_iter", type=int, default=100)
     p.add_argument("--init_max_points_per_centroid", type=int, default=None)
@@ -120,6 +123,19 @@ def main(argv=None) -> dict:
         offload_activations=args.offload_activations,
         on_save=args.on_save,
     )
+    if args.mix_compression:
+        # reference semantics (main.py:258-264): for MoE models, attention
+        # projections get 2x the codebooks of the experts ("self_attn in 4
+        # bits, experts at ~2.3" for mixtral 1x16 -> attn 2x16)
+        attn_scheme = dataclasses.replace(
+            pipe.scheme, num_codebooks=2 * pipe.scheme.num_codebooks
+        )
+        pipe = dataclasses.replace(
+            pipe,
+            scheme_overrides=tuple(
+                (n, attn_scheme) for n in ("q_proj", "k_proj", "v_proj", "o_proj")
+            ),
+        )
     if args.mesh_data > 1 or args.mesh_model > 1:
         from aqlm_tpu.parallel import make_mesh
 

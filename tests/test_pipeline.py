@@ -128,3 +128,36 @@ def test_group_texts():
     np.testing.assert_array_equal(chunks[0], [0, 1, 2, 3])
     labeled = group_texts([np.arange(8)], seqlen=4, add_labels=True)
     np.testing.assert_array_equal(labeled["input_ids"], labeled["labels"])
+
+
+def test_scheme_overrides_mix_compression(key, tmp_path):
+    """--mix_compression semantics: attention projections quantize at 2x the
+    codebooks of the MLP (reference main.py:258-264), per-weight schemes
+    survive the layer-checkpoint roundtrip, and the model still forwards."""
+    cfg, params, calib_ids, pipe = _tiny_setup(key, num_layers=1)
+    attn_scheme = dataclasses.replace(pipe.scheme, num_codebooks=4)
+    pipe = dataclasses.replace(
+        pipe,
+        finetune=None,
+        save_dir=str(tmp_path / "mix"),
+        scheme_overrides=tuple(
+            (n, attn_scheme) for n in ("q_proj", "k_proj", "v_proj", "o_proj")
+        ),
+    )
+    qparams, stats = quantize_model(params, cfg, calib_ids, pipe)
+    layer = qparams["layers"][0]
+    for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        assert layer[name].scheme.num_codebooks == 4, name
+    for name in ("gate_proj", "up_proj", "down_proj"):
+        assert layer[name].scheme.num_codebooks == 2, name
+    # mixed bits: between the pure-base and pure-attn schemes
+    assert 2.0 < stats["avg_bits"] < 16.0
+    logits, _ = llama.forward(qparams, cfg, calib_ids)
+    assert bool(jnp.isfinite(logits).all())
+
+    # per-weight schemes round-trip through the layer checkpoint
+    from aqlm_tpu.io.checkpoint import load_layer_checkpoint
+
+    loaded = load_layer_checkpoint(str(tmp_path / "mix"), 0)
+    assert loaded["q_proj"].scheme.num_codebooks == 4
+    assert loaded["down_proj"].scheme.num_codebooks == 2
