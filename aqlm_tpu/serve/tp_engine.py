@@ -74,25 +74,47 @@ class TPEngine(Engine):
         tp_prefill = make_tp_prefill_step(cfg, mesh, model_axis)
         B = serve.max_batch
 
+        def _sub(cache, bucket):
+            """Slot-prefix sub-cache (batch bucketing, same as the single-chip
+            decode_step): the batch axis is unsharded, so the slice is local
+            on every device."""
+            if bucket == B:
+                return cache
+            return jax.tree.map(
+                lambda a: None if a is None else jax.lax.slice_in_dim(a, 0, bucket, axis=1),
+                cache, is_leaf=lambda a: a is None,
+            )
+
+        def _put(cache, sub, bucket):
+            if bucket == B:
+                return sub
+            return jax.tree.map(
+                lambda full, part: None if full is None
+                else jax.lax.dynamic_update_slice_in_dim(full, part, 0, axis=1),
+                cache, sub, is_leaf=lambda a: a is None,
+            )
+
         @partial(jax.jit, donate_argnums=(1,), static_argnames=("bucket",))
         def decode_step(params, cache, tokens, offsets, key, temps, top_ps, bucket=B):
-            logits, cache = tp_step(params, cache, tokens, offsets)
+            sub = _sub(cache, bucket)
+            logits, sub = tp_step(params, sub, tokens, offsets)
             next_tokens = sample_tokens(
                 logits[:, -1, :], key, temps, top_ps, top_k=serve.top_k
             )
             logp = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32), axis=-1)
             lps = jnp.take_along_axis(logp, next_tokens[:, None], axis=-1)[:, 0]
-            return next_tokens, lps, cache
+            return next_tokens, lps, _put(cache, sub, bucket)
 
         self._decode = decode_step
 
         @partial(jax.jit, donate_argnums=(1,), static_argnames=("bucket", "n"))
         def decode_chunk(params, cache, tokens, offsets, key, temps, top_ps, bucket=B, n=1):
             """n TP decode steps per host sync (Engine._chunk_step contract)."""
+            sub0 = _sub(cache, bucket)
 
             def body(i, carry):
-                tok, cache, off, toks, lps = carry
-                logits, cache = tp_step(params, cache, tok, off)
+                tok, sub, off, toks, lps = carry
+                logits, sub = tp_step(params, sub, tok, off)
                 nxt = sample_tokens(
                     logits[:, -1, :], jax.random.fold_in(key, i), temps, top_ps,
                     top_k=serve.top_k,
@@ -100,17 +122,17 @@ class TPEngine(Engine):
                 logp = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32), axis=-1)
                 lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
                 return (
-                    nxt[:, None], cache, off + 1,
+                    nxt[:, None], sub, off + 1,
                     jax.lax.dynamic_update_index_in_dim(toks, nxt, i, axis=0),
                     jax.lax.dynamic_update_index_in_dim(lps, lp, i, axis=0),
                 )
 
-            toks0 = jnp.zeros((n, B), jnp.int32)
-            lps0 = jnp.zeros((n, B), jnp.float32)
-            _, cache, _, toks, lps = jax.lax.fori_loop(
-                0, n, body, (tokens, cache, offsets, toks0, lps0)
+            toks0 = jnp.zeros((n, bucket), jnp.int32)
+            lps0 = jnp.zeros((n, bucket), jnp.float32)
+            _, sub, _, toks, lps = jax.lax.fori_loop(
+                0, n, body, (tokens, sub0, offsets, toks0, lps0)
             )
-            return toks, lps, cache
+            return toks, lps, _put(cache, sub, bucket)
 
         self._decode_chunk = decode_chunk
 
@@ -152,11 +174,30 @@ class TPEngine(Engine):
         B = serve.max_batch
         from aqlm_tpu.serve.speculative import batched_accept
 
+        def _sub(cache, bucket):
+            if bucket == B:
+                return cache
+            return jax.tree.map(
+                lambda a: None if a is None else jax.lax.slice_in_dim(a, 0, bucket, axis=1),
+                cache, is_leaf=lambda a: a is None,
+            )
+
+        def _put(cache, sub, bucket):
+            if bucket == B:
+                return sub
+            return jax.tree.map(
+                lambda full, part: None if full is None
+                else jax.lax.dynamic_update_slice_in_dim(full, part, 0, axis=1),
+                cache, sub, is_leaf=lambda a: a is None,
+            )
+
         @partial(jax.jit, donate_argnums=(2, 3), static_argnames=("bucket",))
         def spec_step(
             tparams, dparams, tcache, dcache, prev, last, offsets, key,
             temps, top_ps, bucket=B,
         ):
+            tsub, dsub = _sub(tcache, bucket), _sub(dcache, bucket)
+
             def dstep(carry, xs):
                 tok, dc, off = carry
                 forced, i = xs
@@ -171,28 +212,28 @@ class TPEngine(Engine):
                 return (nxt, dc, off + 1), (nxt, q_row)
 
             forced = jnp.concatenate(
-                [last[None, :], jnp.full((k, B), -1, jnp.int32)], axis=0
+                [last[None, :], jnp.full((k, bucket), -1, jnp.int32)], axis=0
             )
-            (_, dcache, _), (toks, q_rows) = jax.lax.scan(
-                dstep, (prev, dcache, offsets - 1), (forced, jnp.arange(k + 1))
+            (_, dsub, _), (toks, q_rows) = jax.lax.scan(
+                dstep, (prev, dsub, offsets - 1), (forced, jnp.arange(k + 1))
             )
-            draft_toks = toks[1:].T  # [B, k]
+            draft_toks = toks[1:].T  # [bucket, k]
             q_rows = jnp.moveaxis(q_rows[1:], 1, 0)
 
             ids = jnp.concatenate([last[:, None], draft_toks], axis=1)
-            logits, tcache = tp_step(tparams, tcache, ids, offsets)
+            logits, tsub = tp_step(tparams, tsub, ids, offsets)
 
-            rkeys = jax.random.split(jax.random.fold_in(key, k + 1), B)
+            rkeys = jax.random.split(jax.random.fold_in(key, k + 1), bucket)
             n_acc, bonus, lp_d, lp_bonus = batched_accept(
                 logits, q_rows, draft_toks, temps, top_ps, rkeys,
                 k=k, top_k=serve.top_k,
             )
-            return draft_toks, n_acc, bonus, lp_d, lp_bonus, tcache, dcache
+            return (
+                draft_toks, n_acc, bonus, lp_d, lp_bonus,
+                _put(tcache, tsub, bucket), _put(dcache, dsub, bucket),
+            )
 
         return spec_step
-
-    def _decode_bucket(self) -> int:
-        return self.serve.max_batch  # TP steps run the full slot batch
 
     def _get_prefill(self, bucket: int, draft: bool = False):
         return self._tp_prefill_draft if draft else self._tp_prefill
