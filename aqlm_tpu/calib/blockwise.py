@@ -37,6 +37,10 @@ class BlockFinetuneConfig:
     batch_size: int = 1
     adam_beta1: float = 0.9
     adam_beta2: float = 0.95
+    # rematerialize the block forward in the backward pass (the reference's
+    # --use_checkpointing, main.py:615-619): trades recompute for activation
+    # memory — worth it at real widths/seqlens
+    use_checkpointing: bool = False
     verbose: bool = False
 
 
@@ -59,11 +63,15 @@ def finetune_block(
     opt = optax.adam(config.lr, b1=config.adam_beta1, b2=config.adam_beta2)
     opt_state = opt.init(trainable)
 
+    fwd = lambda x, block: taps_fn(x, block, cfg, positions)[0]
+    if config.use_checkpointing:
+        fwd = jax.checkpoint(fwd)
+
     @jax.jit
     def train_step(trainable, opt_state, x, y):
         def loss_fn(tr):
             block = merge_trainable(tr, frozen)
-            pred, _ = taps_fn(x.astype(jnp.float32), block, cfg, positions)
+            pred = fwd(x.astype(jnp.float32), block)
             return jnp.mean((pred.astype(jnp.float32) - y.astype(jnp.float32)) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(trainable)

@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--finetune_batch_size", type=int, default=1)
     p.add_argument("--finetune_adam_beta1", type=float, default=0.9)
     p.add_argument("--finetune_adam_beta2", type=float, default=0.95)
+    p.add_argument("--use_checkpointing", action="store_true",
+                   help="remat the block forward during blockwise finetune")
     # system
     p.add_argument("--true-sequential", action="store_true", dest="true_sequential")
     p.add_argument("--batch_size", type=int, default=4, help="activation-capture batch")
@@ -115,6 +117,7 @@ def main(argv=None) -> dict:
             lr=args.finetune_lr, max_epochs=args.finetune_max_epochs,
             early_stop=args.finetune_early_stop, batch_size=args.finetune_batch_size,
             adam_beta1=args.finetune_adam_beta1, adam_beta2=args.finetune_adam_beta2,
+            use_checkpointing=args.use_checkpointing,
         ),
         true_sequential=args.true_sequential,
         batch_size=args.batch_size,

@@ -161,3 +161,33 @@ def test_scheme_overrides_mix_compression(key, tmp_path):
     loaded = load_layer_checkpoint(str(tmp_path / "mix"), 0)
     assert loaded["q_proj"].scheme.num_codebooks == 4
     assert loaded["down_proj"].scheme.num_codebooks == 2
+
+
+def test_blockwise_checkpointing_equivalent(key):
+    """--use_checkpointing (remat of the block forward) must not change the
+    finetune math — same updates, just recomputed activations."""
+    import copy
+
+    from aqlm_tpu.calib.blockwise import finetune_block
+
+    cfg = llama.ModelConfig.tiny(num_layers=1)
+    params = llama.init_random_params(key, cfg, dtype=jnp.float32)
+    layer = params["layers"][0]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    inps = jax.random.normal(k1, (4, 8, cfg.hidden_size), jnp.float32)
+    outs = jax.random.normal(k2, (4, 8, cfg.hidden_size), jnp.float32)
+
+    from aqlm_tpu.calib import BlockFinetuneConfig
+
+    base = BlockFinetuneConfig(lr=1e-3, max_epochs=2, batch_size=2)
+    plain = finetune_block(copy.deepcopy(layer), cfg, inps, outs, base)
+    remat = finetune_block(
+        copy.deepcopy(layer), cfg, inps, outs,
+        dataclasses.replace(base, use_checkpointing=True),
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6
+        ),
+        plain, remat,
+    )
