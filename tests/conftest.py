@@ -52,3 +52,17 @@ def pytest_collection_modifyitems(config, items):
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    The full suite compiles hundreds of XLA:CPU programs in one process;
+    past a cumulative threshold the NEXT backend_compile segfaults inside
+    LLVM (reproduced 3x at the same test, no glibc-detectable heap misuse,
+    every sub-span of the suite passes in isolation). Clearing jit caches
+    per module bounds resident compiled code; cross-module jits just
+    recompile."""
+    yield
+    jax.clear_caches()
