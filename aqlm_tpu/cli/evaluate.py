@@ -24,7 +24,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nsamples", type=int, default=0, help="0 = full eval split")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--dtype", choices=["auto", "float32", "bfloat16"], default="auto")
-    p.add_argument("--mode", choices=["reference", "codes", "int8"], default="reference")
+    p.add_argument("--mode", choices=["reference", "codes", "int8", "int4"], default="reference")
     p.add_argument("--tasks", nargs="*", default=[], help="lm-eval harness tasks (requires lm_eval)")
     p.add_argument("--mesh_data", type=int, default=1,
                    help=">1: shard PPL windows over a data-axis mesh (multi-chip eval)")

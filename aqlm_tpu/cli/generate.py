@@ -28,12 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_batch", type=int, default=1)
     p.add_argument("--max_len", type=int, default=2048)
     p.add_argument("--kv_int8", action="store_true")
-    p.add_argument("--mode", choices=["reference", "codes", "int8"], default="int8")
+    p.add_argument("--mode", choices=["reference", "codes", "int8", "int4"], default="int8")
     p.add_argument("--dtype", choices=["auto", "float32", "bfloat16"], default="bfloat16")
     p.add_argument("--benchmark", action="store_true", help="print tokens/s like the reference generate benchmark")
     p.add_argument("--draft_model", type=str, default=None,
                    help="draft model spec for greedy speculative decoding (same formats as model_path)")
-    p.add_argument("--draft_mode", choices=["reference", "codes", "int8"], default=None,
+    p.add_argument("--draft_mode", choices=["reference", "codes", "int8", "int4"], default=None,
                    help="runtime mode for the draft model (defaults to --mode)")
     p.add_argument("--spec_k", type=int, default=4, help="draft tokens proposed per verify step")
     return p

@@ -36,11 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_len", type=int, default=2048)
     p.add_argument("--prefill_buckets", nargs="+", type=int, default=[64, 256, 1024])
     p.add_argument("--kv_int8", action="store_true")
-    p.add_argument("--mode", choices=["reference", "codes", "int8"], default="int8")
+    p.add_argument("--mode", choices=["reference", "codes", "int8", "int4"], default="int8")
     p.add_argument("--dtype", choices=["auto", "float32", "bfloat16"], default="bfloat16")
     p.add_argument("--draft_model", type=str, default=None,
                    help="draft model spec: enables batched speculative decoding")
-    p.add_argument("--draft_mode", choices=["reference", "codes", "int8"], default=None)
+    p.add_argument("--draft_mode", choices=["reference", "codes", "int8", "int4"], default=None)
     p.add_argument("--spec_k", type=int, default=4)
     p.add_argument("--tp", type=int, default=1,
                    help=">1: tensor-parallel serving over a model-axis mesh of this size")

@@ -51,17 +51,17 @@ __all__ = [
     "MODES",
 ]
 
-MODES = ("codes", "int8", "reference")
+MODES = ("codes", "int8", "int4", "reference")
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["codes", "codes_t", "codebooks", "packed_cb", "w8", "w8_scale", "scales", "bias", "codes_tl"],
+    data_fields=["codes", "codes_t", "codebooks", "packed_cb", "w8", "w8_scale", "scales", "bias", "codes_tl", "w4", "w4_gscale"],
     meta_fields=["scheme", "mode"],
 )
 @dataclasses.dataclass
 class QuantizedLinear:
-    """Device-ready quantized linear weight (one of three runtime layouts).
+    """Device-ready quantized linear weight (one of four runtime layouts).
 
     Fields are None when unused by the mode:
       codes     [OUT/ogs, IG, K]  (reference mode + 16-bit codes mode)
@@ -71,6 +71,9 @@ class QuantizedLinear:
       w8        [OUT, IN_padded] int8 (int8 mode; IN padded per
                   ops/int8_matmul.pad_in_features for contiguous DMA rows)
       w8_scale  [OUT] f32         (int8 mode, combined with scales)
+      w4        [OUT, INpad/2] uint8 (int4 mode; nibble packing per
+                  ops/int4_matmul)
+      w4_gscale [INpad/G, OUT] f32 (int4 per-group scales, transposed)
       scales    [OUT]
       bias      [OUT] or None
     """
@@ -88,11 +91,15 @@ class QuantizedLinear:
     # decode layout: [NT, K*IG, tn] contiguous tiles (lut_gemv.tile_codes);
     # set instead of codes_t for nbits<=8 codes mode with 128-aligned OUT
     codes_tl: jax.Array | None = None
+    w4: jax.Array | None = None
+    w4_gscale: jax.Array | None = None
 
     @property
     def out_features(self) -> int:
         if self.w8 is not None:
             return self.w8.shape[0]
+        if self.w4 is not None:
+            return self.w4.shape[0]
         if self.codes_tl is not None:
             return self.codes_tl.shape[0] * self.codes_tl.shape[2]
         if self.codes_t is not None:
@@ -103,6 +110,8 @@ class QuantizedLinear:
     def in_features(self) -> int:
         if self.w8 is not None:
             return self.w8.shape[1]  # note: padded (pad_in_features)
+        if self.w4 is not None:
+            return self.w4.shape[1] * 2  # note: padded (pad_in_features_int4)
         if self.codes_tl is not None:
             k = self.scheme.num_codebooks
             return self.codes_tl.shape[1] // k * self.scheme.in_group_size
@@ -139,6 +148,18 @@ class QuantizedLinear:
             return QuantizedLinear(
                 **{**none, "w8": w8, "w8_scale": w8_scale.astype(jnp.float32)},
                 scales=jnp.ones_like(scales), bias=bias, scheme=scheme, mode=mode,
+            )
+
+        if mode == "int4":
+            # half the resident bytes of int8 (~4.25 bits/weight incl. the
+            # per-128-col group scales that 4-bit precision requires)
+            from aqlm_tpu.ops.int4_matmul import quantize_int4
+
+            dense = dequantize_weight(w, dtype=jnp.float32)
+            w4, gscale = quantize_int4(dense)
+            return QuantizedLinear(
+                **none, scales=jnp.ones_like(scales), bias=bias, scheme=scheme,
+                mode=mode, w4=w4, w4_gscale=gscale,
             )
 
         # codes mode
@@ -180,6 +201,10 @@ class QuantizedLinear:
             return (
                 self.w8.T.astype(jnp.float32) * self.w8_scale[None, :]
             ).astype(dtype)
+        if self.mode == "int4":
+            from aqlm_tpu.ops.int4_matmul import dequantize_int4
+
+            return dequantize_int4(self.w4, self.w4_gscale).T.astype(dtype)
         if self.mode == "codes":
             if self.scheme.nbits_per_codebook <= 8:
                 ct = self.codes_t
@@ -206,6 +231,10 @@ def _serving_matmul_impl(x: jax.Array, q: QuantizedLinear) -> jax.Array:
         # `x @ w8.astype(bf16)` materializes the converted weight in HBM
         # (5 bytes moved per weight instead of 1 — 5x slower decode).
         return int8_matmul(x, q.w8, q.w8_scale, q.bias)
+    if q.mode == "int4":
+        from aqlm_tpu.ops.int4_matmul import int4_matmul
+
+        return int4_matmul(x, q.w4, q.w4_gscale, q.bias)
     # codes mode
     if q.scheme.nbits_per_codebook <= 8:
         batch = 1
@@ -265,10 +294,12 @@ def _serving_matmul_bwd(res, g):
     if q.mode == "int8":
         dx = int8_matmul_transposed(g, q.w8, q.w8_scale)[..., :in_features]
     else:
-        wt = q.dense_weight_t(dtype=jnp.bfloat16)  # [IN, OUT]
+        # codes / int4: dequantized-weight einsum (int4's W^T is padded along
+        # IN, so slice back to the caller's width)
+        wt = q.dense_weight_t(dtype=jnp.bfloat16)  # [IN(pad), OUT]
         dx = jnp.einsum(
             "...o,io->...i", g.astype(jnp.bfloat16), wt, preferred_element_type=jnp.float32
-        )
+        )[..., :in_features]
     return dx.astype(g.dtype), _zero_cotangent(q)
 
 
@@ -323,7 +354,7 @@ def _slice_layer(q: QuantizedLinear, idx) -> QuantizedLinear:
         codes=pick(q.codes), codes_t=pick(q.codes_t), codebooks=pick(q.codebooks),
         packed_cb=pick(q.packed_cb), w8=pick(q.w8), w8_scale=pick(q.w8_scale),
         scales=pick(q.scales), bias=pick(q.bias), scheme=q.scheme, mode=q.mode,
-        codes_tl=pick(q.codes_tl),
+        codes_tl=pick(q.codes_tl), w4=pick(q.w4), w4_gscale=pick(q.w4_gscale),
     )
 
 
@@ -331,6 +362,10 @@ def quantized_matmul_indexed(x: jax.Array, iq: IndexedQuantizedLinear) -> jax.Ar
     q = iq.stacked
     if q.mode == "int8":
         return int8_matmul_indexed(x, q.w8, q.w8_scale, iq.idx, q.bias)
+    if q.mode == "int4":
+        from aqlm_tpu.ops.int4_matmul import int4_matmul_indexed
+
+        return int4_matmul_indexed(x, q.w4, q.w4_gscale, iq.idx, q.bias)
     if q.mode == "codes" and q.scheme.nbits_per_codebook <= 8:
         batch = 1
         for dim in x.shape[:-1]:

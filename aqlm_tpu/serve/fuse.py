@@ -13,6 +13,7 @@ weight read per decode step (130-500 MB bf16) and tolerates int8 well.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from aqlm_tpu.models.llama import ModelConfig
@@ -60,28 +61,70 @@ def _concat_int8(lins: list[QuantizedLinear], tp: int = 1) -> QuantizedLinear:
     )
 
 
+def _concat_int4(lins: list[QuantizedLinear], tp: int = 1) -> QuantizedLinear:
+    """int4 analogue of _concat_int8: OUT rows of w4 concatenate (per-shard
+    interleaved for tp > 1); the [G', OUT] group scales concatenate along
+    their lane (OUT) axis in the same order."""
+    assert all(l.mode == "int4" and l.bias is None for l in lins)
+    assert len({l.w4.shape[1] for l in lins}) == 1  # same packed IN
+
+    def out_cat(parts, axis):
+        if tp == 1:
+            return jnp.concatenate(parts, axis=axis)
+        shards = []
+        for s in range(tp):
+            for p in parts:
+                n = p.shape[axis]
+                assert n % tp == 0, (n, tp)
+                shards.append(
+                    jax.lax.slice_in_dim(p, s * (n // tp), (s + 1) * (n // tp), axis=axis)
+                )
+        return jnp.concatenate(shards, axis=axis)
+
+    w4 = out_cat([l.w4 for l in lins], axis=0)
+    gscale = out_cat([l.w4_gscale for l in lins], axis=1)
+    return QuantizedLinear(
+        codes=None, codes_t=None, codebooks=None, packed_cb=None,
+        w8=None, w8_scale=None, w4=w4, w4_gscale=gscale,
+        scales=jnp.ones((w4.shape[0],), jnp.float32), bias=None,
+        scheme=lins[0].scheme, mode="int4",
+    )
+
+
 def fuse_projections(params: dict, cfg: ModelConfig, donate: bool = False, tp: int = 1) -> dict:
     """Replace q/k/v -> qkv_proj and gate/up -> gateup_proj where all parts
-    are int8-mode QuantizedLinear. Returns a new params dict (same leaves for
-    everything untouched); forward_stacked understands the fused keys.
+    are int8- or int4-mode QuantizedLinear. Returns a new params dict (same
+    leaves for everything untouched); forward_stacked understands the fused
+    keys.
 
     donate=True drops the original projections from the INPUT layer dicts as
     each fused copy materializes (halves peak HBM during load).
     tp > 1 lays the fused OUT dim out in per-shard interleaved order for
     tensor-parallel serving (serve/tp.py)."""
+
+    def fusible(lins, mode):
+        return all(isinstance(l, QuantizedLinear) and l.mode == mode for l in lins)
+
+    def concat(lins):
+        if fusible(lins, "int8"):
+            return _concat_int8(lins, tp=tp)
+        if fusible(lins, "int4") and all(l.bias is None for l in lins):
+            return _concat_int4(lins, tp=tp)
+        return None
+
     new_layers = []
     for orig in params["layers"]:
         layer = dict(orig)
-        qkv = [layer.get(n) for n in ("q_proj", "k_proj", "v_proj")]
-        if all(isinstance(l, QuantizedLinear) and l.mode == "int8" for l in qkv):
-            layer["qkv_proj"] = _concat_int8(qkv, tp=tp)
+        qkv_fused = concat([layer.get(n) for n in ("q_proj", "k_proj", "v_proj")])
+        if qkv_fused is not None:
+            layer["qkv_proj"] = qkv_fused
             for n in ("q_proj", "k_proj", "v_proj"):
                 del layer[n]
                 if donate:
                     orig[n] = None
-        gu = [layer.get(n) for n in ("gate_proj", "up_proj")]
-        if all(isinstance(l, QuantizedLinear) and l.mode == "int8" for l in gu):
-            layer["gateup_proj"] = _concat_int8(gu, tp=tp)
+        gu_fused = concat([layer.get(n) for n in ("gate_proj", "up_proj")])
+        if gu_fused is not None:
+            layer["gateup_proj"] = gu_fused
             for n in ("gate_proj", "up_proj"):
                 del layer[n]
                 if donate:

@@ -70,6 +70,20 @@ def _qlin_spec(name: str, q: QuantizedLinear, ma: str):
             bias=None if q.bias is None else (P(None, ma) if col else P(None)),
             scheme=q.scheme, mode=q.mode,
         )
+    if q.mode == "int4":
+        # w4 [L, OUT, INpad/2]: the block-local nibble packing keeps any
+        # 256-aligned packed-column slice == the same original columns, so
+        # row-parallel can shard the packed axis directly; gscale
+        # [L, INpad/G, OUT] shards the opposite axis
+        return QuantizedLinear(
+            codes=None, codes_t=None, codebooks=None, packed_cb=None,
+            w8=None, w8_scale=None,
+            w4=P(None, ma, None) if col else P(None, None, ma),
+            w4_gscale=P(None, None, ma) if col else P(None, ma, None),
+            scales=out1,
+            bias=None if q.bias is None else (P(None, ma) if col else P(None)),
+            scheme=q.scheme, mode=q.mode,
+        )
     assert q.mode == "codes", q.mode
     assert q.bias is None or col, (
         "row-parallel codes TP would add the bias once per shard before the "

@@ -105,6 +105,50 @@ def measure_codes_slice(cfg):
     return codes_tps
 
 
+def measure_int4_slice(cfg):
+    """W4A16 (4.25-bit-in-HBM) decode on an 8-layer slice, extrapolated over
+    layers — half the weight DMA of the int8 headline mode."""
+    import dataclasses as _dc
+    from functools import partial
+
+    from aqlm_tpu.models.stacked import forward_stacked, init_kv_cache, stack_layer_params
+    from aqlm_tpu.serve.fuse import fuse_projections
+
+    cfg8 = _dc.replace(cfg, num_layers=8)
+    p4 = random_quantized_params(jax.random.PRNGKey(2), cfg8, SCHEME_1X16, mode="int4")
+    p4 = fuse_projections(p4, cfg8, donate=True)
+    s4 = stack_layer_params(p4, donate=True)
+    del p4
+    cache4 = init_kv_cache(cfg8, 1, 256, quantized=True)
+    tok0 = jnp.ones((1, 1), jnp.int32)
+    off0 = jnp.zeros((1,), jnp.int32)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def decode8(params, c, tok, offsets, n):
+        def body(i, carry):
+            tok, c, off = carry
+            logits, c = forward_stacked(params, cfg8, tok, cache=c, cache_offset=off)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+            return nxt, c, off + 1
+        tok, c, offsets = jax.lax.fori_loop(0, n, body, (tok, c, offsets))
+        return tok
+
+    def run4(n):
+        return int(jax.device_get(decode8(s4, cache4, tok0, off0, n))[0, 0])
+
+    run4(16); run4(0)
+    t0 = time.time(); run4(16); t16 = time.time() - t0
+    t0 = time.time(); run4(0); tb = time.time() - t0
+    ms8 = (t16 - tb) / 16 * 1e3
+    int4_tps = 1000.0 / (ms8 * cfg.num_layers / cfg8.num_layers)
+    log(
+        f"int4 (W4A16 group-scaled, ~4.25 bits in HBM) decode: "
+        f"{ms8:.1f} ms/step on {cfg8.num_layers} layers "
+        f"~= {int4_tps:.1f} tok/s/chip at {cfg.num_layers} layers"
+    )
+    return int4_tps
+
+
 def main():
     from functools import partial
 
@@ -116,6 +160,10 @@ def main():
         measure_codes_slice(cfg)
     except Exception as e:
         log(f"codes-resident metric failed: {e!r}")
+    try:
+        measure_int4_slice(cfg)
+    except Exception as e:
+        log(f"int4 metric failed: {e!r}")
     t0 = time.time()
     params = random_quantized_params(jax.random.PRNGKey(0), cfg, SCHEME_1X16, mode="int8")
     jax.block_until_ready(params["embed"])

@@ -9,6 +9,8 @@ cd /root/repo
   echo "--- 0. fused write+attend kernel: Mosaic compile + correctness"
   echo "       (bench.py's codes decode path depends on this kernel now)"
   timeout 1200 python experiments/fused_wattn_probe.py || exit 1
+  echo "--- 0b. int4 W4A16 kernel: Mosaic compile + correctness + vs-int8 timing"
+  timeout 1200 python experiments/int4_probe.py || exit 1
   echo "--- 1. PV 7B scan grad step (the unrolled path faulted the chip)"
   timeout 2400 python experiments/pv_grad_bisect.py 32 256 scan || exit 1
   echo "--- 2. PV 7B full step + V step + peak HBM"
