@@ -114,6 +114,11 @@ def _quantized_spec(q: QuantizedLinear, kind: str, model_axis: str) -> Quantized
         bias=spec_if(q.bias, P(ma) if col else P()),
         scheme=q.scheme,
         mode=q.mode,
+        codes_tl=spec_if(q.codes_tl, P(ma, None, None) if col else P(None, ma, None)),
+        # int4: w4 [OUT, INpad/2] (block-local packing keeps row shards
+        # contiguous in original columns); gscale [INpad/G, OUT]
+        w4=spec_if(q.w4, P(ma, None) if col else P(None, ma)),
+        w4_gscale=spec_if(q.w4_gscale, P(None, ma) if col else P(ma, None)),
     )
 
 
