@@ -179,6 +179,21 @@ jax.tree_util.register_dataclass(
 )
 
 
+@dataclasses.dataclass
+class StackedInt4Experts:
+    """All experts of one projection in the W4A16 layout: w4
+    [E, OUT, INpad/2] packed nibbles + gscale [E, INpad/G, OUT] — the
+    operand of ops.int4_matmul.int4_moe_matmul."""
+
+    w4: jax.Array
+    gscale: jax.Array
+
+
+jax.tree_util.register_dataclass(
+    StackedInt4Experts, data_fields=["w4", "gscale"], meta_fields=[]
+)
+
+
 def stack_experts(layer: dict, cfg: MixtralConfig) -> dict:
     """Stack per-expert FFN weights into [E, ...] arrays.
 
@@ -201,6 +216,12 @@ def stack_experts(layer: dict, cfg: MixtralConfig) -> dict:
             out[f"experts_{proj}"] = StackedInt8Experts(
                 w8=jnp.stack([w.w8 for w in ws]),
                 scale=jnp.stack([w.w8_scale for w in ws]),
+            )
+        elif all(isinstance(w, QuantizedLinear) and w.mode == "int4" for w in ws):
+            assert all(w.bias is None for w in ws), "expert biases unsupported"
+            out[f"experts_{proj}"] = StackedInt4Experts(
+                w4=jnp.stack([w.w4 for w in ws]),
+                gscale=jnp.stack([w.w4_gscale for w in ws]),
             )
         elif all(
             isinstance(w, QuantizedLinear) and w.mode == "codes"
@@ -293,6 +314,19 @@ def moe_mlp_stacked(xn: jax.Array, layer: dict, cfg: MixtralConfig) -> jax.Array
         down = int8_moe_matmul(act, dq.w8, dq.scale)                 # [E, N, H]
         down = down.reshape(-1, b, t, h)
         return jnp.einsum("ebth,bte->bth", down.astype(xn.dtype), weights)
+    if isinstance(gate_w, StackedInt4Experts):
+        from aqlm_tpu.ops.int4_matmul import int4_moe_matmul
+
+        b, t, h = xn.shape
+        flat = xn.reshape(b * t, h)
+        gate = int4_moe_matmul(flat, gate_w.w4, gate_w.gscale)       # [E, N, I]
+        upq = layer["experts_up_proj"]
+        up = int4_moe_matmul(flat, upq.w4, upq.gscale)
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        dq = layer["experts_down_proj"]
+        down = int4_moe_matmul(act, dq.w4, dq.gscale)                # [E, N, H]
+        down = down.reshape(-1, b, t, h)
+        return jnp.einsum("ebth,bte->bth", down.astype(xn.dtype), weights)
     up_w = layer["experts_up_proj"]
     down_w = layer["experts_down_proj"]  # [E, H, I]
     gate = jnp.einsum("bth,eih->btei", xn, gate_w.astype(xn.dtype))
@@ -344,6 +378,13 @@ def moe_mlp_stacked_indexed(
         up = int8_moe_matmul_indexed(flat, uw.w8, uw.scale, idx)
         act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
         down = int8_moe_matmul_indexed(act, dw.w8, dw.scale, idx)  # [E, N, H]
+    elif isinstance(gw, StackedInt4Experts):
+        from aqlm_tpu.ops.int4_matmul import int4_moe_matmul_indexed
+
+        gate = int4_moe_matmul_indexed(flat, gw.w4, gw.gscale, idx)  # [E, N, I]
+        up = int4_moe_matmul_indexed(flat, uw.w4, uw.gscale, idx)
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        down = int4_moe_matmul_indexed(act, dw.w4, dw.gscale, idx)  # [E, N, H]
     else:  # dense stacked experts [L, E, OUT, IN]
         g_l, u_l, d_l = gw[idx], uw[idx], dw[idx]
         gate = jnp.einsum("nh,eih->eni", flat, g_l.astype(flat.dtype))

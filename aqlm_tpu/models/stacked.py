@@ -201,7 +201,11 @@ def forward_stacked(
     # leaves (norms, dense weights, kv slices) go through scan xs as usual.
     from aqlm_tpu.ops.runtime import IndexedQuantizedLinear, QuantizedLinear
 
-    from aqlm_tpu.models.mixtral import StackedCodesExperts, StackedInt8Experts
+    from aqlm_tpu.models.mixtral import (
+        StackedCodesExperts,
+        StackedInt4Experts,
+        StackedInt8Experts,
+    )
     from aqlm_tpu.ops.runtime import FusedCodesLinear, IndexedFusedCodesLinear
 
     stacked_layers = params["layers"]
@@ -213,7 +217,7 @@ def forward_stacked(
     rest = {
         n: v for n, v in stacked_layers.items()
         if n not in qnames and n not in fnames
-        and not isinstance(v, (StackedInt8Experts, StackedCodesExperts))
+        and not isinstance(v, (StackedInt8Experts, StackedInt4Experts, StackedCodesExperts))
     }
     layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
 

@@ -103,19 +103,18 @@ def dequantize_int4(w4: jax.Array, gscale: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _body(x_ref, w_ref, s_ref, acc_ref, *, w_lead=()):
+def _body(x, w_bytes, s_rows, acc_ref):
     """Shared inner loop: per 128-byte packing block (= two original
     128-column groups), unpack both nibbles, dot each against its x slice,
-    and fold the zero point + group scale into the accumulator update."""
-    w_bytes = w_ref[w_lead] if w_lead else w_ref[:]
-    s_rows = s_ref[w_lead] if w_lead else s_ref[:]
+    and fold the zero point + group scale into the accumulator update.
+    x [tb, 2*tkp], w_bytes [tn, tkp], s_rows [2*tkp/GROUP, tn] — values."""
     tkp = w_bytes.shape[1]
-    xdt = x_ref.dtype
+    xdt = x.dtype
     for gi in range(tkp // GROUP):
         wb = w_bytes[:, gi * GROUP : (gi + 1) * GROUP].astype(jnp.int32)
         for half_i, nib in ((0, wb & 15), (1, wb >> 4)):
             og = 2 * gi + half_i  # original group within this block
-            xg = x_ref[:, og * GROUP : (og + 1) * GROUP]  # [tb, 128]
+            xg = x[:, og * GROUP : (og + 1) * GROUP]  # [tb, 128]
             d = jax.lax.dot_general(
                 xg, nib.astype(xdt), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -131,7 +130,7 @@ def _kernel(x_ref, w_ref, s_ref, out_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    _body(x_ref, w_ref, s_ref, acc_ref)
+    _body(x_ref[:], w_ref[:], s_ref[:], acc_ref)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
@@ -200,7 +199,7 @@ def _kernel_indexed(idx_ref, x_ref, w_ref, s_ref, out_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    _body(x_ref, w_ref, s_ref, acc_ref, w_lead=(0,))
+    _body(x_ref[:], w_ref[0], s_ref[0], acc_ref)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
@@ -236,6 +235,133 @@ def _call_indexed(x, w4_all, gscale_all, layer_idx, *, interpret):
         out_shape=jax.ShapeDtypeStruct((b, out_features), x.dtype),
         interpret=interpret,
     )(layer_idx.reshape(1), x, w4_all, gscale_all)
+
+
+# ---------------------------------------------------------------------------
+# expert-stacked variants for MoE serving (mirrors int8_matmul's MoE kernels)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_moe(x_ref, w_ref, s_ref, out_ref, acc_ref):
+    """grid = (E, out_tiles, b_tiles, packed_k_tiles); k innermost."""
+
+    @pl.when(pl.program_id(3) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _body(x_ref[0], w_ref[0], s_ref[0], acc_ref)
+
+    @pl.when(pl.program_id(3) == pl.num_programs(3) - 1)
+    def _():
+        out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "x_per_expert"))
+def _call_moe(x, w4_all, gscale_all, *, x_per_expert, interpret):
+    E, out_features, half = w4_all.shape
+    b = x.shape[-2]
+    tn = _tile(out_features, 512, 128)
+    tkp = _tile(half, 1024, 128)
+    assert half % GROUP == 0 and tkp % GROUP == 0, (half, tkp)
+    tb = b if b < 8 else _tile(b, 256, 8)
+    grid = (E, out_features // tn, b // tb, half // tkp)
+    tg = 2 * tkp // GROUP
+
+    if x_per_expert:
+        x_spec = pl.BlockSpec((1, tb, 2 * tkp), lambda e, o, bt, k: (e, bt, k))
+    else:
+        x_spec = pl.BlockSpec((1, tb, 2 * tkp), lambda e, o, bt, k: (0, bt, k))
+    return pl.pallas_call(
+        _kernel_moe,
+        grid=grid,
+        in_specs=[
+            x_spec,
+            pl.BlockSpec((1, tn, tkp), lambda e, o, bt, k: (e, o, k)),
+            pl.BlockSpec((1, tg, tn), lambda e, o, bt, k: (e, k, o)),
+        ],
+        out_specs=pl.BlockSpec((1, tb, tn), lambda e, o, bt, k: (e, bt, o)),
+        out_shape=jax.ShapeDtypeStruct((E, b, out_features), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tb, tn), jnp.float32)],
+        interpret=interpret,
+    )(x if x_per_expert else x[None] if x.ndim == 2 else x, w4_all, gscale_all)
+
+
+def int4_moe_matmul(x, w4_all, gscale_all):
+    """All-experts int4 matmul: y[e] = x @ dequant(w4_all[e]).T.
+
+    x: [N, IN] shared or [E, N, IN] per-expert; w4_all: [E, OUT, INpad/2];
+    gscale_all: [E, INpad/G, OUT]. Returns [E, N, OUT]."""
+    x_per_expert = x.ndim == 3
+    in_pad = w4_all.shape[2] * 2
+    if x.shape[-1] != in_pad:
+        widths = [(0, 0)] * (x.ndim - 1) + [(0, in_pad - x.shape[-1])]
+        x = jnp.pad(x, widths)
+    return _call_moe(
+        x, w4_all, gscale_all, x_per_expert=x_per_expert, interpret=should_interpret()
+    )
+
+
+def _kernel_moe_indexed(idx_ref, x_ref, w_ref, s_ref, out_ref, acc_ref):
+    del idx_ref
+
+    @pl.when(pl.program_id(3) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _body(x_ref[0], w_ref[0, 0], s_ref[0, 0], acc_ref)
+
+    @pl.when(pl.program_id(3) == pl.num_programs(3) - 1)
+    def _():
+        out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "x_per_expert"))
+def _call_moe_indexed(x, w4_all, gscale_all, layer_idx, *, x_per_expert, interpret):
+    L, E, out_features, half = w4_all.shape
+    b = x.shape[-2]
+    tn = _tile(out_features, 512, 128)
+    tkp = _tile(half, 1024, 128)
+    assert half % GROUP == 0 and tkp % GROUP == 0, (half, tkp)
+    tb = b if b < 8 else _tile(b, 256, 8)
+    grid = (E, out_features // tn, b // tb, half // tkp)
+    tg = 2 * tkp // GROUP
+
+    if x_per_expert:
+        x_spec = pl.BlockSpec((1, tb, 2 * tkp), lambda e, o, bt, k, li: (e, bt, k))
+    else:
+        x_spec = pl.BlockSpec((1, tb, 2 * tkp), lambda e, o, bt, k, li: (0, bt, k))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            x_spec,
+            pl.BlockSpec((1, 1, tn, tkp), lambda e, o, bt, k, li: (li[0], e, o, k)),
+            pl.BlockSpec((1, 1, tg, tn), lambda e, o, bt, k, li: (li[0], e, k, o)),
+        ],
+        out_specs=pl.BlockSpec((1, tb, tn), lambda e, o, bt, k, li: (e, bt, o)),
+        scratch_shapes=[pltpu.VMEM((tb, tn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _kernel_moe_indexed,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((E, b, out_features), x.dtype),
+        interpret=interpret,
+    )(layer_idx.reshape(1), x if x_per_expert else x[None], w4_all, gscale_all)
+
+
+def int4_moe_matmul_indexed(x, w4_all, gscale_all, layer_idx):
+    """y[e] = x @ dequant(w4_all[layer_idx, e]).T — scan-over-layers MoE.
+
+    w4_all: [L, E, OUT, INpad/2]; gscale_all: [L, E, INpad/G, OUT]."""
+    x_per_expert = x.ndim == 3
+    in_pad = w4_all.shape[3] * 2
+    if x.shape[-1] != in_pad:
+        widths = [(0, 0)] * (x.ndim - 1) + [(0, in_pad - x.shape[-1])]
+        x = jnp.pad(x, widths)
+    return _call_moe_indexed(
+        x, w4_all, gscale_all, jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        x_per_expert=x_per_expert, interpret=should_interpret(),
+    )
 
 
 def int4_matmul_indexed(

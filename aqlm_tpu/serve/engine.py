@@ -101,7 +101,7 @@ class Engine:
 
             e0 = layers[0].get("experts.0.gate_proj")
             # expert-parallel TP always needs the stacked [E, ...] layout
-            if (isinstance(e0, _QL) and e0.mode == "int8") or (
+            if (isinstance(e0, _QL) and e0.mode in ("int8", "int4")) or (
                 _fuse_tp > 1 and e0 is not None
             ):
                 params = dict(params)

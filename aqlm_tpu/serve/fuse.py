@@ -154,6 +154,22 @@ def int8_linear_from_dense(weight, bias=None) -> QuantizedLinear:
     )
 
 
+def int4_linear_from_dense(weight, bias=None) -> QuantizedLinear:
+    """Per-group int4 quantization of a dense [OUT, IN] weight into the W4A16
+    runtime container (ops/int4_matmul layout)."""
+    from aqlm_tpu.config import AqlmScheme
+    from aqlm_tpu.ops.int4_matmul import quantize_int4
+
+    w4, gscale = quantize_int4(weight.astype(jnp.float32))
+    return QuantizedLinear(
+        codes=None, codes_t=None, codebooks=None, packed_cb=None,
+        w8=None, w8_scale=None, w4=w4, w4_gscale=gscale,
+        scales=jnp.ones((w4.shape[0],), jnp.float32),
+        bias=None if bias is None else bias.astype(jnp.float32),
+        scheme=AqlmScheme(), mode="int4",
+    )
+
+
 def quantize_lm_head_int8(params: dict) -> dict:
     """int8-quantize the lm_head (or materialize one from tied embeddings)."""
     out = dict(params)

@@ -123,7 +123,11 @@ def _qlin_spec(name: str, q: QuantizedLinear, ma: str):
 def tp_serving_param_specs(stacked: dict, ma: str = "model") -> dict:
     """Specs for a fused, stacked serving params pytree."""
     from aqlm_tpu.models.common import DenseLinear
-    from aqlm_tpu.models.mixtral import StackedCodesExperts, StackedInt8Experts
+    from aqlm_tpu.models.mixtral import (
+        StackedCodesExperts,
+        StackedInt4Experts,
+        StackedInt8Experts,
+    )
 
     layer_specs = {}
     for name, v in stacked["layers"].items():
@@ -133,6 +137,10 @@ def tp_serving_param_specs(stacked: dict, ma: str = "model") -> dict:
             if isinstance(v, StackedInt8Experts):
                 layer_specs[name] = StackedInt8Experts(
                     w8=P(None, ma, None, None), scale=P(None, ma, None)
+                )
+            elif isinstance(v, StackedInt4Experts):
+                layer_specs[name] = StackedInt4Experts(
+                    w4=P(None, ma, None, None), gscale=P(None, ma, None, None)
                 )
             elif isinstance(v, StackedCodesExperts):
                 layer_specs[name] = StackedCodesExperts(

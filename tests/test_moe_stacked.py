@@ -98,3 +98,53 @@ def test_stacked_codes_experts_indexed(key):
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             atol=2e-4, rtol=2e-4)
+
+
+def test_stacked_int4_experts_match_loop(key):
+    """int4 experts: one all-expert W4A16 kernel == the per-expert loop."""
+    from aqlm_tpu.serve.fuse import int4_linear_from_dense
+
+    cfg = mixtral.MixtralConfig.tiny_moe(num_layers=1)
+    params = mixtral.init_random_params(key, cfg, dtype=jnp.float32)
+    layer = dict(params["layers"][0])
+    for e in range(cfg.num_experts):
+        for proj in mixtral.EXPERT_PROJS:
+            name = f"experts.{e}.{proj}"
+            layer[name] = int4_linear_from_dense(layer[name].weight)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, cfg.hidden_size))
+
+    ref = mixtral._moe_mlp(x, layer, cfg)  # per-expert loop, int4 kernels
+    stacked = mixtral.stack_experts(layer, cfg)
+    assert isinstance(stacked["experts_gate_proj"], mixtral.StackedInt4Experts)
+    got = mixtral.moe_mlp_stacked(x, stacked, cfg)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=5e-3, rtol=5e-3
+    )
+
+
+def test_stacked_int4_experts_indexed(key):
+    """Layer-indexed all-expert int4 kernel picks the right layer."""
+    from aqlm_tpu.serve.fuse import int4_linear_from_dense
+
+    cfg = mixtral.MixtralConfig.tiny_moe(num_layers=2)
+    params = mixtral.init_random_params(key, cfg, dtype=jnp.float32)
+    stacked_per_layer = []
+    for li in range(2):
+        layer = dict(params["layers"][li])
+        for e in range(cfg.num_experts):
+            for proj in mixtral.EXPERT_PROJS:
+                name = f"experts.{e}.{proj}"
+                layer[name] = int4_linear_from_dense(layer[name].weight)
+        stacked_per_layer.append(mixtral.stack_experts(layer, cfg))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, cfg.hidden_size))
+
+    stacked_L = jax.tree.map(lambda *xs: jnp.stack(xs), *stacked_per_layer)
+    for li in range(2):
+        ref = mixtral.moe_mlp_stacked(x, stacked_per_layer[li], cfg)
+        got = mixtral.moe_mlp_stacked_indexed(
+            x, stacked_per_layer[li], stacked_L, jnp.asarray(li), cfg
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=5e-3, rtol=5e-3,
+        )
