@@ -67,11 +67,17 @@ def pad_in_features_int4(in_features: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def quantize_int4(dense: jax.Array) -> tuple[jax.Array, jax.Array]:
+CLIP_CANDIDATES = (1.0, 0.95, 0.9, 0.85, 0.8)
+
+
+def quantize_int4(dense: jax.Array, mse_clip: bool = True) -> tuple[jax.Array, jax.Array]:
     """Per-group symmetric int4 quantization of a dense [OUT, IN] weight.
 
-    Returns (w4 [OUT, INpad/2] uint8 block-local packed,
-             gscale [INpad/G, OUT] f32)."""
+    mse_clip searches a few clip ratios per group and keeps the
+    MSE-minimizing scale (clipping the tail trades rare large errors for a
+    finer step on the bulk — worth ~10-20% RMS on bell-shaped weights, free
+    at load time). Returns (w4 [OUT, INpad/2] uint8 block-local packed,
+    gscale [INpad/G, OUT] f32)."""
     out_features, in_features = dense.shape
     in_pad = pad_in_features_int4(in_features)
     w = dense.astype(jnp.float32)
@@ -79,8 +85,23 @@ def quantize_int4(dense: jax.Array) -> tuple[jax.Array, jax.Array]:
         w = jnp.pad(w, ((0, 0), (0, in_pad - in_features)))
     g = w.reshape(out_features, in_pad // GROUP, GROUP)
     amax = jnp.max(jnp.abs(g), axis=2)  # [OUT, G']
+
+    def quant_err(scale):
+        q = jnp.clip(jnp.round(g / scale[:, :, None]) + 8.0, 0, 15)
+        err = jnp.sum(((q - 8.0) * scale[:, :, None] - g) ** 2, axis=2)
+        return q, err
+
     scale = jnp.maximum(amax / 7.0, 1e-12)
-    q = jnp.clip(jnp.round(g / scale[:, :, None]) + 8.0, 0, 15).astype(jnp.uint8)
+    q, best_err = quant_err(scale)
+    if mse_clip:
+        for r in CLIP_CANDIDATES[1:]:
+            s_c = jnp.maximum(r * amax / 7.0, 1e-12)
+            q_c, err_c = quant_err(s_c)
+            better = err_c < best_err
+            scale = jnp.where(better, s_c, scale)
+            q = jnp.where(better[:, :, None], q_c, q)
+            best_err = jnp.minimum(err_c, best_err)
+    q = q.astype(jnp.uint8)
     # block-local packing: groups (2i, 2i+1) -> byte block i
     q = q.reshape(out_features, in_pad // (2 * GROUP), 2, GROUP)
     w4 = (q[:, :, 0, :] | (q[:, :, 1, :] << 4)).reshape(out_features, in_pad // 2)

@@ -25,12 +25,15 @@ from aqlm_tpu.ops.runtime import QuantizedLinear, quantized_matmul
 @pytest.mark.parametrize("out,infeat", [(256, 384), (512, 1024), (384, 1100)])
 def test_int4_kernel_matches_oracle(key, out, infeat):
     dense = jax.random.normal(key, (out, infeat), jnp.float32)
+    # worst-case roundtrip bound holds for the UNclipped scale (mse_clip
+    # trades rare larger outlier errors for lower RMS)
+    w4u, gsu = quantize_int4(dense, mse_clip=False)
+    assert float(
+        jnp.max(jnp.abs(dequantize_int4(w4u, gsu)[:, :infeat] - dense))
+    ) < float(jnp.max(jnp.abs(dense))) / 7.0
+
     w4, gs = quantize_int4(dense)
     deq = dequantize_int4(w4, gs)
-    # roundtrip error bounded by the per-group int4 step
-    assert float(jnp.max(jnp.abs(deq[:, :infeat] - dense))) < float(
-        jnp.max(jnp.abs(dense))
-    ) / 7.0
 
     x = jax.random.normal(jax.random.PRNGKey(1), (3, infeat), jnp.float32)
     xpad = jnp.pad(x, ((0, 0), (0, deq.shape[1] - infeat)))
@@ -154,3 +157,15 @@ def test_int4_tp_decode_matches_single_device(fused):
                 np.asarray(logits_ref[pos], np.float32),
                 atol=5e-3, rtol=5e-3,
             )
+
+
+def test_int4_mse_clip_improves_error(key):
+    """The per-group clip search must never be worse than plain amax/7."""
+    dense = jax.random.normal(key, (256, 512), jnp.float32)
+    w_plain, s_plain = quantize_int4(dense, mse_clip=False)
+    w_clip, s_clip = quantize_int4(dense, mse_clip=True)
+    err = lambda w4, gs: float(
+        jnp.sum((dequantize_int4(w4, gs)[:, :512] - dense) ** 2)
+    )
+    assert err(w_clip, s_clip) <= err(w_plain, s_plain)
+    assert err(w_clip, s_clip) < 0.95 * err(w_plain, s_plain)  # and actually helps
