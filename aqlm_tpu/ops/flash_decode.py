@@ -242,7 +242,11 @@ def _kernel_idx_wattn(
     # row is merged by vector select.
     @pl.when(tile == offset // ts)
     def _():
-        wbase = (offset // _WRITE_SB) * _WRITE_SB - tile * ts  # 32-aligned
+        # 32-aligned by construction; Mosaic needs the explicit assertion to
+        # accept a dynamic sublane-dim start (vector.load alignment proof)
+        wbase = pl.multiple_of(
+            (offset // _WRITE_SB) * _WRITE_SB - tile * ts, _WRITE_SB
+        )
         wsel = (
             jax.lax.broadcasted_iota(jnp.int32, (_WRITE_SB, 1), 0)
             == offset % _WRITE_SB
