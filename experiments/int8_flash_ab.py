@@ -57,7 +57,7 @@ def measure(flash):
         t, _ = decode_n(stacked, cache, tok0, off0, n, flash)
         return int(jax.device_get(t)[0, 0])
 
-    run(32); run(0)  # compile both step counts
+    run(128); run(0)  # compile both step counts used by the timed loop
     ts = []
     for _ in range(5):
         t0 = time.time(); run(128); t1 = time.time(); run(0)

@@ -47,7 +47,8 @@ if stage == "nockpt":
 
 win = {
     name: jnp.zeros(
-        (1,) + student["layers"][0][name].shape, jnp.float32
+        (1, student["layers"][0][name].out_features, student["layers"][0][name].in_features),
+        jnp.float32,
     )
     for name in stm.QUANTIZABLE_PROJS
 }
@@ -67,8 +68,26 @@ if stage in ("fwd", "fwd_st"):
     val = jax.jit(fwd)(student, win)
     print(f"{stage} OK {time.time()-t0:.0f}s val={float(val):.4f}", flush=True)
 elif stage in ("grad", "grad_st", "nockpt"):
-    val, g = jax.jit(jax.value_and_grad(fwd, argnums=1))(student, win)
-    jax.block_until_ready(g)
+    if use_st:
+        val, g = jax.jit(jax.value_and_grad(fwd, argnums=1))(student, win)
+    else:
+        # Without an st window the loss ignores argument 1, so grad wrt it is
+        # a constant zero and XLA dead-code-eliminates the backward pass; take
+        # the grad wrt the FLOAT param leaves (codes are int32 — not
+        # differentiable) so the scan backward actually runs on device.
+        leaves, treedef = jax.tree_util.tree_flatten(student)
+        is_f = [jnp.issubdtype(l.dtype, jnp.floating) for l in leaves]
+
+        def fwd_floats(fl, st):
+            it = iter(fl)
+            params = jax.tree_util.tree_unflatten(
+                treedef, [next(it) if f else l for l, f in zip(leaves, is_f)]
+            )
+            return fwd(params, st)
+
+        floats = [l for l, f in zip(leaves, is_f) if f]
+        val, g = jax.jit(jax.value_and_grad(fwd_floats, argnums=0))(floats, win)
+    jax.block_until_ready(jax.tree_util.tree_leaves(g)[0])
     print(f"{stage} OK {time.time()-t0:.0f}s val={float(val):.4f}", flush=True)
 elif stage == "body":
     # one block, no scan: dequant all projections + _block + st correction
