@@ -1,32 +1,41 @@
 """Driver benchmark: end-to-end decode tokens/sec/chip, Llama-2-7B AQLM 1x16.
 
 This is the BASELINE.json north-star metric ("Decode tokens/sec/chip
-(Llama-2-7B 1x16 2-bit)"). A full 32-layer Llama-2-7B with every block
-projection AQLM-1x16-quantized (int8 serving runtime, transcoded from codes
-at load) runs under the continuous-batching engine on one TPU chip; we time
-steady-state decode steps.
+(Llama-2-7B 1x16 2-bit)"). FULL 32-layer Llama-2-7B models with every block
+projection AQLM-quantized run on one TPU chip in each serving runtime mode
+(codes-resident 2x8, int4 W4A16, int8 W8A16); we time steady-state decode
+steps through the same compiled stacked forward the serving Engine drives.
+No layer-slice extrapolation: every number is a whole model (the reference
+benches whole models too, benchmark/generate_benchmark.py:97-106).
 
 vs_baseline = measured tokens/s divided by the theoretical ceiling of a DENSE
 bf16 Llama-2-7B on this chip (weights-bandwidth-bound: HBM_BW / model_bytes)
 — i.e. how we compare against a perfect fp16 baseline, the same framing as
 the reference's "speedup vs FP16" tables (README.md:113-117). >1.0 means we
-beat dense-bf16 speed-of-light.
+beat dense-bf16 speed-of-light. Each mode additionally reports the fraction
+of its OWN bytes-speed-of-light (HBM_BW / resident bytes of that mode).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from aqlm_tpu.config import SCHEME_1X16
+from aqlm_tpu.config import SCHEME_1X16, SCHEME_2X8
 from aqlm_tpu.models import llama
 from aqlm_tpu.models.quantize import random_quantized_params
-from aqlm_tpu.serve import Engine, SamplingParams, ServeConfig
+from aqlm_tpu.models.stacked import forward_stacked, init_kv_cache, stack_layer_params
+from aqlm_tpu.serve.fuse import (
+    fuse_projections,
+    fuse_projections_codes,
+    quantize_lm_head_int8,
+)
 
 HBM_BW = 819e9  # v5e HBM bandwidth, bytes/s
 DECODE_STEPS = 64
@@ -51,134 +60,37 @@ def dense_bf16_sol_tokens_per_sec(cfg: llama.ModelConfig) -> float:
     return HBM_BW / (2.0 * params)
 
 
-def measure_codes_slice(cfg):
-    """Codes-resident (2.3-bit-in-HBM) 2x8 decode on an 8-layer slice,
-    measured FIRST (before the int8 7B occupies HBM) and extrapolated
-    linearly over layers."""
-    import dataclasses as _dc
-    from functools import partial
-
-    from aqlm_tpu.config import SCHEME_2X8
-    from aqlm_tpu.models.stacked import forward_stacked, init_kv_cache, stack_layer_params
-    from aqlm_tpu.serve.fuse import fuse_projections_codes
-
-    cfg8 = _dc.replace(cfg, num_layers=8)
-    codes_params = random_quantized_params(
-        jax.random.PRNGKey(1), cfg8, SCHEME_2X8, mode="codes"
-    )
-    codes_params = fuse_projections_codes(codes_params, cfg8, donate=True)
-    codes_stacked = stack_layer_params(codes_params, donate=True)
-    del codes_params
-    cache2 = init_kv_cache(cfg8, 1, 256, quantized=True)
-    tok0 = jnp.ones((1, 1), jnp.int32)
-    off0 = jnp.zeros((1,), jnp.int32)
-
-    @partial(jax.jit, static_argnames=("n",))
-    def decode8(params, c, tok, offsets, n):
-        def body(i, carry):
-            tok, c, off = carry
-            logits, c = forward_stacked(params, cfg8, tok, cache=c, cache_offset=off)
-            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
-            return nxt, c, off + 1
-        tok, c, offsets = jax.lax.fori_loop(0, n, body, (tok, c, offsets))
-        return tok
-
-    def run2(n):
-        return int(jax.device_get(decode8(codes_stacked, cache2, tok0, off0, n))[0, 0])
-
-    run2(16); run2(0)
-    t0 = time.time(); run2(16); t16 = time.time() - t0
-    t0 = time.time(); run2(0); tb = time.time() - t0
-    ms8 = (t16 - tb) / 16 * 1e3
-    codes_tps = 1000.0 / (ms8 * cfg.num_layers / cfg8.num_layers)
-    log(
-        f"codes-resident decode (2x8 LUT-GEMM, 2.3 bits in HBM, exact): "
-        f"{ms8:.1f} ms/step on {cfg8.num_layers} layers "
-        f"~= {codes_tps:.1f} tok/s/chip at {cfg.num_layers} layers"
-    )
-    log(
-        f"1x16 checkpoints serve codes-resident at this same rate "
-        f"({codes_tps:.1f} tok/s, 2.3 bits) via the 2x8 additive transcode "
-        f"(cli/convert --to 2x8); exact-1x16 S=65536 tables are below the "
-        f"v5e lane-gather roofline (NOTES.md)"
-    )
-    return codes_tps
+def tree_gbytes(t) -> float:
+    return sum(x.nbytes for x in jax.tree_util.tree_leaves(t) if hasattr(x, "nbytes")) / 1e9
 
 
-def measure_int4_slice(cfg):
-    """W4A16 (4.25-bit-in-HBM) decode on an 8-layer slice, extrapolated over
-    layers — half the weight DMA of the int8 headline mode."""
-    import dataclasses as _dc
-    from functools import partial
-
-    from aqlm_tpu.models.stacked import forward_stacked, init_kv_cache, stack_layer_params
-    from aqlm_tpu.serve.fuse import fuse_projections
-
-    cfg8 = _dc.replace(cfg, num_layers=8)
-    p4 = random_quantized_params(jax.random.PRNGKey(2), cfg8, SCHEME_1X16, mode="int4")
-    p4 = fuse_projections(p4, cfg8, donate=True)
-    s4 = stack_layer_params(p4, donate=True)
-    del p4
-    cache4 = init_kv_cache(cfg8, 1, 256, quantized=True)
-    tok0 = jnp.ones((1, 1), jnp.int32)
-    off0 = jnp.zeros((1,), jnp.int32)
-
-    @partial(jax.jit, static_argnames=("n",))
-    def decode8(params, c, tok, offsets, n):
-        def body(i, carry):
-            tok, c, off = carry
-            logits, c = forward_stacked(params, cfg8, tok, cache=c, cache_offset=off)
-            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
-            return nxt, c, off + 1
-        tok, c, offsets = jax.lax.fori_loop(0, n, body, (tok, c, offsets))
-        return tok
-
-    def run4(n):
-        return int(jax.device_get(decode8(s4, cache4, tok0, off0, n))[0, 0])
-
-    run4(16); run4(0)
-    t0 = time.time(); run4(16); t16 = time.time() - t0
-    t0 = time.time(); run4(0); tb = time.time() - t0
-    ms8 = (t16 - tb) / 16 * 1e3
-    int4_tps = 1000.0 / (ms8 * cfg.num_layers / cfg8.num_layers)
-    log(
-        f"int4 (W4A16 group-scaled, ~4.25 bits in HBM) decode: "
-        f"{ms8:.1f} ms/step on {cfg8.num_layers} layers "
-        f"~= {int4_tps:.1f} tok/s/chip at {cfg.num_layers} layers"
-    )
-    return int4_tps
-
-
-def main():
-    from functools import partial
-
-    from aqlm_tpu.models.stacked import forward_stacked, init_kv_cache, stack_layer_params
-
-    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-    cfg = llama.ModelConfig.llama2_7b()
-    try:
-        measure_codes_slice(cfg)
-    except Exception as e:
-        log(f"codes-resident metric failed: {e!r}")
-    try:
-        measure_int4_slice(cfg)
-    except Exception as e:
-        log(f"int4 metric failed: {e!r}")
+def build_full(cfg, mode: str, scheme, seed: int):
+    """Full 32-layer quantized model in a serving runtime mode, fused + stacked."""
     t0 = time.time()
-    params = random_quantized_params(jax.random.PRNGKey(0), cfg, SCHEME_1X16, mode="int8")
+    params = random_quantized_params(jax.random.PRNGKey(seed), cfg, scheme, mode=mode)
     jax.block_until_ready(params["embed"])
-    log(f"built quantized 7B params in {time.time() - t0:.0f}s")
-
-    from aqlm_tpu.serve.fuse import fuse_projections, quantize_lm_head_int8
-
-    params = quantize_lm_head_int8(fuse_projections(params, cfg, donate=True))
+    fuser = fuse_projections_codes if mode == "codes" else fuse_projections
+    params = quantize_lm_head_int8(fuser(params, cfg, donate=True))
     stacked = stack_layer_params(params, donate=True)
     del params
-    cache = init_kv_cache(cfg, 1, 256, quantized=True)
+    jax.block_until_ready(stacked["embed"])
+    log(f"  built full {cfg.num_layers}L model ({mode}) in {time.time() - t0:.0f}s, "
+        f"{tree_gbytes(stacked):.2f} GB resident")
+    return stacked
 
-    # Device-side greedy decode loop: the dev-environment tunnel costs ~30 ms
-    # per host roundtrip, so per-step host driving (Engine.step) measures the
-    # tunnel, not the chip. n chained steps + one fetch measures the chip.
+
+def measure_mode(cfg, stacked, label: str, dense_sol: float, decode_steps: int = DECODE_STEPS,
+                 batched: bool = False):
+    """B=1 decode + prefill (+ optional B=8 decode) on a FULL stacked model.
+
+    Device-side greedy decode loop: the dev-environment tunnel costs ~30 ms
+    per host roundtrip, so per-step host driving (Engine.step) would measure
+    the tunnel, not the chip. n chained steps + one fetch measures the chip;
+    Engine's multi-step decode chunking drives the same compiled forward.
+    """
+    gbytes = tree_gbytes(stacked)
+    own_sol = HBM_BW / (gbytes * 1e9)
+
     @partial(jax.jit, static_argnames=("n",))
     def decode_n(params, cache, tok, offsets, n):
         def body(i, carry):
@@ -189,18 +101,17 @@ def main():
         tok, cache, offsets = jax.lax.fori_loop(0, n, body, (tok, cache, offsets))
         return tok, cache
 
-    # prefill 16 tokens by decoding them in (content is irrelevant for timing)
+    cache = init_kv_cache(cfg, 1, 256, quantized=True)
     tok0 = jnp.ones((1, 1), jnp.int32)
     off0 = jnp.zeros((1,), jnp.int32)
 
     def run(n):
-        t, c = decode_n(stacked, cache, tok0, off0, n)
+        t, _ = decode_n(stacked, cache, tok0, off0, n)
         return int(jax.device_get(t)[0, 0])
 
     t0 = time.time()
-    run(WARMUP_STEPS)
-    run(0)
-    log(f"compile + warmup: {time.time() - t0:.0f}s")
+    run(decode_steps); run(0)
+    log(f"  compile + warmup: {time.time() - t0:.0f}s")
 
     def timed(n, reps=3):
         ts = []
@@ -210,11 +121,17 @@ def main():
             ts.append(time.time() - t0)
         return sorted(ts)[len(ts) // 2]
 
-    dt = timed(DECODE_STEPS) - timed(0)
-    toks_per_sec = DECODE_STEPS / dt
+    dt = timed(decode_steps) - timed(0)
+    tps = decode_steps / dt
+    log(
+        f"{label}: decode {tps:.2f} tok/s/chip ({1e3 * dt / decode_steps:.2f} ms/tok) "
+        f"FULL {cfg.num_layers}L model; {gbytes:.2f} GB resident -> own bytes-SOL "
+        f"{own_sol:.1f} tok/s (fraction {tps / own_sol:.2f}), vs dense-bf16 ceiling "
+        f"{dense_sol:.1f} -> {tps / dense_sol:.2f}x"
+    )
 
-    # secondary: batched decode throughput (B=8) and prefill rate
-    try:
+    bat_tps = None
+    if batched:
         cache8 = init_kv_cache(cfg, 8, 256, quantized=True)
         tok8 = jnp.ones((8, 1), jnp.int32)
         off8 = jnp.zeros((8,), jnp.int32)
@@ -223,7 +140,7 @@ def main():
             t, _ = decode_n(stacked, cache8, tok8, off8, n)
             return int(jax.device_get(t)[0, 0])
 
-        run8(32); run8(0)  # compile both variants before timing
+        run8(32); run8(0)
 
         def timed8(n):
             ts = []
@@ -231,10 +148,12 @@ def main():
                 t0 = time.time(); run8(n); ts.append(time.time() - t0)
             return sorted(ts)[1]
 
-        thpt = 8 * 32 / (timed8(32) - timed8(0))
-        log(f"batched decode (B=8): {thpt:.1f} tok/s aggregate")
-
+        bat_tps = 8 * 32 / (timed8(32) - timed8(0))
+        log(f"{label}: batched decode (B=8) {bat_tps:.1f} tok/s aggregate")
         del cache8
+
+    # prefill: 256-token prompt, full model
+    try:
         cachep = init_kv_cache(cfg, 1, 512, quantized=True)
         ids = jnp.ones((1, 256), jnp.int32)
 
@@ -248,15 +167,45 @@ def main():
         for _ in range(4):
             float(jax.device_get(prefill(stacked, cachep, ids)))
         prefill_tps = 4 * 256 / (time.time() - t0)
-        log(f"prefill: {prefill_tps:.0f} tok/s (256-token prompt)")
+        log(f"{label}: prefill {prefill_tps:.0f} tok/s (256-token prompt)")
+        del cachep
     except Exception as e:
-        log(f"secondary metrics failed: {e!r}")
+        log(f"{label}: prefill failed: {e!r}")
 
-    sol = dense_bf16_sol_tokens_per_sec(cfg)
-    log(
-        f"decode: {toks_per_sec:.2f} tok/s/chip ({1e3 * dt / DECODE_STEPS:.1f} ms/tok); "
-        f"dense-bf16 bandwidth ceiling: {sol:.2f} tok/s -> ratio {toks_per_sec / sol:.3f}"
-    )
+    del cache
+    return tps
+
+
+def main():
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    cfg = llama.ModelConfig.llama2_7b()
+    if os.environ.get("AQLM_BENCH_TINY"):  # CPU smoke run of the full bench flow
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, num_layers=2, hidden_size=256, intermediate_size=512,
+                          num_heads=4, num_kv_heads=4, vocab_size=512)
+    dense_sol = dense_bf16_sol_tokens_per_sec(cfg)
+
+    # codes-resident 2x8 first (smallest; exact max-compression mode — 1x16
+    # checkpoints serve at this rate via the additive transcode, cli/convert)
+    try:
+        stacked = build_full(cfg, "codes", SCHEME_2X8, seed=1)
+        measure_mode(cfg, stacked, "codes-resident 2x8 (2.3 bits in HBM, exact)",
+                     dense_sol, decode_steps=32)
+        del stacked
+    except Exception as e:
+        log(f"codes-resident metric failed: {e!r}")
+
+    try:
+        stacked = build_full(cfg, "int4", SCHEME_1X16, seed=2)
+        measure_mode(cfg, stacked, "int4 W4A16 (~4.3 bits in HBM)", dense_sol)
+        del stacked
+    except Exception as e:
+        log(f"int4 metric failed: {e!r}")
+
+    # int8 headline mode last (largest): the driver metric
+    stacked = build_full(cfg, "int8", SCHEME_1X16, seed=0)
+    toks_per_sec = measure_mode(cfg, stacked, "int8 W8A16 (headline)", dense_sol,
+                                batched=True)
 
     print(
         json.dumps(
@@ -264,7 +213,7 @@ def main():
                 "metric": "decode_tokens_per_sec_per_chip_llama2_7b_aqlm1x16",
                 "value": round(toks_per_sec, 2),
                 "unit": "tok/s",
-                "vs_baseline": round(toks_per_sec / sol, 3),
+                "vs_baseline": round(toks_per_sec / dense_sol, 3),
             }
         )
     )
