@@ -57,15 +57,17 @@ def lut_tile_n(out_features: int) -> int:
     return 512 if out_features % 512 == 0 else 128
 
 
-def tile_codes(codes_t: jax.Array) -> jax.Array:
+def tile_codes(codes_t: jax.Array, tn: int | None = None) -> jax.Array:
     """[K, IG, OUT] -> [NT, IG*K, tn] (each grid block contiguous in HBM).
 
     Rows are IG-MAJOR (row = ig*K + k): contiguous row blocks then correspond
     to contiguous INPUT slices, so row-parallel tensor parallelism can shard
     the row axis directly (serve/tp.py _qlin_spec) — a k-major order would
-    make a row shard a codebook split instead."""
+    make a row shard a codebook split instead. `tn` overrides the default
+    tile width (TP re-tiling: serve/fuse.py _retile_codes)."""
     K, IG, out = codes_t.shape
-    tn = lut_tile_n(out)
+    if tn is None:
+        tn = lut_tile_n(out)
     assert out % tn == 0, out
     c2 = codes_t.transpose(1, 0, 2).reshape(IG * K, out)
     return c2.reshape(IG * K, out // tn, tn).transpose(1, 0, 2)
@@ -130,12 +132,14 @@ def _gather_accum(codes_block, lo_of, hi_of, acc_ref, *, B, tn, two_halves):
             )[0]
 
 
-def _kernel(codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halves):
+def _kernel(codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref, *, B, tn, two_halves):
     """grid = (out_tiles, row_tiles); the K*IG row dim accumulates innermost.
 
     Row tiling bounds the Mosaic stack: each chunk's gather temporaries are
     a handful of [kr, 128] f32 arrays; K*IG reaches 4096 for 8x8, which
-    overflows the 16 MB scoped-vmem limit unsplit."""
+    overflows the 16 MB scoped-vmem limit unsplit. The per-out-channel scale
+    multiply + output cast run in the epilogue: a separate XLA elementwise
+    kernel per projection costs more in launch overhead than the multiply."""
     r = pl.program_id(1)
 
     @pl.when(r == 0)
@@ -147,11 +151,11 @@ def _kernel(codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halves):
 
     @pl.when(r == pl.num_programs(1) - 1)
     def _():
-        out_ref[:] = acc_ref[:]
+        out_ref[:] = (acc_ref[:] * sc_ref[0, 0][None, :]).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _call(codes_tl, lut_lo, lut_hi, *, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def _call(codes_tl, lut_lo, lut_hi, scales, *, interpret, out_dtype=jnp.float32):
     nt, kig, tn = codes_tl.shape
     B = lut_lo.shape[0]
     two_halves = lut_hi is not None
@@ -162,14 +166,17 @@ def _call(codes_tl, lut_lo, lut_hi, *, interpret):
         pl.BlockSpec((1, kr, tn), lambda o, r: (o, r, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((B, kr, 128), lambda o, r: (0, r, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((B, kr, 128), lambda o, r: (0, r, 0), memory_space=pltpu.VMEM),
+        # [1, 1, OUT]: leading unit dims keep the last-two-dims block rules
+        pl.BlockSpec((1, 1, tn), lambda o, r: (0, 0, o), memory_space=pltpu.VMEM),
     ]
-    args = [codes_tl, lut_lo, lut_hi if two_halves else lut_lo]
+    args = [codes_tl, lut_lo, lut_hi if two_halves else lut_lo,
+            scales.reshape(1, 1, -1).astype(jnp.float32)]
     return pl.pallas_call(
         kern,
         grid=(nt, kig // kr),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((B, tn), lambda o, r: (0, o), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nt * tn), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nt * tn), out_dtype),
         scratch_shapes=[pltpu.VMEM((B, tn), jnp.float32)],
         interpret=interpret,
     )(*args)
@@ -198,11 +205,14 @@ def lut_gemv_kx8_tiled(x, codes_tl, codebooks, scales, bias=None, *, group: int)
     xb = x.reshape(-1, x.shape[-1])
     assert codebooks.shape[1] <= 256, "lut_gemv is the Kx8 path"
     lut_lo, lut_hi = _build_lut(xb, codebooks, group)
-    y = _call(codes_tl, lut_lo, lut_hi, interpret=should_interpret())
-    y = y * scales[None, :].astype(y.dtype)
+    # scales fold into the kernel epilogue; the cast folds too unless a bias
+    # add still needs f32
+    out_dtype = jnp.float32 if bias is not None else x.dtype
+    y = _call(codes_tl, lut_lo, lut_hi, scales,
+              interpret=should_interpret(), out_dtype=out_dtype)
     if bias is not None:
-        y = y + bias[None, :].astype(y.dtype)
-    return y.astype(x.dtype).reshape(*lead, -1)
+        y = (y + bias[None, :].astype(y.dtype)).astype(x.dtype)
+    return y.reshape(*lead, -1)
 
 
 def lut_gemv_kx8(x, codes_t, codebooks, scales, bias=None, *, group: int):
@@ -218,7 +228,7 @@ def lut_gemv_kx8(x, codes_t, codebooks, scales, bias=None, *, group: int):
 # ---------------------------------------------------------------------------
 
 
-def _kernel_moe(codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halves):
+def _kernel_moe(codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref, *, B, tn, two_halves):
     """grid = (E, out_tiles, row_tiles); same inner loop as _kernel with the
     expert dim leading — each expert gathers from ITS OWN LUT block."""
     r = pl.program_id(2)
@@ -232,11 +242,11 @@ def _kernel_moe(codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halve
 
     @pl.when(r == pl.num_programs(2) - 1)
     def _():
-        out_ref[0] = acc_ref[:]
+        out_ref[0] = (acc_ref[:] * sc_ref[0, 0][None, :]).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _call_moe(codes_tl_e, lut_lo_e, lut_hi_e, *, interpret):
+def _call_moe(codes_tl_e, lut_lo_e, lut_hi_e, scales_e, *, interpret):
     E, nt, kig, tn = codes_tl_e.shape
     B = lut_lo_e.shape[1]
     two_halves = lut_hi_e is not None
@@ -247,8 +257,10 @@ def _call_moe(codes_tl_e, lut_lo_e, lut_hi_e, *, interpret):
         pl.BlockSpec((1, 1, kr, tn), lambda e, o, r: (e, o, r, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B, kr, 128), lambda e, o, r: (e, 0, r, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B, kr, 128), lambda e, o, r: (e, 0, r, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tn), lambda e, o, r: (e, 0, o), memory_space=pltpu.VMEM),
     ]
-    args = [codes_tl_e, lut_lo_e, lut_hi_e if two_halves else lut_lo_e]
+    args = [codes_tl_e, lut_lo_e, lut_hi_e if two_halves else lut_lo_e,
+            scales_e.reshape(E, 1, -1).astype(jnp.float32)]
     return pl.pallas_call(
         kern,
         grid=(E, nt, kig // kr),
@@ -279,11 +291,10 @@ def lut_moe_gemv_kx8(x, codes_tl_e, codebooks_e, scales_e, *, group: int):
     else:
         xb = x.reshape(-1, x.shape[-1])
         lo, hi = jax.vmap(lambda cb: _build_lut(xb, cb, group))(codebooks_e)
-    y = _call_moe(codes_tl_e, lo, hi, interpret=should_interpret())
-    return y * scales_e[:, None, :].astype(y.dtype)
+    return _call_moe(codes_tl_e, lo, hi, scales_e, interpret=should_interpret())
 
 
-def _kernel_moe_indexed(idx_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref,
+def _kernel_moe_indexed(idx_ref, codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref,
                         *, B, tn, two_halves):
     """Layer-indexed all-expert kernel: grid (E, out_tiles, row_tiles); the
     codes block leads with a layer dim of 1 picked by the prefetch index."""
@@ -299,14 +310,15 @@ def _kernel_moe_indexed(idx_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref,
 
     @pl.when(r == pl.num_programs(2) - 1)
     def _():
-        out_ref[0] = acc_ref[:]
+        out_ref[0] = (acc_ref[:] * sc_ref[0, 0, 0][None, :]).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _call_moe_indexed(codes_tl_le, lut_lo_e, lut_hi_e, layer_idx, *, interpret):
+def _call_moe_indexed(codes_tl_le, lut_lo_e, lut_hi_e, scales_le, layer_idx, *, interpret):
     """codes_tl_le: [L, E, NT, K*IG, tn]; layer selected via scalar prefetch
     (a dynamic slice feeding the pallas_call would copy every expert's codes
-    to HBM each decode step — same rationale as _call_indexed)."""
+    to HBM each decode step — same rationale as _call_indexed). scales_le
+    [L, E, OUT] is indexed by the same scalar + folded into the epilogue."""
     L, E, nt, kig, tn = codes_tl_le.shape
     B = lut_lo_e.shape[1]
     two_halves = lut_hi_e is not None
@@ -320,11 +332,13 @@ def _call_moe_indexed(codes_tl_le, lut_lo_e, lut_hi_e, layer_idx, *, interpret):
             pl.BlockSpec((1, 1, 1, kr, tn), lambda e, o, r, li: (li[0], e, o, r, 0)),
             pl.BlockSpec((1, B, kr, 128), lambda e, o, r, li: (e, 0, r, 0)),
             pl.BlockSpec((1, B, kr, 128), lambda e, o, r, li: (e, 0, r, 0)),
+            pl.BlockSpec((1, 1, 1, tn), lambda e, o, r, li: (li[0], e, 0, o)),
         ],
         out_specs=pl.BlockSpec((1, B, tn), lambda e, o, r, li: (e, 0, o)),
         scratch_shapes=[pltpu.VMEM((B, tn), jnp.float32)],
     )
-    args = [codes_tl_le, lut_lo_e, lut_hi_e if two_halves else lut_lo_e]
+    args = [codes_tl_le, lut_lo_e, lut_hi_e if two_halves else lut_lo_e,
+            scales_le.reshape(L, E, 1, -1).astype(jnp.float32)]
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -344,14 +358,13 @@ def lut_moe_gemv_kx8_indexed(
     assert codebooks_le.shape[3] <= 256, "lut_gemv is the Kx8 path"
     li = jnp.asarray(layer_idx, jnp.int32)
     cbs = jax.lax.dynamic_index_in_dim(codebooks_le, li, 0, keepdims=False)
-    scales = jax.lax.dynamic_index_in_dim(scales_le, li, 0, keepdims=False)
     if x.ndim == 3:
         lo, hi = jax.vmap(lambda xe, cb: _build_lut(xe, cb, group))(x, cbs)
     else:
         xb = x.reshape(-1, x.shape[-1])
         lo, hi = jax.vmap(lambda cb: _build_lut(xb, cb, group))(cbs)
-    y = _call_moe_indexed(codes_tl_le, lo, hi, li, interpret=should_interpret())
-    return y * scales[:, None, :].astype(y.dtype)
+    return _call_moe_indexed(codes_tl_le, lo, hi, scales_le, li,
+                             interpret=should_interpret())
 
 
 # ---------------------------------------------------------------------------
@@ -359,7 +372,7 @@ def lut_moe_gemv_kx8_indexed(
 # ---------------------------------------------------------------------------
 
 
-def _kernel_indexed(idx_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halves):
+def _kernel_indexed(idx_ref, codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref, *, B, tn, two_halves):
     """Same loop as _kernel; codes block leads with (layer, out-tile) dims of
     1 that the scalar-prefetch index map points at the active layer/tile."""
     del idx_ref
@@ -374,17 +387,21 @@ def _kernel_indexed(idx_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, 
 
     @pl.when(r == pl.num_programs(1) - 1)
     def _():
-        out_ref[:] = acc_ref[:]
+        out_ref[:] = (acc_ref[:] * sc_ref[0, 0][None, :]).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _call_indexed(codes_tl, lut_lo, lut_hi, layer_idx, *, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def _call_indexed(codes_tl, lut_lo, lut_hi, scales_all, layer_idx, *, interpret,
+                  out_dtype=jnp.float32):
     """codes_tl: [L, NT, K*IG, tn]; the layer is selected INSIDE the kernel
     via a scalar-prefetch index map. A lax.scan-sliced (or
     dynamic_index_in_dim'd) codes operand feeding an opaque pallas_call costs
     an HBM copy of the layer's codes every step (~100 MB of traffic per 7B
     layer); indexing in the BlockSpec reads each code byte exactly once
-    (same design as ops/int8_matmul._call_indexed)."""
+    (same design as ops/int8_matmul._call_indexed). scales_all [L, 1, OUT]
+    is layer-indexed by the same prefetch scalar and folded into the
+    epilogue (a separate XLA scale kernel per projection costs more launch
+    overhead than the multiply)."""
     L, nt, kig, tn = codes_tl.shape
     B = lut_lo.shape[0]
     two_halves = lut_hi is not None
@@ -398,15 +415,17 @@ def _call_indexed(codes_tl, lut_lo, lut_hi, layer_idx, *, interpret):
             pl.BlockSpec((1, 1, kr, tn), lambda o, r, li: (li[0], o, r, 0)),
             pl.BlockSpec((B, kr, 128), lambda o, r, li: (0, r, 0)),
             pl.BlockSpec((B, kr, 128), lambda o, r, li: (0, r, 0)),
+            pl.BlockSpec((1, 1, tn), lambda o, r, li: (li[0], 0, o)),
         ],
         out_specs=pl.BlockSpec((B, tn), lambda o, r, li: (0, o)),
         scratch_shapes=[pltpu.VMEM((B, tn), jnp.float32)],
     )
-    args = [codes_tl, lut_lo, lut_hi if two_halves else lut_lo]
+    args = [codes_tl, lut_lo, lut_hi if two_halves else lut_lo,
+            scales_all.reshape(L, 1, -1).astype(jnp.float32)]
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, nt * tn), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nt * tn), out_dtype),
         interpret=interpret,
     )(layer_idx.reshape(1), *args)
 
@@ -418,21 +437,21 @@ def lut_gemv_kx8_indexed(
 
     codes_tl_all: [L, NT, K*IG, tn] uint8 (tiled); codebooks_all:
     [L, K, S<=256, g]; scales_all: [L, OUT]; layer_idx: scalar int. The tiny
-    per-layer arrays (codebooks/scales/bias) are sliced outside; the big
-    codes array is indexed inside the kernel."""
+    per-layer codebooks are sliced outside; the big codes array and the
+    scales are indexed inside the kernel."""
     lead = x.shape[:-1]
     xb = x.reshape(-1, x.shape[-1])
     assert codebooks_all.shape[2] <= 256, "lut_gemv is the Kx8 path"
     li = jnp.asarray(layer_idx, jnp.int32)
     cbs = jax.lax.dynamic_index_in_dim(codebooks_all, li, 0, keepdims=False)
-    scales = jax.lax.dynamic_index_in_dim(scales_all, li, 0, keepdims=False)
     lut_lo, lut_hi = _build_lut(xb, cbs, group)
-    y = _call_indexed(codes_tl_all, lut_lo, lut_hi, li, interpret=should_interpret())
-    y = y * scales[None, :].astype(y.dtype)
+    out_dtype = jnp.float32 if bias_all is not None else x.dtype
+    y = _call_indexed(codes_tl_all, lut_lo, lut_hi, scales_all, li,
+                      interpret=should_interpret(), out_dtype=out_dtype)
     if bias_all is not None:
         bias = jax.lax.dynamic_index_in_dim(bias_all, li, 0, keepdims=False)
-        y = y + bias[None, :].astype(y.dtype)
-    return y.astype(x.dtype).reshape(*lead, -1)
+        y = (y + bias[None, :].astype(y.dtype)).astype(x.dtype)
+    return y.reshape(*lead, -1)
 
 
 # ---------------------------------------------------------------------------
@@ -440,7 +459,7 @@ def lut_gemv_kx8_indexed(
 # ---------------------------------------------------------------------------
 
 
-def _kernel_grouped(idx_ref, pt_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref, *, B, tn, two_halves):
+def _kernel_grouped(idx_ref, pt_ref, codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref, *, B, tn, two_halves):
     """Fused projections: the codes block is the natural OUT-concatenation of
     tiles; each out-tile gathers from ITS projection's LUT (lo/hi blocks are
     indexed by the prefetch proj-map, so q/k/v outputs see q/k/v LUTs)."""
@@ -456,13 +475,15 @@ def _kernel_grouped(idx_ref, pt_ref, codes_ref, lo_ref, hi_ref, out_ref, acc_ref
 
     @pl.when(r == pl.num_programs(1) - 1)
     def _():
-        out_ref[:] = acc_ref[:]
+        out_ref[:] = (acc_ref[:] * sc_ref[0, 0][None, :]).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _call_grouped(codes_tl, lut_lo, lut_hi, proj_map, layer_idx, *, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def _call_grouped(codes_tl, lut_lo, lut_hi, scales_all, proj_map, layer_idx, *,
+                  interpret, out_dtype=jnp.float32):
     """codes_tl: [L, NT_total, K*IG, tn]; lut_lo/hi: [B, P, K*IG, 128];
-    proj_map: [NT_total] int32 prefetch array mapping out-tile -> projection."""
+    proj_map: [NT_total] int32 prefetch array mapping out-tile -> projection;
+    scales_all [L, OUT_total] layer-indexed + folded into the epilogue."""
     L, nt, kig, tn = codes_tl.shape
     B = lut_lo.shape[0]
     two_halves = lut_hi is not None
@@ -476,15 +497,17 @@ def _call_grouped(codes_tl, lut_lo, lut_hi, proj_map, layer_idx, *, interpret):
             pl.BlockSpec((1, 1, kr, tn), lambda o, r, li, pt: (li[0], o, r, 0)),
             pl.BlockSpec((B, 1, kr, 128), lambda o, r, li, pt: (0, pt[o], r, 0)),
             pl.BlockSpec((B, 1, kr, 128), lambda o, r, li, pt: (0, pt[o], r, 0)),
+            pl.BlockSpec((1, 1, tn), lambda o, r, li, pt: (li[0], 0, o)),
         ],
         out_specs=pl.BlockSpec((B, tn), lambda o, r, li, pt: (0, o)),
         scratch_shapes=[pltpu.VMEM((B, tn), jnp.float32)],
     )
-    args = [codes_tl, lut_lo, lut_hi if two_halves else lut_lo]
+    args = [codes_tl, lut_lo, lut_hi if two_halves else lut_lo,
+            scales_all.reshape(L, 1, -1).astype(jnp.float32)]
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, nt * tn), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nt * tn), out_dtype),
         interpret=interpret,
     )(layer_idx.reshape(1), proj_map, *args)
 
@@ -510,7 +533,6 @@ def lut_gemv_kx8_grouped_indexed(
     assert all(sz % tn == 0 for sz in out_sizes), (out_sizes, tn)
     li = jnp.asarray(layer_idx, jnp.int32)
     cbs = jax.lax.dynamic_index_in_dim(codebooks_all, li, 0, keepdims=False)
-    scales = jax.lax.dynamic_index_in_dim(scales_all, li, 0, keepdims=False)
     B = xb.shape[0]
     IG = xb.shape[1] // group
     xg = xb.reshape(B, IG, group).astype(jnp.float32)
@@ -526,6 +548,6 @@ def lut_gemv_kx8_grouped_indexed(
         pm += [p] * (sz // tn)
     proj_map = jnp.asarray(pm, jnp.int32)
 
-    y = _call_grouped(codes_tl_all, lut_lo, lut_hi, proj_map, li, interpret=should_interpret())
-    y = y * scales[None, :].astype(y.dtype)
-    return y.astype(x.dtype).reshape(*lead, -1)
+    y = _call_grouped(codes_tl_all, lut_lo, lut_hi, scales_all, proj_map, li,
+                      interpret=should_interpret(), out_dtype=x.dtype)
+    return y.reshape(*lead, -1)

@@ -13,6 +13,8 @@ weight read per decode step (130-500 MB bf16) and tolerates int8 well.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -225,6 +227,32 @@ def _concat_codes(lins: list[QuantizedLinear], tp: int = 1) -> FusedCodesLinear:
     )
 
 
+def _is_tiled_codes(l) -> bool:
+    return (isinstance(l, QuantizedLinear) and l.mode == "codes"
+            and l.codes_tl is not None and l.bias is None)
+
+
+def _tp_compatible_tn(lins, tp: int):
+    """Largest tile width every projection in the group can shard `tp` ways.
+
+    lut_tile_n picks the tile width per projection at load time without tp
+    knowledge; GQA makes k/v much narrower than q (70B: 1024 vs 8192), so a
+    512-wide tile that shards fine for q leaves k/v with NT < tp."""
+    for tn in (512, 128):
+        if all(l.out_features % (tn * tp) == 0 for l in lins):
+            return tn
+    return None
+
+
+def _retile_codes(l: QuantizedLinear, tn_new: int) -> QuantizedLinear:
+    from aqlm_tpu.ops.lut_gemv import tile_codes, untile_codes
+
+    if l.codes_tl.shape[2] == tn_new:
+        return l
+    ct = untile_codes(l.codes_tl, l.scheme.num_codebooks)
+    return dataclasses.replace(l, codes_tl=tile_codes(ct, tn=tn_new))
+
+
 def _codes_fusible(lins, tp: int = 1) -> bool:
     return (
         all(
@@ -249,9 +277,32 @@ def fuse_projections_codes(
     per-projection one-hot kernels (forward_stacked splits fused outputs).
     tp > 1 lays tiles out in per-shard interleaved order for tensor-parallel
     serving (serve/tp.py); non-tile-divisible projections stay unfused."""
+    def _tp_retile_group(layer, names):
+        """Re-tile a fusion group to a tile width every member can shard
+        `tp` ways (GQA k/v at 70B widths: 1024 out -> 2 512-tiles, unshardable
+        at tp=8; tn=128 gives 8). Applied whether or not the group then
+        fuses: an UNFUSED column-parallel codes projection also shards its
+        tile axis (serve/tp.py _qlin_spec)."""
+        lins = [layer.get(n) for n in names]
+        if tp == 1 or not all(_is_tiled_codes(l) for l in lins):
+            return
+        if all(l.codes_tl.shape[0] % tp == 0 for l in lins) and (
+            len({l.codes_tl.shape[2] for l in lins}) == 1
+        ):
+            return
+        tn = _tp_compatible_tn(lins, tp)
+        if tn is None:  # per-projection fallback: shardable but unfusible
+            for n, l in zip(names, lins):
+                if l.codes_tl.shape[0] % tp and l.out_features % (128 * tp) == 0:
+                    layer[n] = _retile_codes(l, 128)
+            return
+        for n, l in zip(names, lins):
+            layer[n] = _retile_codes(l, tn)
+
     new_layers = []
     for orig in params["layers"]:
         layer = dict(orig)
+        _tp_retile_group(layer, ("q_proj", "k_proj", "v_proj"))
         qkv = [layer.get(n) for n in ("q_proj", "k_proj", "v_proj")]
         if _codes_fusible(qkv, tp):
             layer["qkv_proj"] = _concat_codes(qkv, tp=tp)
@@ -259,6 +310,7 @@ def fuse_projections_codes(
                 del layer[n]
                 if donate:
                     orig[n] = None
+        _tp_retile_group(layer, ("gate_proj", "up_proj"))
         gu = [layer.get(n) for n in ("gate_proj", "up_proj")]
         if _codes_fusible(gu, tp):
             layer["gateup_proj"] = _concat_codes(gu, tp=tp)

@@ -61,6 +61,9 @@ for name, fn, consts in (
         nxt = (y[:, :IN] * 1e-3).astype(xx.dtype)
         return (nxt, (i + 1) % L)
 
-    t = chain_time(step, (x, jnp.asarray(0, jnp.int32)), n_steps=64, consts=consts)
+    # 64 steps of a ~50 us op is ~3 ms of signal against ~30 ms of tunnel
+    # roundtrip noise (the r2 run read int8 as 0.0 us/call); 1024 steps puts
+    # the chain at ~50 ms, an order of magnitude above the noise floor.
+    t = chain_time(step, (x, jnp.asarray(0, jnp.int32)), n_steps=1024, n_repeats=5, consts=consts)
     gb = (OUT * IN * (0.5 if name == "int4" else 1.0)) / 1e9
     print(f"{name}: {t * 1e6:7.1f} us/call  ({gb / t:.0f} GB/s effective weight read)")

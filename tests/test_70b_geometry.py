@@ -1,0 +1,60 @@
+"""Llama-3-70B REAL-width geometry rehearsal, TP=8, on the CPU mesh.
+
+The BASELINE north star is Llama-3-70B on v5e-16; every other test uses tiny
+widths. This rehearsal builds the real 70B geometry (hidden 8192,
+intermediate 28672, GQA 8 kv heads, vocab 128256 — divisibility of the
+tiled-codes layout, int4 nibble packing, fused qkv/gate-up shard
+interleaving, GQA head sharding, and the vocab-sharded lm_head all bind at
+these widths), trimmed to 2 layers, and runs TPEngine prefill + decode in
+codes-tiled AND int4 modes over an 8-device mesh.
+
+Single-core CPU + interpret-mode kernels make this minutes-slow; it guards
+geometry/compile validity (greedy determinism + finiteness), not numerics —
+the TP equality property is covered at small widths by test_tp_serve /
+test_tp_engine. See NOTES.md "v5e-16 70B HBM budget" for the analytic
+per-chip memory table this rehearsal backs.
+"""
+
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from aqlm_tpu.config import SCHEME_1X16, SCHEME_2X8
+from aqlm_tpu.models import llama
+from aqlm_tpu.models.quantize import random_quantized_params
+from aqlm_tpu.parallel import make_mesh
+from aqlm_tpu.serve import SamplingParams, ServeConfig
+from aqlm_tpu.serve.fuse import quantize_lm_head_int8
+from aqlm_tpu.serve.tp_engine import TPEngine
+
+
+def _cfg():
+    return dc.replace(llama.ModelConfig.llama3_70b(), num_layers=2)
+
+
+@pytest.mark.parametrize("mode", ["codes", "int4"])
+def test_llama3_70b_widths_tp8(mode):
+    cfg = _cfg()
+    scheme = SCHEME_2X8 if mode == "codes" else SCHEME_1X16
+    params = random_quantized_params(
+        jax.random.PRNGKey(0), cfg, scheme, mode=mode, dtype=jnp.float32
+    )
+    params = quantize_lm_head_int8(params)
+
+    serve = ServeConfig(max_batch=1, max_len=16, prefill_buckets=(8,),
+                        kv_quantized=True)
+    mesh = make_mesh(model=8)
+    eng = TPEngine(params, cfg, serve, mesh=mesh)
+    prompt = np.asarray([1, 17, 4093, 128000, 9, 2], np.int32)
+    out1 = eng.generate([prompt], SamplingParams(max_new_tokens=3))
+    assert len(out1[0]) == 3
+    assert all(0 <= t < cfg.vocab_size for t in out1[0])
+    # greedy decode must be deterministic at these widths (catches any
+    # shard-boundary garbage feeding the argmax)
+    out2 = eng.generate([prompt], SamplingParams(max_new_tokens=3))
+    assert out1 == out2, (out1, out2)

@@ -72,12 +72,13 @@ def _markov_corpus(n_tokens: int, seed: int) -> np.ndarray:
     return out
 
 
-@pytest.fixture(scope="module")
-def tiny_setup(tmp_path_factory):
-    """Train the tiny model, save HF checkpoint + calib/eval token files."""
+def build_tiny_trained(root):
+    """Train the tiny model, save HF checkpoint + calib/eval token files.
+
+    Shared with tests/test_quality_ladder.py (the runtime-mode PPL ladder).
+    """
     from transformers import LlamaConfig, LlamaForCausalLM
 
-    root = tmp_path_factory.mktemp("parity")
     torch.manual_seed(0)
     hf_cfg = LlamaConfig(
         vocab_size=VOCAB,
@@ -115,6 +116,11 @@ def tiny_setup(tmp_path_factory):
     torch.save([row[None, :] for row in calib], calib_path)
     return dict(root=root, model_dir=str(model_dir), calib=calib, val=val,
                 calib_path=str(calib_path), final_loss=float(out.loss))
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    return build_tiny_trained(tmp_path_factory.mktemp("parity"))
 
 
 def _torch_ppl(model, val: torch.Tensor) -> float:
