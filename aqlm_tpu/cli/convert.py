@@ -21,9 +21,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("input", help="model dir (canonical or HF AQLM)")
     p.add_argument("output", help="destination dir")
-    p.add_argument("--to", choices=["hf", "canonical", "2x8", "requant"], required=True,
+    p.add_argument("--to", choices=["hf", "canonical", "2x8", "2x7", "requant"], required=True,
                    help="2x8: re-fit 1x16 codebooks as sums of two 256-entry "
                         "books (TPU codes-resident serving; reports rel-MSE); "
+                        "2x7: same with 128-entry books (~2.0 bits) — decode "
+                        "takes the single-gather LUT path, ~2x fewer VPU "
+                        "gathers than 2x8, at a fit-error cost; "
                         "requant: fit a fresh --scheme to the dequantized "
                         "weights (weight-L2, no calibration data — e.g. a "
                         "1x8 draft model for speculative serving)")
@@ -84,19 +87,21 @@ def main(argv=None):
         from aqlm_tpu.io import save_quantized_model
 
         save_quantized_model(args.output, params, cfg)
-    elif args.to == "2x8":
+    elif args.to in ("2x8", "2x7"):
         from aqlm_tpu.io import save_quantized_model
         from aqlm_tpu.ops.dequant import AqlmWeight
         from aqlm_tpu.ops.runtime import QuantizedLinear
-        from aqlm_tpu.ops.transcode import transcode_1x16_to_2x8
+        from aqlm_tpu.ops.transcode import transcode_1x16_to_2xN
 
+        nbits = int(args.to[-1])
         worst = 0.0
         for li, layer in enumerate(params["layers"]):
             for name, q in list(layer.items()):
                 if isinstance(q, QuantizedLinear) and q.scheme.nbits_per_codebook == 16:
                     w = AqlmWeight(codes=q.codes, codebooks=q.codebooks,
                                    scales=q.scales, bias=q.bias, scheme=q.scheme)
-                    w2, rel = transcode_1x16_to_2x8(w, iters=args.transcode_iters)
+                    w2, rel = transcode_1x16_to_2xN(
+                        w, nbits=nbits, iters=args.transcode_iters)
                     layer[name] = QuantizedLinear.from_aqlm(w2, mode="reference")
                     worst = max(worst, rel)
                     print(f"layer {li} {name}: codebook rel-MSE {rel:.4f}")

@@ -91,6 +91,11 @@ def apply_linear(x: jax.Array, lin) -> jax.Array:
         return fused_codes_matmul_indexed(x, lin)
     if isinstance(lin, QuantizedLinear):
         return quantized_matmul(x, lin)
+    if callable(getattr(lin, "apply", None)) and not hasattr(lin, "weight"):
+        # weightless functional linear (e.g. pv.straight_through's
+        # checkpointed dequant+ST projection): delegates the matmul so the
+        # dense weight never becomes a saved residual
+        return lin.apply(x)
     y = jnp.einsum(
         "...i,oi->...o", x, lin.weight.astype(x.dtype), preferred_element_type=jnp.float32
     ).astype(x.dtype)

@@ -28,7 +28,7 @@ import numpy as np
 from aqlm_tpu.config import AqlmScheme
 from aqlm_tpu.ops.dequant import AqlmWeight
 
-__all__ = ["fit_additive_split", "transcode_1x16_to_2x8"]
+__all__ = ["fit_additive_split", "transcode_1x16_to_2x8", "transcode_1x16_to_2xN"]
 
 
 def _assign(points, centers, w):
@@ -125,36 +125,48 @@ def fit_additive_split(
     return A, B, hi.astype(jnp.uint8), lo.astype(jnp.uint8), float(rel)
 
 
-def transcode_1x16_to_2x8(w: AqlmWeight, *, iters: int = 25, seed: int = 0):
-    """Transcode a 1x16 AqlmWeight into the 2x8 additive layout.
+def transcode_1x16_to_2xN(w: AqlmWeight, *, nbits: int = 8, iters: int = 25, seed: int = 0):
+    """Transcode a 1x16 AqlmWeight into a 2-codebook additive layout.
 
-    Returns (AqlmWeight with scheme 2x8, rel_codebook_mse). Codes transform
+    Returns (AqlmWeight with scheme 2xN, rel_codebook_mse). Codes transform
     by table lookup (hi/lo assignment of each 16-bit code); scales and bias
     are unchanged. The weight-level relative MSE equals the usage-weighted
     codebook-space rel_mse (dequantization is linear in the codebook rows).
+
+    nbits=8 (2x8, 2.3 bits resident) is the quality point; nbits=7 (2x7,
+    ~2.0 bits) halves the LUT-GEMV decode gathers — S=128 tables take the
+    kernel's single-gather no-select path (ops/lut_gemv.py _split_lut) —
+    trading fit error for decode speed.
     """
     scheme = w.scheme
     assert scheme.num_codebooks == 1 and scheme.nbits_per_codebook == 16, scheme
     assert scheme.out_group_size == 1, "transcode supports out_group_size == 1"
+    assert 2 <= nbits <= 8, nbits
     g = scheme.in_group_size
     cb = jnp.asarray(w.codebooks[0, :, 0, :], jnp.float32)  # [65536, g]
     codes16 = jnp.asarray(w.codes[:, :, 0], jnp.int32) & 0xFFFF  # [OUT, IG]
 
     usage = jnp.zeros((cb.shape[0],), jnp.float32).at[codes16.reshape(-1)].add(1.0)
-    A, B, hi, lo, rel = fit_additive_split(cb, usage, iters=iters, seed=seed)
+    A, B, hi, lo, rel = fit_additive_split(
+        cb, usage, n_centers=2 ** nbits, iters=iters, seed=seed)
 
     new_codes = jnp.stack(
         [hi[codes16].astype(jnp.uint8), lo[codes16].astype(jnp.uint8)], axis=-1
     )  # [OUT, IG, 2]
-    new_cbs = jnp.stack([A, B])[:, :, None, :]  # [2, 256, 1, g]
+    new_cbs = jnp.stack([A, B])[:, :, None, :]  # [2, 2^nbits, 1, g]
     out = AqlmWeight(
         codes=new_codes,
         codebooks=new_cbs.astype(w.codebooks.dtype),
         scales=w.scales,
         bias=w.bias,
         scheme=AqlmScheme(
-            num_codebooks=2, nbits_per_codebook=8,
+            num_codebooks=2, nbits_per_codebook=nbits,
             in_group_size=g, out_group_size=1,
         ),
     )
     return out, rel
+
+
+def transcode_1x16_to_2x8(w: AqlmWeight, *, iters: int = 25, seed: int = 0):
+    """Back-compat wrapper: 2x8 additive transcode (see transcode_1x16_to_2xN)."""
+    return transcode_1x16_to_2xN(w, nbits=8, iters=iters, seed=seed)

@@ -90,6 +90,10 @@ class PVConfig:
     # loss and a homogeneous llama-family student (every QUANTIZABLE_PROJS
     # a reference-mode QuantizedLinear of one scheme).
     scan_blocks: bool = False
+    # what the scan_blocks backward rematerializes; "dequant" is the only
+    # mode that both fits 32L on one chip AND survives the v5e (whole-body
+    # jax.checkpoint faults the device in backward — NOTES.md)
+    scan_remat: str = "dequant"
 
 
 @partial(
@@ -160,7 +164,8 @@ def materialize_st_params(params: dict, st_buffers) -> dict:
 
 
 def scanned_student_hidden(
-    params: dict, st_buffers, cfg: llama.ModelConfig, input_ids, window_start=None
+    params: dict, st_buffers, cfg: llama.ModelConfig, input_ids, window_start=None,
+    remat: str = "dequant",
 ):
     """Student forward to post-final-norm hidden states via one lax.scan.
 
@@ -179,7 +184,20 @@ def scanned_student_hidden(
       * windowed dict {proj: [W, out, in]} + ``window_start`` (traced int32)
         — ONE compile serves every rotation (the window position only enters
         the masked dynamic slice).
+
+    remat controls what the scan backward rematerializes:
+      * "dequant" (default): only the per-projection dequantize is
+        jax.checkpoint'd — its inputs (codes/codebooks/scales slices) are
+        already scan operands, so the dense weights (the 404 MB/layer that
+        made the unrolled 7B path fault) are transient in BOTH directions
+        while block activations save normally. Measured on the v5e: remat of
+        the WHOLE body ("block") faults the device in the backward pass at
+        any L, with or without prevent_cse; no remat ("none") works but
+        saves every dense weight (L=8 max on 16 GB).
+      * "block": jax.checkpoint around the whole scan body (historical).
+      * "none": plain scan (small models / debugging).
     """
+    assert remat in ("dequant", "block", "none"), remat
     layers = params["layers"]
     l0 = layers[0]
     for layer in layers:
@@ -229,6 +247,48 @@ def scanned_student_hidden(
     if cfg.gemma_norm:
         x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
 
+    use_st = bool(st_stack)
+
+    def _proj_apply(x, codes, cbs, scales, bias, st_arr, li):
+        """One projection, dequant + (masked) ST correction + MATMUL, as one
+        checkpointed unit (remat="dequant"). The matmul must live INSIDE the
+        checkpoint: a dense weight returned from it would still be the
+        matmul's saved residual, which the scan stacks over layers —
+        measured 28.5 GB of bf16[32,11008,4096] stacks at L=32. With the
+        matmul inside, the residuals are the checkpoint INPUTS (the
+        activation + the scan's own codes/codebook slices), and the backward
+        re-dequantizes. dL/d(st window) still flows — straight-through."""
+        w = dequantize_weight(
+            AqlmWeight(codes=codes, codebooks=cbs, scales=scales,
+                       bias=None, scheme=scheme),
+            dtype=compute_dtype,
+        )
+        if use_st:
+            pos = jnp.clip(li - start, 0, win - 1)
+            in_win = ((li >= start) & (li < start + win)).astype(jnp.float32)
+            stw = jax.lax.dynamic_index_in_dim(st_arr, pos, keepdims=False)
+            corr = (stw - jax.lax.stop_gradient(stw)) * in_win
+            w = (w.astype(jnp.float32) + corr).astype(compute_dtype)
+        y = jnp.einsum(
+            "...i,oi->...o", x, w.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+    if remat == "dequant":
+        _proj_apply = jax.checkpoint(_proj_apply)
+
+    class _FnLinear:
+        """Weightless linear consumed by apply_linear (models/common.py):
+        exists only inside the body trace, so no pytree registration."""
+
+        bias = None
+
+        def __init__(self, fn):
+            self.apply = fn
+
     def body(x, xs):
         codes_l, cb_l, sc_l, bias_l, norms_l, li = xs
         layer = {
@@ -236,20 +296,12 @@ def scanned_student_hidden(
             "post_attn_norm": norms_l["post_attn_norm"],
         }
         for name in QUANTIZABLE_PROJS:
-            w = dequantize_weight(
-                AqlmWeight(
-                    codes=codes_l[name], codebooks=cb_l[name], scales=sc_l[name],
-                    bias=None, scheme=scheme,
-                ),
-                dtype=compute_dtype,
-            )
-            if st_stack:
-                pos = jnp.clip(li - start, 0, win - 1)
-                in_win = ((li >= start) & (li < start + win)).astype(jnp.float32)
-                stw = jax.lax.dynamic_index_in_dim(st_stack[name], pos, keepdims=False)
-                corr = (stw - jax.lax.stop_gradient(stw)) * in_win
-                w = (w.astype(jnp.float32) + corr).astype(compute_dtype)
-            layer[name] = DenseLinear(weight=w, bias=bias_l.get(name))
+            layer[name] = _FnLinear(partial(
+                _proj_apply,
+                codes=codes_l[name], cbs=cb_l[name], scales=sc_l[name],
+                bias=bias_l.get(name),
+                st_arr=st_stack[name] if use_st else None, li=li,
+            ))
         out, _ = llama._block(x, layer, cfg, positions, None, None, None)
         return out, None
 
@@ -257,7 +309,8 @@ def scanned_student_hidden(
         codes_stack, cb_stack, sc_stack, bias_stack, norm_stack,
         jnp.arange(len(layers)),
     )
-    x, _ = jax.lax.scan(jax.checkpoint(body), x, xs)
+    scan_body = jax.checkpoint(body) if remat == "block" else body
+    x, _ = jax.lax.scan(scan_body, x, xs)
     return llama.rms_norm(x, params["final_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
 
 
@@ -322,7 +375,8 @@ def make_pv_step(
             if pv.scan_blocks:
                 eff = params
                 s_hidden = scanned_student_hidden(
-                    params, st, student_cfg, input_ids, window_start
+                    params, st, student_cfg, input_ids, window_start,
+                    remat=pv.scan_remat,
                 )
             else:
                 eff = materialize_st_params(params, st)

@@ -11,6 +11,7 @@ Stages (argv[1]), each a separate run so a fault doesn't poison the next:
 Usage: python experiments/pv_scan_bisect2.py <stage> [n_layers] [T]
 """
 
+import functools
 import sys
 import time
 
@@ -44,6 +45,11 @@ ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, T)), jnp.int32)
 if stage == "nockpt":
     _orig = jax.checkpoint
     jax.checkpoint = lambda f, **kw: f  # type: ignore
+elif stage == "nocse":
+    # checkpoint WITHOUT the prevent_cse optimization barriers (redundant
+    # under lax.scan per JAX docs; the barriers are a fault suspect)
+    _orig = jax.checkpoint
+    jax.checkpoint = functools.partial(_orig, prevent_cse=False)  # type: ignore
 
 win = {
     name: jnp.zeros(
@@ -54,7 +60,7 @@ win = {
 }
 w0 = jnp.zeros((), jnp.int32)
 
-use_st = stage in ("fwd_st", "grad_st", "body", "nockpt")
+use_st = stage in ("fwd_st", "grad_st", "body", "nockpt", "nocse")
 
 
 def fwd(params, st):
@@ -67,35 +73,38 @@ t0 = time.time()
 if stage in ("fwd", "fwd_st"):
     val = jax.jit(fwd)(student, win)
     print(f"{stage} OK {time.time()-t0:.0f}s val={float(val):.4f}", flush=True)
-elif stage in ("grad", "grad_st", "nockpt"):
+elif stage in ("grad", "grad_st", "nockpt", "nocse"):
     if use_st:
         val, g = jax.jit(jax.value_and_grad(fwd, argnums=1))(student, win)
     else:
         # Without an st window the loss ignores argument 1, so grad wrt it is
         # a constant zero and XLA dead-code-eliminates the backward pass; take
         # the grad wrt the FLOAT param leaves (codes are int32 — not
-        # differentiable) so the scan backward actually runs on device.
+        # differentiable) so the scan backward actually runs on device. BOTH
+        # leaf groups are jit ARGS: closure constants upload with the program
+        # and the codes alone blow the remote-compile request limit (413).
         leaves, treedef = jax.tree_util.tree_flatten(student)
         is_f = [jnp.issubdtype(l.dtype, jnp.floating) for l in leaves]
 
-        def fwd_floats(fl, st):
-            it = iter(fl)
+        def fwd_floats(fl, others, st):
+            it, jt = iter(fl), iter(others)
             params = jax.tree_util.tree_unflatten(
-                treedef, [next(it) if f else l for l, f in zip(leaves, is_f)]
+                treedef, [next(it) if f else next(jt) for f in is_f]
             )
             return fwd(params, st)
 
         floats = [l for l, f in zip(leaves, is_f) if f]
-        val, g = jax.jit(jax.value_and_grad(fwd_floats, argnums=0))(floats, win)
+        others = [l for l, f in zip(leaves, is_f) if not f]
+        val, g = jax.jit(jax.value_and_grad(fwd_floats, argnums=0))(floats, others, win)
     jax.block_until_ready(jax.tree_util.tree_leaves(g)[0])
     print(f"{stage} OK {time.time()-t0:.0f}s val={float(val):.4f}", flush=True)
 elif stage == "body":
-    # one block, no scan: dequant all projections + _block + st correction
-    layer0 = student["layers"][0]
-
-    def one(st):
+    # one block, no scan: dequant all projections + _block + st correction.
+    # layer params and embed are jit ARGS (closure constants upload with the
+    # program; the embed alone exceeds the remote-compile request limit).
+    def one(st, layer0, embed):
         positions = jnp.broadcast_to(jnp.arange(T)[None, :], (1, T))
-        x = jnp.take(student["embed"], ids, axis=0)
+        x = jnp.take(embed, ids, axis=0)
         layer = {
             "input_norm": layer0["input_norm"],
             "post_attn_norm": layer0["post_attn_norm"],
@@ -118,8 +127,9 @@ elif stage == "body":
         out, _ = llama._block(x, layer, cfg, positions, None, None, None)
         return jnp.mean(jnp.square(out.astype(jnp.float32)))
 
-    val, g = jax.jit(jax.value_and_grad(one))(win)
-    jax.block_until_ready(g)
+    val, g = jax.jit(jax.value_and_grad(one, argnums=0))(
+        win, student["layers"][0], student["embed"])
+    jax.block_until_ready(jax.tree_util.tree_leaves(g)[0])
     print(f"body OK {time.time()-t0:.0f}s val={float(val):.4f}", flush=True)
 else:
     raise SystemExit(f"unknown stage {stage}")

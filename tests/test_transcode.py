@@ -9,7 +9,11 @@ from aqlm_tpu.config import SCHEME_1X16
 from aqlm_tpu.models import llama
 from aqlm_tpu.models.quantize import random_quantized_params
 from aqlm_tpu.ops.dequant import AqlmWeight, dequantize_weight, random_aqlm_weight
-from aqlm_tpu.ops.transcode import fit_additive_split, transcode_1x16_to_2x8
+from aqlm_tpu.ops.transcode import (
+    fit_additive_split,
+    transcode_1x16_to_2x8,
+    transcode_1x16_to_2xN,
+)
 
 
 @pytest.mark.slow
@@ -39,6 +43,29 @@ def test_transcode_1x16_weight_error(key):
     # iid-random codebooks are the WORST case for additive splitting; the
     # weight error must still track the reported codebook rel_mse
     assert np.isfinite(rel) and wmse < rel * 1.3 + 1e-3, (wmse, rel)
+
+
+@pytest.mark.slow
+def test_transcode_2x7_serves_codes_mode(key):
+    """2x7 (128-entry books): dequant consistency AND the codes-mode runtime
+    single-gather path (S=128 skips the two-half select in lut_gemv)."""
+    from aqlm_tpu.ops.runtime import QuantizedLinear, quantized_matmul
+
+    w = random_aqlm_weight(key, SCHEME_1X16, 256, 128)
+    w2, rel = transcode_1x16_to_2xN(w, nbits=7, iters=15)
+    assert w2.scheme.num_codebooks == 2 and w2.scheme.nbits_per_codebook == 7
+    assert w2.codebooks.shape[1] == 128
+    assert int(jnp.max(w2.codes)) < 128
+
+    d2 = dequantize_weight(w2, dtype=jnp.float32)
+    q = QuantizedLinear.from_aqlm(w2, mode="codes")
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 128), jnp.float32)
+    y = quantized_matmul(x, q)
+    ref = x @ d2.T
+    relerr = float(jnp.linalg.norm(y.astype(jnp.float32) - ref) / jnp.linalg.norm(ref))
+    assert relerr < 2e-2, relerr
+    # 2x7 must fit at least as well as a single 128-entry book would; sane cap
+    assert np.isfinite(rel) and rel < 1.0, rel
 
 
 @pytest.mark.slow
