@@ -164,7 +164,7 @@ class StackedCodesExperts:
     """All experts of one projection in the codes-resident (Kx8 LUT-GEMV)
     layout: codes_tl [E, NT, K*IG, tn] uint8 tiles, codebooks [E, K, S, g],
     scales [E, OUT] — the operand of ops.lut_gemv.lut_moe_gemv_kx8 (decode)
-    and, untiled per expert, kernels.fused_onehot_matmul (prefill)."""
+    and, per expert, gather_prefill.gather_prefill_matmul (prefill)."""
 
     codes_tl: jax.Array
     codebooks: jax.Array
@@ -254,14 +254,10 @@ def _moe_codes_ffn(flat, gate_q: StackedCodesExperts, up_q, down_q):
     """Codes-resident stacked-expert FFN on flattened tokens [N, H].
 
     Decode (N <= LUT_GEMV_MAX_BATCH): one lut_moe_gemv_kx8 launch per
-    projection. Prefill: per-expert one-hot MXU matmuls (the LUT cost is
-    per-token; the one-hot S*g MACs amortize over many tokens)."""
-    from aqlm_tpu.ops.kernels import fused_onehot_matmul
-    from aqlm_tpu.ops.lut_gemv import (
-        LUT_GEMV_MAX_BATCH,
-        lut_moe_gemv_kx8,
-        untile_codes,
-    )
+    projection. Prefill: per-expert gather-dequant MXU matmuls (the LUT cost
+    is per-token; the dequantized tile amortizes over many tokens)."""
+    from aqlm_tpu.ops.gather_prefill import gather_prefill_matmul
+    from aqlm_tpu.ops.lut_gemv import LUT_GEMV_MAX_BATCH, lut_moe_gemv_kx8
 
     n = flat.shape[0]
     if n <= LUT_GEMV_MAX_BATCH:
@@ -274,14 +270,14 @@ def _moe_codes_ffn(flat, gate_q: StackedCodesExperts, up_q, down_q):
         return lut_moe_gemv_kx8(act.astype(flat.dtype), down_q.codes_tl,
                                 down_q.codebooks, down_q.scales,
                                 group=down_q.group)
-    # prefill: loop experts through the one-hot MXU kernel
+    # prefill: loop experts through the gather-dequant MXU kernel (reads
+    # each expert's tiled codes in place — no untile, no one-hot compares)
     E = gate_q.codes_tl.shape[0]
     outs = []
     for e in range(E):
         def proj(q, v):
-            ct = untile_codes(q.codes_tl[e], q.num_codebooks)
-            return fused_onehot_matmul(v, ct, q.codebooks[e], q.scales[e],
-                                       group=q.group)
+            return gather_prefill_matmul(v, q.codes_tl[e], q.codebooks[e],
+                                         q.scales[e], group=q.group)
         gate = proj(gate_q, flat)
         up = proj(up_q, flat)
         act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up

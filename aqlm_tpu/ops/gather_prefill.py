@@ -1,0 +1,360 @@
+"""Gather-dequant prefill kernels for Kx8 codes-resident serving.
+
+The r3 bench exposed codes-mode prefill at 188 tok/s vs int8's 5081 on the
+same prompt. The cause: the one-hot prefill kernel (ops/kernels.py) builds
+its one-hot via a [IG, tn, S] compare-vs-iota on the VPU — ~S compares per
+weight group per codebook = ~13G VPU element-ops per 7B layer, ~10x the MXU
+dequant FLOPs it feeds — plus the prefill path untiled the whole layer's
+codes per call (ops/lut_gemv.untile_codes inside the jitted forward).
+
+This module replaces both: W^T tiles are dequantized with the decode
+kernel's 128-lane table gathers (tpu.dynamic_gather, measured ~427 G/s —
+g gathers per CODE instead of S compares per GROUP, a ~26x op reduction)
+reading the TILED codes layout [NT, K*IG, tn] directly (contiguous DMA, no
+untile), then fed straight to the MXU against the token block. Reference
+counterpart: the GEMM/dequant path that exists precisely so prefill is not
+GEMV-bound (cuda_kernel.cpp:249-301, Code1x16Dequant cuda_kernel.cu:98-142).
+
+Layout contract (shared with ops/lut_gemv.tile_codes): rows are IG-major
+(row = ig*K + k), so a row block of kr = tig*K rows covers input groups
+[r*tig, (r+1)*tig) — the matching x columns are one contiguous slice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aqlm_tpu.ops.kernels import should_interpret
+
+__all__ = [
+    "gather_prefill_matmul",
+    "gather_prefill_matmul_indexed",
+    "gather_prefill_matmul_grouped_indexed",
+]
+
+
+def _dequant_accum(codes_blk, lo_ref, hi_ref, x_ref, acc_ref, wt_ref, *,
+                   tig, kk, g, tn, two_halves, first_r):
+    """Shared body: dequantize the [kr, tn] codes block into a W^T tile via
+    lane gathers, then accumulate x_blk @ W^T on the MXU.
+
+    codes_blk  [kr, tn] uint8 (kr = tig*kk rows, ig-major)
+    lo/hi_ref  [g, kk, 128] f32 element-j codebook tables (f32: bf16 lane
+               gathers crash the remote Mosaic compiler, NOTES.md)
+    x_ref      [tb, tig*g]
+    wt_ref     scratch [tig, g, tn] f32
+    """
+    kr = tig * kk
+    idx = codes_blk.astype(jnp.int32)
+    for c in range(tn // 128):
+        chunk = idx[:, c * 128 : (c + 1) * 128]
+        lane = (chunk & 127) if two_halves else chunk
+        half = chunk < 128
+        for j in range(g):
+            tlo = jnp.broadcast_to(lo_ref[j][None], (tig, kk, 128)).reshape(kr, 128)
+            glo = jnp.take_along_axis(tlo, lane, axis=1)
+            if two_halves:
+                thi = jnp.broadcast_to(hi_ref[j][None], (tig, kk, 128)).reshape(kr, 128)
+                ghi = jnp.take_along_axis(thi, lane, axis=1)
+                gath = jnp.where(half, glo, ghi)
+            else:
+                gath = glo
+            # sum the K codebook contributions (adjacent rows of the ig-major
+            # layout) while scattering element j into the W^T row interleave
+            wt_ref[:, j, c * 128 : (c + 1) * 128] = gath.reshape(tig, kk, 128).sum(axis=1)
+
+    wt = wt_ref[:].reshape(tig * g, tn).astype(jnp.bfloat16)
+
+    @pl.when(first_r)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], wt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _row_tile(kig: int, kk: int, g: int, tn: int) -> int:
+    """Row-block size keeping the W^T scratch (tig*g*tn f32) under ~2 MiB."""
+    kr = kig
+    while (kr // kk) * g * tn * 4 > 2 * 2**20:
+        assert kr % 2 == 0, kig
+        kr //= 2
+    assert kr % kk == 0, (kig, kk)
+    return kr
+
+
+def _batch_tile(b: int) -> int:
+    tb = min(b, 256)
+    while b % tb:
+        tb -= 1
+    return tb
+
+
+def _tables(codebooks: jax.Array):
+    """[K, S, g] -> ([g, K, 128] lo, [g, K, 128] hi, two_halves)."""
+    kk, s, g = codebooks.shape
+    assert s <= 256, "gather_prefill is the Kx8 path"
+    cbt = codebooks.transpose(2, 0, 1).astype(jnp.float32)  # [g, K, S]
+    if s < 128:
+        cbt = jnp.pad(cbt, ((0, 0), (0, 0), (0, 128 - s)))
+    if s > 128:
+        lo = cbt[..., :128]
+        hi = cbt[..., 128:]
+        if s < 256:
+            hi = jnp.pad(hi, ((0, 0), (0, 0), (0, 256 - s)))
+        return lo, hi, True
+    return cbt, cbt, False
+
+
+def _pad_batch(xb: jax.Array):
+    b = xb.shape[0]
+    bp = (b + 7) // 8 * 8
+    if bp != b:
+        xb = jnp.pad(xb, ((0, bp - b), (0, 0)))
+    return xb, b
+
+
+# ---------------------------------------------------------------------------
+# plain (single weight)
+# ---------------------------------------------------------------------------
+
+
+def _kernel(codes_ref, lo_ref, hi_ref, x_ref, sc_ref, out_ref, acc_ref, wt_ref,
+            *, tig, kk, g, tn, two_halves):
+    r = pl.program_id(2)
+    _dequant_accum(codes_ref[0], lo_ref, hi_ref, x_ref, acc_ref, wt_ref,
+                   tig=tig, kk=kk, g=g, tn=tn, two_halves=two_halves,
+                   first_r=r == 0)
+
+    @pl.when(r == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] * sc_ref[0, 0][None, :]).astype(out_ref.dtype)
+
+
+def gather_prefill_matmul(x, codes_tl, codebooks, scales, bias=None, *, group: int):
+    """y = x @ dequant(codes)^T * scales + bias over the TILED codes layout.
+
+    x: [..., IN]; codes_tl: [NT, K*IG, tn] uint8 (lut_gemv.tile_codes);
+    codebooks: [K, S<=256, g]; scales: [OUT]; bias: [OUT] or None.
+    Exact — same math as the one-hot kernel, ~26x fewer VPU ops.
+    """
+    lead = x.shape[:-1]
+    xb, b_orig = _pad_batch(x.reshape(-1, x.shape[-1]))
+    lo, hi, two = _tables(codebooks)
+    y = _call_plain(
+        xb, codes_tl, lo, hi, scales, group=group, two_halves=two,
+        interpret=should_interpret(),
+    )[:b_orig]
+    if bias is not None:
+        y = (y.astype(jnp.float32) + bias[None, :]).astype(y.dtype)
+    return y.reshape(*lead, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "two_halves", "interpret"))
+def _call_plain(xb, codes_tl, lo, hi, scales, *, group, two_halves, interpret):
+    nt, kig, tn = codes_tl.shape
+    g, kk = lo.shape[0], lo.shape[1]
+    b = xb.shape[0]
+    kr = _row_tile(kig, kk, g, tn)
+    tig = kr // kk
+    tb = _batch_tile(b)
+
+    kern = functools.partial(_kernel, tig=tig, kk=kk, g=g, tn=tn, two_halves=two_halves)
+    return pl.pallas_call(
+        kern,
+        grid=(nt, b // tb, kig // kr),
+        in_specs=[
+            pl.BlockSpec((1, kr, tn), lambda o, bt, r: (o, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tig * g), lambda o, bt, r: (bt, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tn), lambda o, bt, r: (0, 0, o), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, tn), lambda o, bt, r: (bt, o), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nt * tn), xb.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tb, tn), jnp.float32),
+            pltpu.VMEM((tig, g, tn), jnp.float32),
+        ],
+        interpret=interpret,
+    )(codes_tl, lo, hi, xb, scales.reshape(1, 1, -1).astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# layer-indexed (stacked scan serving)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_indexed(idx_ref, codes_ref, lo_ref, hi_ref, x_ref, sc_ref, out_ref,
+                    acc_ref, wt_ref, *, tig, kk, g, tn, two_halves):
+    del idx_ref
+    r = pl.program_id(2)
+    _dequant_accum(codes_ref[0, 0], lo_ref, hi_ref, x_ref, acc_ref, wt_ref,
+                   tig=tig, kk=kk, g=g, tn=tn, two_halves=two_halves,
+                   first_r=r == 0)
+
+    @pl.when(r == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] * sc_ref[0, 0][None, :]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "two_halves", "interpret"))
+def _call_indexed(xb, codes_tl_all, lo, hi, scales_all, layer_idx, *,
+                  group, two_halves, interpret):
+    """codes_tl_all: [L, NT, K*IG, tn]; the layer is selected INSIDE the
+    kernel via scalar prefetch — a dynamic_index_in_dim'd operand feeding an
+    opaque pallas_call copies the layer's codes to HBM first (same design as
+    lut_gemv._call_indexed)."""
+    L, nt, kig, tn = codes_tl_all.shape
+    g, kk = lo.shape[0], lo.shape[1]
+    b = xb.shape[0]
+    kr = _row_tile(kig, kk, g, tn)
+    tig = kr // kk
+    tb = _batch_tile(b)
+
+    kern = functools.partial(_kernel_indexed, tig=tig, kk=kk, g=g, tn=tn,
+                             two_halves=two_halves)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt, b // tb, kig // kr),
+        in_specs=[
+            pl.BlockSpec((1, 1, kr, tn), lambda o, bt, r, li: (li[0], o, r, 0)),
+            pl.BlockSpec((g, kk, 128), lambda o, bt, r, li: (0, 0, 0)),
+            pl.BlockSpec((g, kk, 128), lambda o, bt, r, li: (0, 0, 0)),
+            pl.BlockSpec((tb, tig * g), lambda o, bt, r, li: (bt, r)),
+            pl.BlockSpec((1, 1, tn), lambda o, bt, r, li: (li[0], 0, o)),
+        ],
+        out_specs=pl.BlockSpec((tb, tn), lambda o, bt, r, li: (bt, o)),
+        scratch_shapes=[
+            pltpu.VMEM((tb, tn), jnp.float32),
+            pltpu.VMEM((tig, g, tn), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nt * tn), xb.dtype),
+        interpret=interpret,
+    )(layer_idx.reshape(1), codes_tl_all, lo, hi, xb,
+      scales_all.reshape(L, 1, -1).astype(jnp.float32))
+
+
+def gather_prefill_matmul_indexed(
+    x, codes_tl_all, codebooks_all, scales_all, layer_idx, bias_all=None, *, group: int
+):
+    """Layer-indexed gather-prefill over stacked serving params.
+
+    codes_tl_all: [L, NT, K*IG, tn] uint8; codebooks_all: [L, K, S<=256, g];
+    scales_all: [L, OUT]; layer_idx: scalar int. The tiny codebooks are
+    sliced outside; codes and scales are indexed inside the kernel."""
+    lead = x.shape[:-1]
+    xb, b_orig = _pad_batch(x.reshape(-1, x.shape[-1]))
+    li = jnp.asarray(layer_idx, jnp.int32)
+    cbs = jax.lax.dynamic_index_in_dim(codebooks_all, li, 0, keepdims=False)
+    lo, hi, two = _tables(cbs)
+    y = _call_indexed(
+        xb, codes_tl_all, lo, hi, scales_all, li, group=group, two_halves=two,
+        interpret=should_interpret(),
+    )[:b_orig]
+    if bias_all is not None:
+        bias = jax.lax.dynamic_index_in_dim(bias_all, li, 0, keepdims=False)
+        y = (y.astype(jnp.float32) + bias[None, :]).astype(y.dtype)
+    return y.reshape(*lead, -1)
+
+
+# ---------------------------------------------------------------------------
+# grouped (fused-projection) + layer-indexed
+# ---------------------------------------------------------------------------
+
+
+def _kernel_grouped(idx_ref, pt_ref, codes_ref, lo_ref, hi_ref, x_ref, sc_ref,
+                    out_ref, acc_ref, wt_ref, *, tig, kk, g, tn, two_halves):
+    del idx_ref, pt_ref
+    r = pl.program_id(2)
+    _dequant_accum(codes_ref[0, 0], lo_ref[0], hi_ref[0], x_ref, acc_ref, wt_ref,
+                   tig=tig, kk=kk, g=g, tn=tn, two_halves=two_halves,
+                   first_r=r == 0)
+
+    @pl.when(r == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] * sc_ref[0, 0][None, :]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "two_halves", "interpret"))
+def _call_grouped(xb, codes_tl_all, lo_p, hi_p, scales_all, proj_map, layer_idx,
+                  *, group, two_halves, interpret):
+    """lo_p/hi_p: [P, g, K, 128] per-projection tables; each out-tile reads
+    ITS projection's tables via the prefetch proj-map (decode counterpart:
+    lut_gemv._call_grouped)."""
+    L, nt, kig, tn = codes_tl_all.shape
+    P, g, kk = lo_p.shape[0], lo_p.shape[1], lo_p.shape[2]
+    b = xb.shape[0]
+    kr = _row_tile(kig, kk, g, tn)
+    tig = kr // kk
+    tb = _batch_tile(b)
+
+    kern = functools.partial(_kernel_grouped, tig=tig, kk=kk, g=g, tn=tn,
+                             two_halves=two_halves)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt, b // tb, kig // kr),
+        in_specs=[
+            pl.BlockSpec((1, 1, kr, tn), lambda o, bt, r, li, pt: (li[0], o, r, 0)),
+            pl.BlockSpec((1, g, kk, 128), lambda o, bt, r, li, pt: (pt[o], 0, 0, 0)),
+            pl.BlockSpec((1, g, kk, 128), lambda o, bt, r, li, pt: (pt[o], 0, 0, 0)),
+            pl.BlockSpec((tb, tig * g), lambda o, bt, r, li, pt: (bt, r)),
+            pl.BlockSpec((1, 1, tn), lambda o, bt, r, li, pt: (li[0], 0, o)),
+        ],
+        out_specs=pl.BlockSpec((tb, tn), lambda o, bt, r, li, pt: (bt, o)),
+        scratch_shapes=[
+            pltpu.VMEM((tb, tn), jnp.float32),
+            pltpu.VMEM((tig, g, tn), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nt * tn), xb.dtype),
+        interpret=interpret,
+    )(layer_idx.reshape(1), proj_map, codes_tl_all, lo_p, hi_p, xb,
+      scales_all.reshape(L, 1, -1).astype(jnp.float32))
+
+
+def gather_prefill_matmul_grouped_indexed(
+    x, codes_tl_all, codebooks_all, scales_all, out_sizes, layer_idx, *, group: int
+):
+    """Fused-projection gather-prefill over stacked layers (prefill
+    counterpart of lut_gemv_kx8_grouped_indexed — one launch for qkv or
+    gate+up, reading the shard-interleaved tiled codes in place).
+
+    codes_tl_all: [L, NT_total, K*IG, tn]; codebooks_all: [L, P, K, S, g];
+    scales_all: [L, OUT_total]; out_sizes: static per-projection widths."""
+    lead = x.shape[:-1]
+    xb, b_orig = _pad_batch(x.reshape(-1, x.shape[-1]))
+    L, nt_total, kig, tn = codes_tl_all.shape
+    P, S = codebooks_all.shape[1], codebooks_all.shape[3]
+    assert S <= 256 and P == len(out_sizes) and sum(out_sizes) == nt_total * tn
+    assert all(sz % tn == 0 for sz in out_sizes), (out_sizes, tn)
+    li = jnp.asarray(layer_idx, jnp.int32)
+    cbs = jax.lax.dynamic_index_in_dim(codebooks_all, li, 0, keepdims=False)  # [P,K,S,g]
+    parts = [_tables(cbs[p]) for p in range(P)]
+    lo_p = jnp.stack([p[0] for p in parts])  # [P, g, K, 128]
+    hi_p = jnp.stack([p[1] for p in parts])
+    two = parts[0][2]
+
+    pm = []
+    for p, sz in enumerate(out_sizes):
+        pm += [p] * (sz // tn)
+    proj_map = jnp.asarray(pm, jnp.int32)
+
+    y = _call_grouped(
+        xb, codes_tl_all, lo_p, hi_p, scales_all, proj_map, li,
+        group=group, two_halves=two, interpret=should_interpret(),
+    )[:b_orig]
+    return y.reshape(*lead, -1)

@@ -248,12 +248,19 @@ def _serving_matmul_impl(x: jax.Array, q: QuantizedLinear) -> jax.Array:
                 x, q.codes_tl, q.codebooks, q.scales, q.bias,
                 group=q.scheme.in_group_size,
             )
-        # prefill/training: one-hot MXU dequant amortizes over many tokens
-        ct = q.codes_t
-        if ct is None:
-            ct = untile_codes(q.codes_tl, q.scheme.num_codebooks)
+        if q.codes_tl is not None:
+            # prefill: gather-dequant + MXU over the tiled codes in place
+            # (the one-hot kernel's compare-built one-hot is ~13G VPU ops per
+            # 7B layer — the r3 27x prefill gap; ops/gather_prefill.py)
+            from aqlm_tpu.ops.gather_prefill import gather_prefill_matmul
+
+            return gather_prefill_matmul(
+                x, q.codes_tl, q.codebooks, q.scales, q.bias,
+                group=q.scheme.in_group_size,
+            )
+        # sub-128-OUT tiny shapes: one-hot MXU dequant
         return kernels.fused_onehot_matmul(
-            x, ct, q.codebooks, q.scales, q.bias,
+            x, q.codes_t, q.codebooks, q.scales, q.bias,
             group=q.scheme.in_group_size,
         )
     return gather16.gather_matmul_16(
@@ -378,7 +385,16 @@ def quantized_matmul_indexed(x: jax.Array, iq: IndexedQuantizedLinear) -> jax.Ar
                 x, q.codes_tl, q.codebooks, q.scales, iq.idx, q.bias,
                 group=q.scheme.in_group_size,
             )
-    # remaining cases (prefill one-hot, 16-bit codes): slice the layer out —
+        if q.codes_tl is not None:
+            # prefill: gather-dequant + MXU, layer-indexed via scalar
+            # prefetch (no HBM copy of the layer's codes, no untile)
+            from aqlm_tpu.ops.gather_prefill import gather_prefill_matmul_indexed
+
+            return gather_prefill_matmul_indexed(
+                x, q.codes_tl, q.codebooks, q.scales, iq.idx, q.bias,
+                group=q.scheme.in_group_size,
+            )
+    # remaining cases (tiny one-hot, 16-bit codes): slice the layer out —
     # the copy amortizes over many tokens or is small relative to gather16
     return quantized_matmul(x, _slice_layer(q, iq.idx))
 
@@ -440,18 +456,11 @@ def fused_codes_matmul_indexed(x: jax.Array, iq: IndexedFusedCodesLinear) -> jax
             x, f.codes_tl, f.codebooks, f.scales, f.out_sizes, iq.idx,
             group=f.scheme.in_group_size,
         )
-    # prefill: split the fused projections back out and run the one-hot
-    # GEMM kernels (the layer-slice copy amortizes over many tokens)
-    pick = lambda a: jax.lax.dynamic_index_in_dim(a, iq.idx, 0, keepdims=False)
-    codes_l = untile_codes(pick(f.codes_tl), f.scheme.num_codebooks)
-    cbs_l, scales_l = pick(f.codebooks), pick(f.scales)
-    outs, off = [], 0
-    for p, sz in enumerate(f.out_sizes):
-        outs.append(
-            kernels.fused_onehot_matmul(
-                x, codes_l[:, :, off : off + sz], cbs_l[p], scales_l[off : off + sz],
-                None, group=f.scheme.in_group_size,
-            )
-        )
-        off += sz
-    return jnp.concatenate(outs, axis=-1)
+    # prefill: grouped gather-dequant + MXU — one launch for the fused
+    # projections, reading the shard-interleaved tiled codes in place
+    from aqlm_tpu.ops.gather_prefill import gather_prefill_matmul_grouped_indexed
+
+    return gather_prefill_matmul_grouped_indexed(
+        x, f.codes_tl, f.codebooks, f.scales, f.out_sizes, iq.idx,
+        group=f.scheme.in_group_size,
+    )

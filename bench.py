@@ -130,6 +130,8 @@ def measure_mode(cfg, stacked, label: str, dense_sol: float, decode_steps: int =
         f"{dense_sol:.1f} -> {tps / dense_sol:.2f}x"
     )
 
+    result = {"decode_tps": round(tps, 2), "own_sol_fraction": round(tps / own_sol, 3),
+              "resident_gb": round(gbytes, 2)}
     bat_tps = None
     if batched:
         cache8 = init_kv_cache(cfg, 8, 256, quantized=True)
@@ -150,6 +152,7 @@ def measure_mode(cfg, stacked, label: str, dense_sol: float, decode_steps: int =
 
         bat_tps = 8 * 32 / (timed8(32) - timed8(0))
         log(f"{label}: batched decode (B=8) {bat_tps:.1f} tok/s aggregate")
+        result["batched_b8_tps"] = round(bat_tps, 1)
         del cache8
 
     # prefill: 256-token prompt, full model
@@ -168,12 +171,13 @@ def measure_mode(cfg, stacked, label: str, dense_sol: float, decode_steps: int =
             float(jax.device_get(prefill(stacked, cachep, ids)))
         prefill_tps = 4 * 256 / (time.time() - t0)
         log(f"{label}: prefill {prefill_tps:.0f} tok/s (256-token prompt)")
+        result["prefill_tps"] = round(prefill_tps, 0)
         del cachep
     except Exception as e:
         log(f"{label}: prefill failed: {e!r}")
 
     del cache
-    return tps
+    return tps, result
 
 
 def main():
@@ -185,35 +189,47 @@ def main():
                           num_heads=4, num_kv_heads=4, vocab_size=512)
     dense_sol = dense_bf16_sol_tokens_per_sec(cfg)
 
+    modes = {}
+
     # codes-resident 2x8 first (smallest; exact max-compression mode — 1x16
     # checkpoints serve at this rate via the additive transcode, cli/convert)
     try:
         stacked = build_full(cfg, "codes", SCHEME_2X8, seed=1)
-        measure_mode(cfg, stacked, "codes-resident 2x8 (2.3 bits in HBM, exact)",
-                     dense_sol, decode_steps=32)
+        _, modes["codes2x8"] = measure_mode(
+            cfg, stacked, "codes-resident 2x8 (2.3 bits in HBM, exact)",
+            dense_sol, decode_steps=32)
         del stacked
     except Exception as e:
         log(f"codes-resident metric failed: {e!r}")
 
     try:
         stacked = build_full(cfg, "int4", SCHEME_1X16, seed=2)
-        measure_mode(cfg, stacked, "int4 W4A16 (~4.3 bits in HBM)", dense_sol)
+        _, modes["int4"] = measure_mode(
+            cfg, stacked, "int4 W4A16 (~4.3 bits in HBM)", dense_sol)
         del stacked
     except Exception as e:
         log(f"int4 metric failed: {e!r}")
 
-    # int8 headline mode last (largest): the driver metric
+    # int8 serving mode last (largest)
     stacked = build_full(cfg, "int8", SCHEME_1X16, seed=0)
-    toks_per_sec = measure_mode(cfg, stacked, "int8 W8A16 (headline)", dense_sol,
-                                batched=True)
+    _, modes["int8"] = measure_mode(cfg, stacked, "int8 W8A16", dense_sol,
+                                    batched=True)
 
+    # headline = fastest measured serving mode of the AQLM-1x16 checkpoint
+    # (all three modes serve the same 1x16 weights: codes via the additive
+    # transcode, int8/int4 via requantization); per-mode numbers ride along
+    # so the artifact cannot misattribute a mode's rate (ADVICE r3 #1)
+    best_mode = max(modes, key=lambda m: modes[m]["decode_tps"])
+    toks_per_sec = modes[best_mode]["decode_tps"]
     print(
         json.dumps(
             {
-                "metric": "decode_tokens_per_sec_per_chip_llama2_7b_aqlm1x16",
-                "value": round(toks_per_sec, 2),
+                "metric": "decode_tokens_per_sec_per_chip_llama2_7b_aqlm1x16_best_mode",
+                "value": toks_per_sec,
                 "unit": "tok/s",
                 "vs_baseline": round(toks_per_sec / dense_sol, 3),
+                "best_mode": best_mode,
+                "modes": modes,
             }
         )
     )
