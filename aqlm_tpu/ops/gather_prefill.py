@@ -35,6 +35,7 @@ __all__ = [
     "gather_prefill_matmul",
     "gather_prefill_matmul_indexed",
     "gather_prefill_matmul_grouped_indexed",
+    "gather_dequant_wt",
 ]
 
 
@@ -184,6 +185,66 @@ def _call_plain(xb, codes_tl, lo, hi, scales, *, group, two_halves, interpret):
         ],
         interpret=interpret,
     )(codes_tl, lo, hi, xb, scales.reshape(1, 1, -1).astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# standalone dequant (dense W^T materialization: backward pass, transcoding)
+# ---------------------------------------------------------------------------
+
+
+def _dequant_kernel(codes_ref, lo_ref, hi_ref, sc_ref, out_ref, wt_ref,
+                    *, tig, kk, g, tn, two_halves):
+    kr = tig * kk
+    idx = codes_ref[0].astype(jnp.int32)
+    for c in range(tn // 128):
+        chunk = idx[:, c * 128 : (c + 1) * 128]
+        lane = (chunk & 127) if two_halves else chunk
+        half = chunk < 128
+        for j in range(g):
+            tlo = jnp.broadcast_to(lo_ref[j][None], (tig, kk, 128)).reshape(kr, 128)
+            glo = jnp.take_along_axis(tlo, lane, axis=1)
+            if two_halves:
+                thi = jnp.broadcast_to(hi_ref[j][None], (tig, kk, 128)).reshape(kr, 128)
+                ghi = jnp.take_along_axis(thi, lane, axis=1)
+                gath = jnp.where(half, glo, ghi)
+            else:
+                gath = glo
+            wt_ref[:, j, c * 128 : (c + 1) * 128] = gath.reshape(tig, kk, 128).sum(axis=1)
+    out_ref[:] = (
+        wt_ref[:].reshape(tig * g, tn) * sc_ref[0, 0][None, :]
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("two_halves", "dtype", "interpret"))
+def _call_dequant(codes_tl, lo, hi, scales, *, two_halves, dtype, interpret):
+    nt, kig, tn = codes_tl.shape
+    g, kk = lo.shape[0], lo.shape[1]
+    kr = _row_tile(kig, kk, g, tn)
+    tig = kr // kk
+    kern = functools.partial(_dequant_kernel, tig=tig, kk=kk, g=g, tn=tn,
+                             two_halves=two_halves)
+    return pl.pallas_call(
+        kern,
+        grid=(nt, kig // kr),
+        in_specs=[
+            pl.BlockSpec((1, kr, tn), lambda o, r: (o, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tn), lambda o, r: (0, 0, o), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tig * g, tn), lambda o, r: (r, o), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(((kig // kk) * g, nt * tn), dtype),
+        scratch_shapes=[pltpu.VMEM((tig, g, tn), jnp.float32)],
+        interpret=interpret,
+    )(codes_tl, lo, hi, scales.reshape(1, 1, -1).astype(jnp.float32))
+
+
+def gather_dequant_wt(codes_tl, codebooks, scales, *, dtype=jnp.bfloat16):
+    """Materialize W^T [IN, OUT] from tiled codes via lane-gather dequant
+    (the gather replacement for kernels.dequantize_onehot)."""
+    lo, hi, two = _tables(codebooks)
+    return _call_dequant(codes_tl, lo, hi, scales, two_halves=two, dtype=dtype,
+                         interpret=should_interpret())
 
 
 # ---------------------------------------------------------------------------

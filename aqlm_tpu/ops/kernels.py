@@ -8,6 +8,11 @@ we dequantize on the MXU instead: a one-hot of the codes times the codebook
 is an exact gather expressed as a matmul (the TPU analogue of the LUT-GEMM
 strategy in numba_kernel.py:38-48).
 
+NOTE (r4): the compare-built one-hot costs ~S VPU element-ops per group per
+codebook (~13G per 7B layer) — serving prefill now uses the lane-gather
+dequant kernels in ops/gather_prefill.py instead; this module remains the
+oracle for them, the tiny-shape (<128-OUT) path, and on-device transcoding.
+
 Layout: codes are stored TRANSPOSED `[num_codebooks, IG, OUT]` so the MXU
 consumes W^T tiles without relayouts (x @ W^T contracts W^T's leading axis).
 Scale/bias epilogue is applied on the output (per-out-channel), matching the

@@ -207,11 +207,14 @@ class QuantizedLinear:
             return dequantize_int4(self.w4, self.w4_gscale).T.astype(dtype)
         if self.mode == "codes":
             if self.scheme.nbits_per_codebook <= 8:
-                ct = self.codes_t
-                if ct is None:
-                    ct = untile_codes(self.codes_tl, self.scheme.num_codebooks)
+                if self.codes_tl is not None:
+                    from aqlm_tpu.ops.gather_prefill import gather_dequant_wt
+
+                    return gather_dequant_wt(
+                        self.codes_tl, self.codebooks, self.scales, dtype=dtype
+                    )
                 return kernels.dequantize_onehot(
-                    ct, self.codebooks, self.scales,
+                    self.codes_t, self.codebooks, self.scales,
                     group=self.scheme.in_group_size, dtype=dtype,
                 )
             return gather16.dequantize_gather16(

@@ -55,6 +55,14 @@ def dep(x, y):
     return x + (jnp.sum(y.astype(jnp.float32)) * 1e-30).astype(x.dtype)
 
 
+def dep_int(c, x):
+    """Non-foldable zero: make int consts c depend on the carry x (a folded
+    dependence lets XLA hoist pure-XLA transforms out of the timing loop)."""
+    s = jnp.sum(x.astype(jnp.float32))
+    z = jnp.where(jnp.isfinite(s), 0, 1).astype(jnp.int32)
+    return (c.astype(jnp.int32) + z).astype(c.dtype)
+
+
 # --- A. current one-hot prefill kernel --------------------------------------
 def step_onehot(x, consts):
     ct, cb, sc = consts
@@ -68,7 +76,7 @@ print(f"A fused_onehot_matmul B={B}: {t*1e3:.3f} ms/call", flush=True)
 # --- A2. standalone one-hot dequant (no matmul) ------------------------------
 def step_deq(x, consts):
     ct, cb, sc = consts
-    ct = (ct.astype(jnp.int32) + (jnp.sum(x).astype(jnp.int32) & 0)).astype(jnp.uint8)
+    ct = dep_int(ct, x)
     w = dequantize_onehot(ct, cb, sc, group=G)
     return dep(x, w)
 
@@ -79,7 +87,7 @@ print(f"A2 dequantize_onehot: {t*1e3:.3f} ms/call", flush=True)
 # --- B. untile_codes (XLA relayout) ------------------------------------------
 def step_untile(x, consts):
     (ctl,) = consts
-    ctl = (ctl.astype(jnp.int32) + (jnp.sum(x).astype(jnp.int32) & 0)).astype(jnp.uint8)
+    ctl = dep_int(ctl, x)
     ct = untile_codes(ctl, K)
     return dep(x, ct)
 
@@ -212,3 +220,31 @@ def step_gather(x, consts):
 
 t = chain_time(step_gather, x0, n_steps=16, consts=(codes_tl, cbs, scales))
 print(f"D gather_prefill B={B}: {t*1e3:.3f} ms/call", flush=True)
+
+
+# --- E. standalone gather dequant (no matmul) --------------------------------
+from aqlm_tpu.ops.gather_prefill import gather_dequant_wt  # noqa: E402
+
+
+def step_gdeq(x, consts):
+    ctl, cb, sc = consts
+    ctl = dep_int(ctl, x)
+    w = gather_dequant_wt(ctl, cb, sc)
+    return dep(x, w)
+
+
+t = chain_time(step_gdeq, x0, n_steps=16, consts=(codes_tl, cbs, scales))
+print(f"E gather_dequant_wt: {t*1e3:.3f} ms/call", flush=True)
+
+
+# --- F. two-step prefill: gather dequant to HBM + XLA dense matmul -----------
+def step_two(x, consts):
+    ctl, cb, sc = consts
+    ctl = dep_int(ctl, x)
+    w = gather_dequant_wt(ctl, cb, sc)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return dep(x, y)
+
+
+t = chain_time(step_two, x0, n_steps=16, consts=(codes_tl, cbs, scales))
+print(f"F gather_dequant + dense matmul B={B}: {t*1e3:.3f} ms/call", flush=True)

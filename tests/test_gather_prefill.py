@@ -112,3 +112,15 @@ def test_grouped_indexed_matches_split():
             x, codes_tl_all, cbs_all, scales_all, out_sizes, i, group=g
         )
         assert _rel(y, y_ref) < 2e-2
+
+
+def test_gather_dequant_wt_matches_reference():
+    from aqlm_tpu.ops.gather_prefill import gather_dequant_wt
+    from aqlm_tpu.ops.kernels import dequantize_onehot
+
+    for k, s in [(2, 256), (2, 128), (1, 256)]:
+        codes_t, cbs, scales, _ = _mk(jax.random.PRNGKey(5), 512, 256, k, s, 8, 1)
+        wt_ref = dequantize_onehot(codes_t, cbs, scales, group=8)
+        wt = gather_dequant_wt(tile_codes(codes_t), cbs, scales)
+        assert wt.shape == wt_ref.shape
+        assert _rel(wt, wt_ref) < 2e-2

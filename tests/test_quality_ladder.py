@@ -111,6 +111,19 @@ def test_mode_ladder(ladder):
     )
     ppls["transcode_2x8"] = evaluate_perplexity(p, cfg, val, batch_size=4)
 
+    # 2x7 (128-entry books): trades fit error for the single-gather decode
+    # kernel (no hi-half gather/mask/select) — the speed/quality pair must be
+    # quantified together (VERDICT r3 #3)
+    from aqlm_tpu.ops.transcode import transcode_1x16_to_2xN
+
+    p = _remap(
+        ladder["qparams"],
+        lambda q: QuantizedLinear.from_aqlm(
+            transcode_1x16_to_2xN(_as_aqlm(q), nbits=7, iters=10)[0], mode="reference"
+        ),
+    )
+    ppls["transcode_2x7"] = evaluate_perplexity(p, cfg, val, batch_size=4)
+
     print(f"\nladder: fp={ppl_fp:.4f} exact-1x16={ppl_exact:.4f} " +
           " ".join(f"{k}={v:.4f} (Δ{v - ppl_exact:+.4f})" for k, v in ppls.items()))
     for k, v in ppls.items():
@@ -123,6 +136,11 @@ def test_mode_ladder(ladder):
     # additive transcode: small PPL cost is the contract
     assert ppls["transcode_2x8"] <= ppl_exact + 0.05, (
         ppls["transcode_2x8"], ppl_exact)
+    # 2x7 halves the codebook: worse fit than 2x8 but must stay modest
+    assert ppls["transcode_2x7"] <= ppl_exact + 0.15, (
+        ppls["transcode_2x7"], ppl_exact)
+    assert ppls["transcode_2x8"] <= ppls["transcode_2x7"] + 0.02, (
+        ppls["transcode_2x8"], ppls["transcode_2x7"])
     # int4 group quantization: ~10% weight-RMS noise; must stay a modest
     # PPL cost on trained weights, not a catastrophic one
     assert ppls["int4"] <= ppl_exact + 0.10, (ppls["int4"], ppl_exact)
