@@ -90,10 +90,12 @@ class PVConfig:
     # loss and a homogeneous llama-family student (every QUANTIZABLE_PROJS
     # a reference-mode QuantizedLinear of one scheme).
     scan_blocks: bool = False
-    # what the scan_blocks backward rematerializes; "dequant" is the only
-    # mode that both fits 32L on one chip AND survives the v5e (whole-body
-    # jax.checkpoint faults the device in backward — NOTES.md)
-    scan_remat: str = "dequant"
+    # what the scan_blocks backward rematerializes: "manual" (custom_vjp
+    # per projection — explicit dequant remat, residuals exclude the ST
+    # window; the 32L-on-chip mode), "dequant" (jax.checkpoint per
+    # projection — passes L=8 but faults the v5e at L>=16), "block"
+    # (whole-body checkpoint — faults at any L), "none" (debugging)
+    scan_remat: str = "manual"
 
 
 @partial(
@@ -163,6 +165,75 @@ def materialize_st_params(params: dict, st_buffers) -> dict:
     return out
 
 
+def _make_manual_st_proj(scheme, compute_dtype, use_st, win, has_bias):
+    """custom_vjp straight-through projection for scan_remat="manual".
+
+    Replaces `jax.checkpoint(dequant + masked-ST + matmul)` with an explicit
+    VJP whose residuals are ONLY (x, codes/codebook/scale slices, li, start):
+    the dense weight is rematerialized in backward by construction, and the
+    [W, out, in] ST window NEVER enters the residual set — under the
+    checkpointed form it is an input of the checkpointed unit, and a scan
+    backward that fails to hoist the loop-invariant residual stacks ~0.8 GB
+    of window buffers per layer (fits at L=8, faults the 16 GB chip at
+    L>=16 — the r4 on-chip ladder). The straight-through semantics are
+    unchanged: primal y = x @ dequant(codes)^T (the ST correction is
+    numerically zero), backward routes dL/dW into the window slot while
+    codebooks/scales receive their chain-rule grads through a local
+    jax.vjp of the dequant (reference: src/pv_optimizer.py:275-306)."""
+    import numpy as np
+
+    from jax import dtypes
+
+    def _dequant(codes, cbs, scales, dtype):
+        return dequantize_weight(
+            AqlmWeight(codes=codes, codebooks=cbs, scales=scales, bias=None,
+                       scheme=scheme),
+            dtype=dtype,
+        )
+
+    @jax.custom_vjp
+    def f(x, codes, cbs, scales, bias, st_arr, li, start):
+        w = _dequant(codes, cbs, scales, compute_dtype)
+        y = jnp.einsum(
+            "...i,oi->...o", x, w.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        if has_bias:
+            y = y + bias.astype(y.dtype)
+        return y
+
+    def fwd(x, codes, cbs, scales, bias, st_arr, li, start):
+        return f(x, codes, cbs, scales, bias, st_arr, li, start), (
+            x, codes, cbs, scales, li, start,
+        )
+
+    def bwd(res, g):
+        x, codes, cbs, scales, li, start = res
+        w, dq_vjp = jax.vjp(
+            lambda c, s: _dequant(codes, c, s, jnp.float32), cbs, scales
+        )
+        gf = g.astype(jnp.float32)
+        dx = jnp.einsum("...o,oi->...i", gf, w).astype(x.dtype)
+        gw = jnp.einsum("...o,...i->oi", gf, x.astype(jnp.float32))
+        dcbs, dscales = dq_vjp(gw)
+        f0 = lambda a: np.zeros(jnp.shape(a), dtypes.float0)
+        if use_st:
+            pos = jnp.clip(li - start, 0, win - 1)
+            in_win = ((li >= start) & (li < start + win)).astype(jnp.float32)
+            dst = jnp.zeros((win,) + gw.shape, jnp.float32)
+            dst = jax.lax.dynamic_update_index_in_dim(dst, gw * in_win, pos, 0)
+        else:
+            dst = None
+        dbias = (
+            jnp.sum(gf, axis=tuple(range(gf.ndim - 1))) if has_bias else None
+        )
+        return (dx, f0(codes), dcbs.astype(cbs.dtype),
+                dscales.astype(scales.dtype), dbias, dst, f0(li), f0(start))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def scanned_student_hidden(
     params: dict, st_buffers, cfg: llama.ModelConfig, input_ids, window_start=None,
     remat: str = "dequant",
@@ -197,7 +268,7 @@ def scanned_student_hidden(
       * "block": jax.checkpoint around the whole scan body (historical).
       * "none": plain scan (small models / debugging).
     """
-    assert remat in ("dequant", "block", "none"), remat
+    assert remat in ("dequant", "manual", "block", "none"), remat
     layers = params["layers"]
     l0 = layers[0]
     for layer in layers:
@@ -280,6 +351,15 @@ def scanned_student_hidden(
     if remat == "dequant":
         _proj_apply = jax.checkpoint(_proj_apply)
 
+    manual_fns = {}
+    if remat == "manual":
+        start_arr = jnp.asarray(start, jnp.int32)
+        for name in QUANTIZABLE_PROJS:
+            manual_fns[name] = _make_manual_st_proj(
+                scheme, compute_dtype, use_st and name in st_stack, win,
+                has_bias=name in bias_stack,
+            )
+
     class _FnLinear:
         """Weightless linear consumed by apply_linear (models/common.py):
         exists only inside the body trace, so no pytree registration."""
@@ -296,12 +376,23 @@ def scanned_student_hidden(
             "post_attn_norm": norms_l["post_attn_norm"],
         }
         for name in QUANTIZABLE_PROJS:
-            layer[name] = _FnLinear(partial(
-                _proj_apply,
-                codes=codes_l[name], cbs=cb_l[name], scales=sc_l[name],
-                bias=bias_l.get(name),
-                st_arr=st_stack[name] if use_st else None, li=li,
-            ))
+            if remat == "manual":
+                # custom_vjp takes positional args only; bind via defaults
+                layer[name] = _FnLinear(lambda x, _f=manual_fns[name],
+                                        _c=codes_l[name], _b=cb_l[name],
+                                        _s=sc_l[name], _bi=bias_l.get(name),
+                                        _st=(st_stack[name]
+                                             if (use_st and name in st_stack)
+                                             else None),
+                                        _li=li:
+                                        _f(x, _c, _b, _s, _bi, _st, _li, start_arr))
+            else:
+                layer[name] = _FnLinear(partial(
+                    _proj_apply,
+                    codes=codes_l[name], cbs=cb_l[name], scales=sc_l[name],
+                    bias=bias_l.get(name),
+                    st_arr=st_stack[name] if use_st else None, li=li,
+                ))
         out, _ = llama._block(x, layer, cfg, positions, None, None, None)
         return out, None
 

@@ -3,7 +3,10 @@
 Builds only what the grad step needs (student + random teacher hidden) —
 no HostSTManager / teacher streaming — so one probe is ~5 min instead of 25.
 
-Usage: python experiments/pv_grad_bisect.py <n_layers> [T] [scan]
+Usage: python experiments/pv_grad_bisect.py <n_layers> [T] [scan] [remat]
+  remat: dequant (default) | none | block — PVConfig.scan_remat for the
+  scan path (r4: scan+dequant passes L=8 but faults the device at L=16;
+  `none` isolates whether jax.checkpoint is the trigger).
 """
 
 import sys
@@ -25,8 +28,10 @@ from aqlm_tpu.pv.straight_through import PVConfig, init_pv_state, make_pv_step
 n_layers = int(sys.argv[1])
 T = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 scan = len(sys.argv) > 3 and sys.argv[3] == "scan"
+remat = sys.argv[4] if len(sys.argv) > 4 else "dequant"
 cfg = dc.replace(llama.ModelConfig.llama2_7b(), num_layers=n_layers)
-print(f"backend: {jax.default_backend()}  L={n_layers} T={T} scan={scan}", flush=True)
+print(f"backend: {jax.default_backend()}  L={n_layers} T={T} scan={scan} "
+      f"remat={remat}", flush=True)
 
 t0 = time.time()
 student = random_quantized_params(jax.random.PRNGKey(0), cfg, SCHEME_2X8,
@@ -34,9 +39,11 @@ student = random_quantized_params(jax.random.PRNGKey(0), cfg, SCHEME_2X8,
 jax.block_until_ready(student["embed"])
 print(f"student built {time.time()-t0:.0f}s", flush=True)
 
-pv = PVConfig(chunk_tokens=128, scan_blocks=scan)
+pv = PVConfig(chunk_tokens=128, scan_blocks=scan, scan_remat=remat)
 fns = make_pv_step(cfg, cfg, pv, st_opt=optax.identity(), teacher_kind="hidden")
-active = (0,)
+# "nost": no active ST window — isolates whether the straight-through
+# buffer's participation in the checkpointed scan body drives the fault
+active = () if "nost" in sys.argv else (0,)
 state = init_pv_state(student, optax.adamw(1e-4), optax.identity(), active_layers=active)
 
 rng = np.random.default_rng(0)

@@ -229,22 +229,27 @@ def test_scan_blocks_matches_unrolled(key):
     st_opt = optax.adam(3e-3)
     grads = {}
     losses = {}
-    for scan in (False, True):
-        pv = PVConfig(chunk_tokens=8, scan_blocks=scan)
+    variants = [("unrolled", None), ("dequant", "dequant"), ("manual", "manual")]
+    for label, remat in variants:
+        if remat is None:
+            pv = PVConfig(chunk_tokens=8, scan_blocks=False)
+        else:
+            pv = PVConfig(chunk_tokens=8, scan_blocks=True, scan_remat=remat)
         fns = make_pv_step(cfg, cfg, pv)
         state = init_pv_state(student, cont_opt, st_opt, active_layers=(1,))
         loss, g = jax.jit(fns.grad_fn)(state, teacher, ids)
-        losses[scan] = float(loss)
-        grads[scan] = g
-    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
-    flat_u, tree_u = jax.tree.flatten(grads[False])
-    flat_s, tree_s = jax.tree.flatten(grads[True])
-    assert tree_u == tree_s
-    for a, b in zip(flat_u, flat_s):
-        np.testing.assert_allclose(
-            np.asarray(b, np.float32), np.asarray(a, np.float32),
-            rtol=1e-4, atol=1e-5,
-        )
+        losses[label] = float(loss)
+        grads[label] = g
+    flat_u, tree_u = jax.tree.flatten(grads["unrolled"])
+    for label in ("dequant", "manual"):
+        np.testing.assert_allclose(losses[label], losses["unrolled"], rtol=1e-5)
+        flat_s, tree_s = jax.tree.flatten(grads[label])
+        assert tree_u == tree_s
+        for a, b in zip(flat_u, flat_s):
+            np.testing.assert_allclose(
+                np.asarray(b, np.float32), np.asarray(a, np.float32),
+                rtol=1e-4, atol=1e-5,
+            )
 
 
 def test_windowed_st_matches_list_form(key):
