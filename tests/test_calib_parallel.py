@@ -63,13 +63,16 @@ def test_quantize_model_mesh_matches_single_device(key):
 
     cfg = llama.ModelConfig.tiny(num_layers=2)
     params = llama.init_random_params(key, cfg, dtype=jnp.float32)
-    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 32), 0, cfg.vocab_size)
+    # 4 sequences / 2 Adam steps / 3 kmeans iters: the property is exact
+    # mesh-vs-single-device EQUALITY, not quality — smallest config that
+    # still exercises sharded XTX + out-group-sharded beam search
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 32), 0, cfg.vocab_size)
 
     def pipe(mesh):
         return QuantizePipelineConfig(
             scheme=AqlmScheme(2, 4, in_group_size=8),
-            calib=CalibConfig(max_epochs=1, steps_per_epoch=3, beam_size=2,
-                              init_max_iter=5, seed=0),
+            calib=CalibConfig(max_epochs=1, steps_per_epoch=2, beam_size=2,
+                              init_max_iter=3, seed=0),
             finetune=None,
             batch_size=4,
             verbose=False,

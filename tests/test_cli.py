@@ -21,8 +21,8 @@ def quantized_dir(tmp_path_factory):
             "random:tiny:1", "random",
             "--nsamples", "4", "--model_seqlen", "16",
             "--num_codebooks", "2", "--nbits_per_codebook", "6", "--in_group_size", "4",
-            "--max_epochs", "2", "--steps_per_epoch", "5", "--beam_size", "1",
-            "--init_max_iter", "8", "--finetune_max_epochs", "0",
+            "--max_epochs", "1", "--steps_per_epoch", "3", "--beam_size", "1",
+            "--init_max_iter", "4", "--finetune_max_epochs", "0",
             "--batch_size", "2", "--save", out,
             "--eval_datasets", "random", "--eval_nsamples", "2",
         ]

@@ -143,13 +143,21 @@ def test_windowed_model_decode_flash_vs_xla(key):
     ids = jax.random.randint(jax.random.PRNGKey(1), (2, 14), 0, cfg.vocab_size)
 
     def rollout(use_flash):
+        # one jitted step reused across positions: the eager form re-traced
+        # forward_stacked (and its interpret-mode kernels) per token, which
+        # alone cost ~4 min of suite time
+        step = jax.jit(
+            lambda p, c, tok, off: forward_stacked(
+                p, cfg, tok, cache=c, cache_offset=off,
+                use_flash_decode=use_flash,
+            )
+        )
         cache = init_kv_cache(cfg, 2, 128)  # 128-aligned: flash-eligible
         outs = []
         for pos in range(ids.shape[1]):
-            lg, cache = forward_stacked(
-                stacked, cfg, ids[:, pos : pos + 1], cache=cache,
-                cache_offset=jnp.full((2,), pos, jnp.int32),
-                use_flash_decode=use_flash,
+            lg, cache = step(
+                stacked, cache, ids[:, pos : pos + 1],
+                jnp.full((2,), pos, jnp.int32),
             )
             outs.append(lg[:, 0])
         return outs
