@@ -165,8 +165,14 @@ def init_kv_cache(cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16
     ]
 
 
-def _block(x, layer, cfg: ModelConfig, positions, kv, cache_positions, kv_len_mask):
-    """One transformer block. Returns (x, new_kv)."""
+def _block(x, layer, cfg: ModelConfig, positions, kv, cache_positions, kv_len_mask,
+           *, attention_fn=None, act_mul_fn=None):
+    """One transformer block. Returns (x, new_kv).
+
+    attention_fn / act_mul_fn override the attention and silu-mul glue —
+    the PV scan path injects recompute-in-backward custom_vjp variants
+    (pv/straight_through.py) so the scan doesn't stack their residuals;
+    primal math is identical."""
     b, t, h = x.shape
     d = cfg.dim_per_head
     res = x
@@ -189,14 +195,18 @@ def _block(x, layer, cfg: ModelConfig, positions, kv, cache_positions, kv_len_ma
         new_kv = None
         mask = make_causal_mask(positions, positions, window=cfg.sliding_window)
 
-    attn = attention(q, k_all, v_all, mask)
+    attn = (attention_fn or attention)(q, k_all, v_all, mask)
     x = res + apply_linear(attn.reshape(b, t, -1), layer["o_proj"])
 
     res = x
     xn = rms_norm(x, layer["post_attn_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
     gate = apply_linear(xn, layer["gate_proj"])
     up = apply_linear(xn, layer["up_proj"])
-    x = res + apply_linear(jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up, layer["down_proj"])
+    if act_mul_fn is None:
+        mlp_in = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+    else:
+        mlp_in = act_mul_fn(gate, up)
+    x = res + apply_linear(mlp_in, layer["down_proj"])
     return x, new_kv
 
 

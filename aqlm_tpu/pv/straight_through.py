@@ -165,6 +165,83 @@ def materialize_st_params(params: dict, st_buffers) -> dict:
     return out
 
 
+@jax.custom_vjp
+def _attention_remat(q, k, v, mask):
+    """Training attention with recompute-in-backward (custom_vjp).
+
+    Under lax.scan the default attention saves its [B,Hkv,rep,Tq,Tk]
+    softmax probabilities per layer — the L=32/T=512 memcheck OOM showed
+    1.5 GB of stacked f32+bf16 attention probs. Residuals here are only
+    (q, k, v, mask); the backward recomputes the probs (flash-attention
+    backward at B=1 training sizes, in plain XLA)."""
+    from aqlm_tpu.models.common import attention
+
+    return attention(q, k, v, mask)
+
+
+def _attention_remat_fwd(q, k, v, mask):
+    return _attention_remat(q, k, v, mask), (q, k, v, mask)
+
+
+def _attention_remat_bwd(res, g):
+    import numpy as np
+
+    from jax import dtypes
+
+    q, k, v, mask = res
+    b, tq, hq, d = q.shape
+    hkv = k.shape[2]
+    rep = hq // hkv
+    scale = d ** -0.5
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(b, tq, hkv, rep, d)
+    logits = jnp.einsum("bqhrd,bkhd->bhrqk", qs, k, preferred_element_type=jnp.float32)
+    logits = jnp.where(mask[:, :, None, :, :], logits, -1e30)
+    p = jax.nn.softmax(logits, axis=-1)  # [b,hkv,rep,tq,tk] f32, transient
+    gr = g.astype(jnp.float32).reshape(b, tq, hkv, rep, d)
+    dv = jnp.einsum("bhrqk,bqhrd->bkhd", p, gr).astype(v.dtype)
+    dp = jnp.einsum("bqhrd,bkhd->bhrqk", gr, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = jnp.where(mask[:, :, None, :, :], ds, 0.0)
+    dqs = jnp.einsum("bhrqk,bkhd->bqhrd", ds, k.astype(jnp.float32))
+    dq = (dqs * scale).reshape(b, tq, hq, d).astype(q.dtype)
+    dk = jnp.einsum("bhrqk,bqhrd->bkhd", ds, qs.astype(jnp.float32)).astype(k.dtype)
+    dmask = np.zeros(mask.shape, dtypes.float0)
+    return dq, dk, dv, dmask
+
+
+_attention_remat.defvjp(_attention_remat_fwd, _attention_remat_bwd)
+
+
+@jax.custom_vjp
+def _silu_mul_remat(gate, up):
+    """silu(gate) * up with recompute-in-backward.
+
+    The default glue upcasts gate to f32 for silu and the scan backward
+    stacks three [L,B,T,inter] f32 residuals (~2 GB at L=32/T=512).
+    Residuals here are just (gate, up) in their storage dtype; silu is
+    recomputed in f32 in the backward. Primal math identical to
+    models/llama._block:199."""
+    return (jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up)
+
+
+def _silu_mul_fwd(gate, up):
+    return _silu_mul_remat(gate, up), (gate, up)
+
+
+def _silu_mul_bwd(res, g):
+    gate, up = res
+    g32 = gate.astype(jnp.float32)
+    s = jax.nn.sigmoid(g32)
+    silu = g32 * s
+    gy = g.astype(jnp.float32)
+    dgate = (gy * up.astype(jnp.float32) * (s + g32 * s * (1.0 - s))).astype(gate.dtype)
+    dup = (gy * silu).astype(up.dtype)
+    return dgate, dup
+
+
+_silu_mul_remat.defvjp(_silu_mul_fwd, _silu_mul_bwd)
+
+
 def _make_manual_st_proj(scheme, compute_dtype, use_st, win, has_bias):
     """custom_vjp straight-through projection for scan_remat="manual".
 
@@ -393,7 +470,13 @@ def scanned_student_hidden(
                     bias=bias_l.get(name),
                     st_arr=st_stack[name] if use_st else None, li=li,
                 ))
-        out, _ = llama._block(x, layer, cfg, positions, None, None, None)
+        out, _ = llama._block(
+            x, layer, cfg, positions, None, None, None,
+            # recompute-in-backward attention + silu glue: without these the
+            # scan stacks [L,B,Hkv,rep,T,T] attention probs and three
+            # [L,B,T,inter] f32 glue residuals (the L=32/T=512 OOM)
+            attention_fn=_attention_remat, act_mul_fn=_silu_mul_remat,
+        )
         return out, None
 
     xs = (
