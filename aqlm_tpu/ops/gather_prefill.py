@@ -40,21 +40,26 @@ __all__ = [
 
 
 def _dequant_accum(codes_blk, lo_ref, hi_ref, x_ref, acc_ref, wt_ref, *,
-                   tig, kk, g, tn, two_halves, first_r):
+                   tig, kk, g, tn, two_halves, first_r, wrap_ok=False):
     """Shared body: dequantize the [kr, tn] codes block into a W^T tile via
     lane gathers, then accumulate x_blk @ W^T on the MXU.
 
     codes_blk  [kr, tn] uint8 (kr = tig*kk rows, ig-major)
     lo/hi_ref  [g, kk, 128] f32 element-j codebook tables (f32: bf16 lane
                gathers crash the remote Mosaic compiler, NOTES.md)
-    x_ref      [tb, tig*g]
+    x_ref      [tb, tig, g] (3-D: last dim = the full group axis, so the
+               block is Mosaic-legal for ANY tig — a flat [tb, tig*g] block
+               needs tig*g %% 128 == 0, which 7B's down_proj KIG=2752 row
+               tiles cannot satisfy)
     wt_ref     scratch [tig, g, tn] f32
     """
     kr = tig * kk
     idx = codes_blk.astype(jnp.int32)
     for c in range(tn // 128):
         chunk = idx[:, c * 128 : (c + 1) * 128]
-        lane = (chunk & 127) if two_halves else chunk
+        # real TPUs: tpu.dynamic_gather wraps mod 128 (lutgemv_oob_probe), so
+        # the lane mask is only needed in interpret mode (XLA clamps there)
+        lane = chunk if (wrap_ok or not two_halves) else (chunk & 127)
         half = chunk < 128
         for j in range(g):
             tlo = jnp.broadcast_to(lo_ref[j][None], (tig, kk, 128)).reshape(kr, 128)
@@ -69,24 +74,40 @@ def _dequant_accum(codes_blk, lo_ref, hi_ref, x_ref, acc_ref, wt_ref, *,
             # layout) while scattering element j into the W^T row interleave
             wt_ref[:, j, c * 128 : (c + 1) * 128] = gath.reshape(tig, kk, 128).sum(axis=1)
 
-    wt = wt_ref[:].reshape(tig * g, tn).astype(jnp.bfloat16)
+    wt = wt_ref[:].astype(jnp.bfloat16)  # [tig, g, tn]
 
     @pl.when(first_r)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], wt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        x_ref[:], wt, (((1, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 
 def _row_tile(kig: int, kk: int, g: int, tn: int) -> int:
-    """Row-block size keeping the W^T scratch (tig*g*tn f32) under ~2 MiB."""
+    """Row-block size: bounds the W^T scratch (tig*g*tn f32, ~<=3 MiB) while
+    staying a multiple of 8 (Mosaic second-to-last block-dim rule — a 7B
+    down_proj KIG=2752 halves to 172, which the TPU lowering rejects)."""
+
+    def ok(kr):
+        # codes block second-to-last dim (kr) and x block second-to-last
+        # (tig) must be multiples of 8 — or equal the full array dim, which
+        # Mosaic always allows (the tiny-shape fallback)
+        if kr % kk:
+            return False
+        return (kr % 8 == 0 and (kr // kk) % 8 == 0) or kr == kig
+
+    def scratch(kr):
+        return (kr // kk) * g * tn * 4
+
     kr = kig
-    while (kr // kk) * g * tn * 4 > 2 * 2**20:
-        assert kr % 2 == 0, kig
+    while (scratch(kr) > 3 * 2**20 or not ok(kr)) and kr % 2 == 0 and (kr // 2) % kk == 0:
         kr //= 2
-    assert kr % kk == 0, (kig, kk)
+    while not ok(kr):  # halved past the alignment rule: walk back up
+        kr *= 2
+    assert ok(kr) and kig % kr == 0, (kig, kk, kr)
     return kr
 
 
@@ -127,11 +148,11 @@ def _pad_batch(xb: jax.Array):
 
 
 def _kernel(codes_ref, lo_ref, hi_ref, x_ref, sc_ref, out_ref, acc_ref, wt_ref,
-            *, tig, kk, g, tn, two_halves):
+            *, tig, kk, g, tn, two_halves, wrap_ok=False):
     r = pl.program_id(2)
     _dequant_accum(codes_ref[0], lo_ref, hi_ref, x_ref, acc_ref, wt_ref,
                    tig=tig, kk=kk, g=g, tn=tn, two_halves=two_halves,
-                   first_r=r == 0)
+                   first_r=r == 0, wrap_ok=wrap_ok)
 
     @pl.when(r == pl.num_programs(2) - 1)
     def _():
@@ -166,7 +187,8 @@ def _call_plain(xb, codes_tl, lo, hi, scales, *, group, two_halves, interpret):
     tig = kr // kk
     tb = _batch_tile(b)
 
-    kern = functools.partial(_kernel, tig=tig, kk=kk, g=g, tn=tn, two_halves=two_halves)
+    kern = functools.partial(_kernel, tig=tig, kk=kk, g=g, tn=tn,
+                             two_halves=two_halves, wrap_ok=not interpret)
     return pl.pallas_call(
         kern,
         grid=(nt, b // tb, kig // kr),
@@ -174,7 +196,7 @@ def _call_plain(xb, codes_tl, lo, hi, scales, *, group, two_halves, interpret):
             pl.BlockSpec((1, kr, tn), lambda o, bt, r: (o, r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, tig * g), lambda o, bt, r: (bt, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tig, g), lambda o, bt, r: (bt, r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tn), lambda o, bt, r: (0, 0, o), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tb, tn), lambda o, bt, r: (bt, o), memory_space=pltpu.VMEM),
@@ -184,7 +206,8 @@ def _call_plain(xb, codes_tl, lo, hi, scales, *, group, two_halves, interpret):
             pltpu.VMEM((tig, g, tn), jnp.float32),
         ],
         interpret=interpret,
-    )(codes_tl, lo, hi, xb, scales.reshape(1, 1, -1).astype(jnp.float32))
+    )(codes_tl, lo, hi, xb.reshape(b, kig // kk, g),
+      scales.reshape(1, 1, -1).astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -253,12 +276,12 @@ def gather_dequant_wt(codes_tl, codebooks, scales, *, dtype=jnp.bfloat16):
 
 
 def _kernel_indexed(idx_ref, codes_ref, lo_ref, hi_ref, x_ref, sc_ref, out_ref,
-                    acc_ref, wt_ref, *, tig, kk, g, tn, two_halves):
+                    acc_ref, wt_ref, *, tig, kk, g, tn, two_halves, wrap_ok=False):
     del idx_ref
     r = pl.program_id(2)
     _dequant_accum(codes_ref[0, 0], lo_ref, hi_ref, x_ref, acc_ref, wt_ref,
                    tig=tig, kk=kk, g=g, tn=tn, two_halves=two_halves,
-                   first_r=r == 0)
+                   first_r=r == 0, wrap_ok=wrap_ok)
 
     @pl.when(r == pl.num_programs(2) - 1)
     def _():
@@ -280,7 +303,7 @@ def _call_indexed(xb, codes_tl_all, lo, hi, scales_all, layer_idx, *,
     tb = _batch_tile(b)
 
     kern = functools.partial(_kernel_indexed, tig=tig, kk=kk, g=g, tn=tn,
-                             two_halves=two_halves)
+                             two_halves=two_halves, wrap_ok=not interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt, b // tb, kig // kr),
@@ -288,7 +311,7 @@ def _call_indexed(xb, codes_tl_all, lo, hi, scales_all, layer_idx, *,
             pl.BlockSpec((1, 1, kr, tn), lambda o, bt, r, li: (li[0], o, r, 0)),
             pl.BlockSpec((g, kk, 128), lambda o, bt, r, li: (0, 0, 0)),
             pl.BlockSpec((g, kk, 128), lambda o, bt, r, li: (0, 0, 0)),
-            pl.BlockSpec((tb, tig * g), lambda o, bt, r, li: (bt, r)),
+            pl.BlockSpec((tb, tig, g), lambda o, bt, r, li: (bt, r, 0)),
             pl.BlockSpec((1, 1, tn), lambda o, bt, r, li: (li[0], 0, o)),
         ],
         out_specs=pl.BlockSpec((tb, tn), lambda o, bt, r, li: (bt, o)),
@@ -302,7 +325,7 @@ def _call_indexed(xb, codes_tl_all, lo, hi, scales_all, layer_idx, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nt * tn), xb.dtype),
         interpret=interpret,
-    )(layer_idx.reshape(1), codes_tl_all, lo, hi, xb,
+    )(layer_idx.reshape(1), codes_tl_all, lo, hi, xb.reshape(b, kig // kk, g),
       scales_all.reshape(L, 1, -1).astype(jnp.float32))
 
 
@@ -335,12 +358,13 @@ def gather_prefill_matmul_indexed(
 
 
 def _kernel_grouped(idx_ref, pt_ref, codes_ref, lo_ref, hi_ref, x_ref, sc_ref,
-                    out_ref, acc_ref, wt_ref, *, tig, kk, g, tn, two_halves):
+                    out_ref, acc_ref, wt_ref, *, tig, kk, g, tn, two_halves,
+                    wrap_ok=False):
     del idx_ref, pt_ref
     r = pl.program_id(2)
     _dequant_accum(codes_ref[0, 0], lo_ref[0], hi_ref[0], x_ref, acc_ref, wt_ref,
                    tig=tig, kk=kk, g=g, tn=tn, two_halves=two_halves,
-                   first_r=r == 0)
+                   first_r=r == 0, wrap_ok=wrap_ok)
 
     @pl.when(r == pl.num_programs(2) - 1)
     def _():
@@ -361,7 +385,7 @@ def _call_grouped(xb, codes_tl_all, lo_p, hi_p, scales_all, proj_map, layer_idx,
     tb = _batch_tile(b)
 
     kern = functools.partial(_kernel_grouped, tig=tig, kk=kk, g=g, tn=tn,
-                             two_halves=two_halves)
+                             two_halves=two_halves, wrap_ok=not interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt, b // tb, kig // kr),
@@ -369,7 +393,7 @@ def _call_grouped(xb, codes_tl_all, lo_p, hi_p, scales_all, proj_map, layer_idx,
             pl.BlockSpec((1, 1, kr, tn), lambda o, bt, r, li, pt: (li[0], o, r, 0)),
             pl.BlockSpec((1, g, kk, 128), lambda o, bt, r, li, pt: (pt[o], 0, 0, 0)),
             pl.BlockSpec((1, g, kk, 128), lambda o, bt, r, li, pt: (pt[o], 0, 0, 0)),
-            pl.BlockSpec((tb, tig * g), lambda o, bt, r, li, pt: (bt, r)),
+            pl.BlockSpec((tb, tig, g), lambda o, bt, r, li, pt: (bt, r, 0)),
             pl.BlockSpec((1, 1, tn), lambda o, bt, r, li, pt: (li[0], 0, o)),
         ],
         out_specs=pl.BlockSpec((tb, tn), lambda o, bt, r, li, pt: (bt, o)),
@@ -383,7 +407,8 @@ def _call_grouped(xb, codes_tl_all, lo_p, hi_p, scales_all, proj_map, layer_idx,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nt * tn), xb.dtype),
         interpret=interpret,
-    )(layer_idx.reshape(1), proj_map, codes_tl_all, lo_p, hi_p, xb,
+    )(layer_idx.reshape(1), proj_map, codes_tl_all, lo_p, hi_p,
+      xb.reshape(b, kig // kk, g),
       scales_all.reshape(L, 1, -1).astype(jnp.float32))
 
 

@@ -108,16 +108,22 @@ def _split_lut(lut):
 
 
 
-def _gather_accum(codes_block, lo_of, hi_of, acc_ref, *, B, tn, two_halves):
+def _gather_accum(codes_block, lo_of, hi_of, acc_ref, *, B, tn, two_halves,
+                  wrap_ok=False):
     """Shared inner loop: per 128-lane chunk, gather both table halves and
     accumulate. The cross-row reduction runs on the MXU (a [1,kr]x[kr,128]
     dot with a ones vector): the kernel is VPU-op-bound and the 127 vector
-    adds per chunk were ~20% of its op budget; the MXU is otherwise idle."""
+    adds per chunk were ~20% of its op budget; the MXU is otherwise idle.
+
+    wrap_ok: on real TPUs tpu.dynamic_gather WRAPS indices mod 128 (measured,
+    experiments/lutgemv_oob_probe.py), so the `& 127` lane mask is redundant
+    — one fewer VPU op per chunk. Interpret mode (CPU tests) clamps instead
+    of wrapping, so the mask stays there."""
     kr = codes_block.shape[0]
     ones = jnp.ones((1, kr), jnp.float32)
     for c in range(tn // 128):
         idx = codes_block[:, c * 128 : (c + 1) * 128].astype(jnp.int32)  # [kr, 128]
-        lane = idx & 127 if two_halves else idx
+        lane = idx if (wrap_ok or not two_halves) else (idx & 127)
         half = idx < 128
         for b in range(B):
             g_lo = jnp.take_along_axis(lo_of(b), lane, axis=1)
@@ -132,7 +138,7 @@ def _gather_accum(codes_block, lo_of, hi_of, acc_ref, *, B, tn, two_halves):
             )[0]
 
 
-def _kernel(codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref, *, B, tn, two_halves):
+def _kernel(codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref, *, B, tn, two_halves, wrap_ok=False):
     """grid = (out_tiles, row_tiles); the K*IG row dim accumulates innermost.
 
     Row tiling bounds the Mosaic stack: each chunk's gather temporaries are
@@ -147,7 +153,7 @@ def _kernel(codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref, *, B, tn, two_h
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     _gather_accum(codes_ref[0], lambda b: lo_ref[b], lambda b: hi_ref[b],
-                  acc_ref, B=B, tn=tn, two_halves=two_halves)
+                  acc_ref, B=B, tn=tn, two_halves=two_halves, wrap_ok=wrap_ok)
 
     @pl.when(r == pl.num_programs(1) - 1)
     def _():
@@ -161,7 +167,8 @@ def _call(codes_tl, lut_lo, lut_hi, scales, *, interpret, out_dtype=jnp.float32)
     two_halves = lut_hi is not None
     kr = _row_tile(kig, B)
 
-    kern = functools.partial(_kernel, B=B, tn=tn, two_halves=two_halves)
+    kern = functools.partial(_kernel, B=B, tn=tn, two_halves=two_halves,
+                             wrap_ok=not interpret)
     in_specs = [
         pl.BlockSpec((1, kr, tn), lambda o, r: (o, r, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((B, kr, 128), lambda o, r: (0, r, 0), memory_space=pltpu.VMEM),
@@ -228,7 +235,7 @@ def lut_gemv_kx8(x, codes_t, codebooks, scales, bias=None, *, group: int):
 # ---------------------------------------------------------------------------
 
 
-def _kernel_moe(codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref, *, B, tn, two_halves):
+def _kernel_moe(codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref, *, B, tn, two_halves, wrap_ok=False):
     """grid = (E, out_tiles, row_tiles); same inner loop as _kernel with the
     expert dim leading — each expert gathers from ITS OWN LUT block."""
     r = pl.program_id(2)
@@ -238,7 +245,7 @@ def _kernel_moe(codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref, *, B, tn, t
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     _gather_accum(codes_ref[0, 0], lambda b: lo_ref[0, b], lambda b: hi_ref[0, b],
-                  acc_ref, B=B, tn=tn, two_halves=two_halves)
+                  acc_ref, B=B, tn=tn, two_halves=two_halves, wrap_ok=wrap_ok)
 
     @pl.when(r == pl.num_programs(2) - 1)
     def _():
@@ -252,7 +259,8 @@ def _call_moe(codes_tl_e, lut_lo_e, lut_hi_e, scales_e, *, interpret):
     two_halves = lut_hi_e is not None
     kr = _row_tile(kig, B)
 
-    kern = functools.partial(_kernel_moe, B=B, tn=tn, two_halves=two_halves)
+    kern = functools.partial(_kernel_moe, B=B, tn=tn, two_halves=two_halves,
+                             wrap_ok=not interpret)
     in_specs = [
         pl.BlockSpec((1, 1, kr, tn), lambda e, o, r: (e, o, r, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B, kr, 128), lambda e, o, r: (e, 0, r, 0), memory_space=pltpu.VMEM),
@@ -295,7 +303,7 @@ def lut_moe_gemv_kx8(x, codes_tl_e, codebooks_e, scales_e, *, group: int):
 
 
 def _kernel_moe_indexed(idx_ref, codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref,
-                        *, B, tn, two_halves):
+                        *, B, tn, two_halves, wrap_ok=False):
     """Layer-indexed all-expert kernel: grid (E, out_tiles, row_tiles); the
     codes block leads with a layer dim of 1 picked by the prefetch index."""
     del idx_ref
@@ -306,7 +314,7 @@ def _kernel_moe_indexed(idx_ref, codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     _gather_accum(codes_ref[0, 0, 0], lambda b: lo_ref[0, b], lambda b: hi_ref[0, b],
-                  acc_ref, B=B, tn=tn, two_halves=two_halves)
+                  acc_ref, B=B, tn=tn, two_halves=two_halves, wrap_ok=wrap_ok)
 
     @pl.when(r == pl.num_programs(2) - 1)
     def _():
@@ -324,7 +332,8 @@ def _call_moe_indexed(codes_tl_le, lut_lo_e, lut_hi_e, scales_le, layer_idx, *, 
     two_halves = lut_hi_e is not None
     kr = _row_tile(kig, B)
 
-    kern = functools.partial(_kernel_moe_indexed, B=B, tn=tn, two_halves=two_halves)
+    kern = functools.partial(_kernel_moe_indexed, B=B, tn=tn, two_halves=two_halves,
+                             wrap_ok=not interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E, nt, kig // kr),
@@ -372,7 +381,7 @@ def lut_moe_gemv_kx8_indexed(
 # ---------------------------------------------------------------------------
 
 
-def _kernel_indexed(idx_ref, codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref, *, B, tn, two_halves):
+def _kernel_indexed(idx_ref, codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref, *, B, tn, two_halves, wrap_ok=False):
     """Same loop as _kernel; codes block leads with (layer, out-tile) dims of
     1 that the scalar-prefetch index map points at the active layer/tile."""
     del idx_ref
@@ -383,7 +392,7 @@ def _kernel_indexed(idx_ref, codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     _gather_accum(codes_ref[0, 0], lambda b: lo_ref[b], lambda b: hi_ref[b],
-                  acc_ref, B=B, tn=tn, two_halves=two_halves)
+                  acc_ref, B=B, tn=tn, two_halves=two_halves, wrap_ok=wrap_ok)
 
     @pl.when(r == pl.num_programs(1) - 1)
     def _():
@@ -407,7 +416,8 @@ def _call_indexed(codes_tl, lut_lo, lut_hi, scales_all, layer_idx, *, interpret,
     two_halves = lut_hi is not None
     kr = _row_tile(kig, B)
 
-    kern = functools.partial(_kernel_indexed, B=B, tn=tn, two_halves=two_halves)
+    kern = functools.partial(_kernel_indexed, B=B, tn=tn, two_halves=two_halves,
+                             wrap_ok=not interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt, kig // kr),
@@ -459,7 +469,7 @@ def lut_gemv_kx8_indexed(
 # ---------------------------------------------------------------------------
 
 
-def _kernel_grouped(idx_ref, pt_ref, codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref, *, B, tn, two_halves):
+def _kernel_grouped(idx_ref, pt_ref, codes_ref, lo_ref, hi_ref, sc_ref, out_ref, acc_ref, *, B, tn, two_halves, wrap_ok=False):
     """Fused projections: the codes block is the natural OUT-concatenation of
     tiles; each out-tile gathers from ITS projection's LUT (lo/hi blocks are
     indexed by the prefetch proj-map, so q/k/v outputs see q/k/v LUTs)."""
@@ -471,7 +481,7 @@ def _kernel_grouped(idx_ref, pt_ref, codes_ref, lo_ref, hi_ref, sc_ref, out_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     _gather_accum(codes_ref[0, 0], lambda b: lo_ref[b, 0], lambda b: hi_ref[b, 0],
-                  acc_ref, B=B, tn=tn, two_halves=two_halves)
+                  acc_ref, B=B, tn=tn, two_halves=two_halves, wrap_ok=wrap_ok)
 
     @pl.when(r == pl.num_programs(1) - 1)
     def _():
@@ -489,7 +499,8 @@ def _call_grouped(codes_tl, lut_lo, lut_hi, scales_all, proj_map, layer_idx, *,
     two_halves = lut_hi is not None
     kr = _row_tile(kig, B)
 
-    kern = functools.partial(_kernel_grouped, B=B, tn=tn, two_halves=two_halves)
+    kern = functools.partial(_kernel_grouped, B=B, tn=tn, two_halves=two_halves,
+                             wrap_ok=not interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt, kig // kr),
