@@ -42,8 +42,15 @@ class ServeConfig:
     use_flash_decode: bool | None = None  # None = stacked.forward default (flash on)
     prefix_cache: bool = True  # reuse KV rows for shared prompt prefixes
     min_prefix: int = 16  # smallest prefix worth a copy instead of recompute
-    spec_min_acceptance: float = 0.0  # >0: permanently drop the draft when the
-    # measured acceptance (after spec_warmup proposals) falls below this
+    # Adaptive draft drop: permanently disable speculation when the measured
+    # acceptance (after spec_warmup proposals) falls below this. Default set
+    # from the r4 on-chip economics (experiments/spec_probe.py): a SAME-SIZE
+    # requant draft (1x8 vs 2x8 target) costs ~0.85 target-steps per draft
+    # step and a (k+1)-token verify ~2.9 steps on the VPU-bound codes path,
+    # so a k=4 round costs ~6.3 step-equivalents for at most 5 tokens —
+    # speculation loses at ANY acceptance with such drafts. 0.7 keeps only
+    # genuinely cheaper drafts (e.g. a small separate model) alive.
+    spec_min_acceptance: float = 0.7
     spec_warmup: int = 64
     decode_chunk: int = 1  # >1: emit this many tokens per compiled step (one
     # host sync per chunk; a request finishing mid-chunk wastes its tail steps)
