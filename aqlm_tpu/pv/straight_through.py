@@ -96,6 +96,11 @@ class PVConfig:
     # projection — passes L=8 but faults the v5e at L>=16), "block"
     # (whole-body checkpoint — faults at any L), "none" (debugging)
     scan_remat: str = "manual"
+    # chain ceil(L/scan_segment_layers) scans of this depth instead of one
+    # L-long scan: the v5e faults in the scan backward at >=16 iterations at
+    # 7B widths (every remat mode; r4 ladder), 8 is the proven depth. 0 = one
+    # unsegmented scan.
+    scan_segment_layers: int = 8
 
 
 @partial(
@@ -313,7 +318,7 @@ def _make_manual_st_proj(scheme, compute_dtype, use_st, win, has_bias):
 
 def scanned_student_hidden(
     params: dict, st_buffers, cfg: llama.ModelConfig, input_ids, window_start=None,
-    remat: str = "dequant",
+    remat: str = "manual", segment_layers: int = 8,
 ):
     """Student forward to post-final-norm hidden states via one lax.scan.
 
@@ -484,7 +489,18 @@ def scanned_student_hidden(
         jnp.arange(len(layers)),
     )
     scan_body = jax.checkpoint(body) if remat == "block" else body
-    x, _ = jax.lax.scan(scan_body, x, xs)
+    # SEGMENTED scan: chained lax.scans of <= segment_layers each instead of
+    # one L-long scan. The r4 on-chip ladder faults the v5e in the scan
+    # BACKWARD at L>=16 at 7B widths under every remat mode, while L=8
+    # passes — segmenting keeps each transposed loop at the proven depth.
+    # Segment boundaries only pass the [B,T,H] activation, so the cost is
+    # zero; identical math (equality-tested vs the unrolled path).
+    L = len(layers)
+    seg = max(1, min(segment_layers, L)) if segment_layers else L
+    for s0 in range(0, L, seg):
+        s1 = min(s0 + seg, L)
+        xs_seg = jax.tree.map(lambda a: a[s0:s1], xs)
+        x, _ = jax.lax.scan(scan_body, x, xs_seg)
     return llama.rms_norm(x, params["final_norm"], cfg.rms_eps, plus_one=cfg.gemma_norm)
 
 
@@ -551,6 +567,7 @@ def make_pv_step(
                 s_hidden = scanned_student_hidden(
                     params, st, student_cfg, input_ids, window_start,
                     remat=pv.scan_remat,
+                    segment_layers=pv.scan_segment_layers,
                 )
             else:
                 eff = materialize_st_params(params, st)

@@ -8,7 +8,11 @@ Stages (argv[1]), each a separate run so a fault doesn't poison the next:
   body       ONE scan body iteration (no lax.scan), grad, with st
   nockpt     grad, st, scan WITHOUT jax.checkpoint (monkeypatched)
 
-Usage: python experiments/pv_scan_bisect2.py <stage> [n_layers] [T]
+Usage: python experiments/pv_scan_bisect2.py <stage> [n_layers] [T] [remat] [seg]
+  remat (default "dequant"): scan_remat mode for the fwd/grad stages —
+  "manual" tests the custom_vjp path, "none" plain scan.
+  seg (default 0 = UNSEGMENTED): scan_segment_layers — the bisect matrix
+  reproduces the L>=16 fault, so segmentation stays off unless asked.
 """
 
 import functools
@@ -30,8 +34,11 @@ from aqlm_tpu.pv import straight_through as stm
 stage = sys.argv[1]
 n_layers = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 T = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+remat = sys.argv[4] if len(sys.argv) > 4 else "dequant"
+seg = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 cfg = dc.replace(llama.ModelConfig.llama2_7b(), num_layers=n_layers)
-print(f"backend: {jax.default_backend()}  stage={stage} L={n_layers} T={T}", flush=True)
+print(f"backend: {jax.default_backend()}  stage={stage} L={n_layers} T={T} "
+      f"remat={remat} seg={seg}", flush=True)
 
 student = random_quantized_params(
     jax.random.PRNGKey(0), cfg, SCHEME_2X8, mode="reference", dtype=jnp.bfloat16
@@ -65,7 +72,8 @@ use_st = stage in ("fwd_st", "grad_st", "body", "nockpt", "nocse")
 
 def fwd(params, st):
     h = stm.scanned_student_hidden(
-        params, st if use_st else {}, cfg, ids, window_start=w0 if use_st else None
+        params, st if use_st else {}, cfg, ids,
+        window_start=w0 if use_st else None, remat=remat, segment_layers=seg,
     )
     return jnp.mean(jnp.square(h.astype(jnp.float32)))
 

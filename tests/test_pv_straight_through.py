@@ -229,19 +229,22 @@ def test_scan_blocks_matches_unrolled(key):
     st_opt = optax.adam(3e-3)
     grads = {}
     losses = {}
-    variants = [("unrolled", None), ("dequant", "dequant"), ("manual", "manual")]
+    # manual-seg2: 3 layers over 2-layer segments (2+1 — uneven split)
+    variants = [("unrolled", None), ("dequant", "dequant"), ("manual", "manual"),
+                ("manual-seg2", "manual")]
     for label, remat in variants:
         if remat is None:
             pv = PVConfig(chunk_tokens=8, scan_blocks=False)
         else:
-            pv = PVConfig(chunk_tokens=8, scan_blocks=True, scan_remat=remat)
+            pv = PVConfig(chunk_tokens=8, scan_blocks=True, scan_remat=remat,
+                          scan_segment_layers=2 if label.endswith("seg2") else 8)
         fns = make_pv_step(cfg, cfg, pv)
         state = init_pv_state(student, cont_opt, st_opt, active_layers=(1,))
         loss, g = jax.jit(fns.grad_fn)(state, teacher, ids)
         losses[label] = float(loss)
         grads[label] = g
     flat_u, tree_u = jax.tree.flatten(grads["unrolled"])
-    for label in ("dequant", "manual"):
+    for label in ("dequant", "manual", "manual-seg2"):
         np.testing.assert_allclose(losses[label], losses["unrolled"], rtol=1e-5)
         flat_s, tree_s = jax.tree.flatten(grads[label])
         assert tree_u == tree_s
