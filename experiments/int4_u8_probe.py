@@ -17,10 +17,14 @@ Run: python experiments/int4_u8_probe.py
 """
 
 import functools
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
 import jax
+
+if os.environ.get("AQLM_PROBE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -30,6 +34,8 @@ from aqlm_tpu.ops.int8_matmul import _tile
 from aqlm_tpu.utils.timing import chain_time
 
 OUT, IN = 11008, 4096
+if os.environ.get("AQLM_PROBE_TINY"):
+    OUT, IN = 512, 512
 print(f"backend: {jax.default_backend()}", flush=True)
 
 key = jax.random.PRNGKey(0)
