@@ -9,9 +9,12 @@ u8 shifts/ands at full rate, at the gate_proj decode shape.
 
 Variants:
   A  current int32-domain unpack (baseline, = ops/int4_matmul._body)
-  B  uint8-domain: nib = (wb & 15) / (wb >> 4) in u8, then astype(bf16)
-  C  bf16-domain arithmetic: one u8->bf16 convert, hi = floor(w * 1/16),
-     lo = w - 16*hi (integers <= 255 are exact in bf16)
+  B  uint8-domain: nib = (wb & 15) / (wb >> 4) in u8, then i16 -> bf16
+     (Mosaic has no direct u8->bf16 cast — first on-chip run failed with
+     "Unsupported cast: uint8 -> bfloat16"; the i16 hop is still half the
+     vreg width of the i32 chain)
+  C  bf16-domain arithmetic: u8 -> i16 -> bf16 convert once, hi = floor(w *
+     1/16), lo = w - 16*hi (integers <= 255 are exact in bf16)
 
 Run: python experiments/int4_u8_probe.py
 """
@@ -49,15 +52,17 @@ def make_kernel(variant):
         tkp = w_bytes.shape[1]
         xdt = x.dtype
         if variant == "C":
-            wf = w_bytes.astype(jnp.bfloat16)
+            wf = w_bytes.astype(jnp.int16).astype(jnp.bfloat16)
         for gi in range(tkp // GROUP):
             if variant == "A":
                 wb = w_bytes[:, gi * GROUP : (gi + 1) * GROUP].astype(jnp.int32)
                 nibs = ((0, (wb & 15).astype(xdt)), (1, (wb >> 4).astype(xdt)))
             elif variant == "B":
                 wb = w_bytes[:, gi * GROUP : (gi + 1) * GROUP]  # uint8
-                nibs = ((0, (wb & jnp.uint8(15)).astype(xdt)),
-                        (1, (wb >> jnp.uint8(4)).astype(xdt)))
+                nibs = (
+                    (0, (wb & jnp.uint8(15)).astype(jnp.int16).astype(xdt)),
+                    (1, (wb >> jnp.uint8(4)).astype(jnp.int16).astype(xdt)),
+                )
             else:  # C
                 wbf = wf[:, gi * GROUP : (gi + 1) * GROUP]
                 hi = jnp.floor(wbf * jnp.bfloat16(1.0 / 16.0))
