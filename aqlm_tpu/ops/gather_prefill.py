@@ -47,10 +47,10 @@ def _dequant_accum(codes_blk, lo_ref, hi_ref, x_ref, acc_ref, wt_ref, *,
     codes_blk  [kr, tn] uint8 (kr = tig*kk rows, ig-major)
     lo/hi_ref  [g, kk, 128] f32 element-j codebook tables (f32: bf16 lane
                gathers crash the remote Mosaic compiler, NOTES.md)
-    x_ref      [tb, tig, g] (3-D: last dim = the full group axis, so the
-               block is Mosaic-legal for ANY tig — a flat [tb, tig*g] block
-               needs tig*g %% 128 == 0, which 7B's down_proj KIG=2752 row
-               tiles cannot satisfy)
+    x_ref      [tb, tig*g] (the row-tile search guarantees tig*g %% 128 == 0
+               or tig*g == IN — Mosaic's last-dim block rule; the 3-D
+               [tb, tig, g] alternative is NOT viable: tpu.matmul cannot
+               lower a 2-contracting-dims dot, bench r4b)
     wt_ref     scratch [tig, g, tn] f32
     """
     kr = tig * kk
@@ -74,15 +74,14 @@ def _dequant_accum(codes_blk, lo_ref, hi_ref, x_ref, acc_ref, wt_ref, *,
             # layout) while scattering element j into the W^T row interleave
             wt_ref[:, j, c * 128 : (c + 1) * 128] = gath.reshape(tig, kk, 128).sum(axis=1)
 
-    wt = wt_ref[:].astype(jnp.bfloat16)  # [tig, g, tn]
+    wt = wt_ref[:].reshape(tig * g, tn).astype(jnp.bfloat16)
 
     @pl.when(first_r)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], wt, (((1, 2), (0, 1)), ((), ())),
-        preferred_element_type=jnp.float32,
+        x_ref[:], wt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
 
@@ -92,22 +91,32 @@ def _row_tile(kig: int, kk: int, g: int, tn: int) -> int:
     down_proj KIG=2752 halves to 172, which the TPU lowering rejects)."""
 
     def ok(kr):
-        # codes block second-to-last dim (kr) and x block second-to-last
-        # (tig) must be multiples of 8 — or equal the full array dim, which
-        # Mosaic always allows (the tiny-shape fallback)
+        # codes block second-to-last dim (kr) must be a multiple of 8 and the
+        # x block last dim (tig*g) a multiple of 128 — or the block equals
+        # the full array dim, which Mosaic always allows (tiny-shape
+        # fallback: kr == kig makes BOTH blocks full-dim)
         if kr % kk:
             return False
-        return (kr % 8 == 0 and (kr // kk) % 8 == 0) or kr == kig
+        if kr == kig:
+            return True
+        return kr % 8 == 0 and ((kr // kk) * g) % 128 == 0
 
     def scratch(kr):
         return (kr // kk) * g * tn * 4
 
-    kr = kig
-    while (scratch(kr) > 3 * 2**20 or not ok(kr)) and kr % 2 == 0 and (kr // 2) % kk == 0:
-        kr //= 2
-    while not ok(kr):  # halved past the alignment rule: walk back up
-        kr *= 2
-    assert ok(kr) and kig % kr == 0, (kig, kk, kr)
+    # exhaustive divisor search (kig is small): largest legal tile within
+    # the scratch bound; fall back to the largest legal tile, then to the
+    # full dim (always Mosaic-legal)
+    divs = [d for d in range(1, kig + 1) if kig % d == 0]
+    legal = [d for d in divs if ok(d)]
+    in_budget = [d for d in legal if scratch(d) <= 3 * 2**20]
+    if in_budget:
+        kr = max(in_budget)
+    elif legal:
+        kr = min(legal, key=scratch)
+    else:
+        kr = kig
+    assert kig % kr == 0, (kig, kr)
     return kr
 
 
@@ -196,7 +205,7 @@ def _call_plain(xb, codes_tl, lo, hi, scales, *, group, two_halves, interpret):
             pl.BlockSpec((1, kr, tn), lambda o, bt, r: (o, r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, tig, g), lambda o, bt, r: (bt, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tig * g), lambda o, bt, r: (bt, r), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tn), lambda o, bt, r: (0, 0, o), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tb, tn), lambda o, bt, r: (bt, o), memory_space=pltpu.VMEM),
@@ -206,8 +215,7 @@ def _call_plain(xb, codes_tl, lo, hi, scales, *, group, two_halves, interpret):
             pltpu.VMEM((tig, g, tn), jnp.float32),
         ],
         interpret=interpret,
-    )(codes_tl, lo, hi, xb.reshape(b, kig // kk, g),
-      scales.reshape(1, 1, -1).astype(jnp.float32))
+    )(codes_tl, lo, hi, xb, scales.reshape(1, 1, -1).astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -311,7 +319,7 @@ def _call_indexed(xb, codes_tl_all, lo, hi, scales_all, layer_idx, *,
             pl.BlockSpec((1, 1, kr, tn), lambda o, bt, r, li: (li[0], o, r, 0)),
             pl.BlockSpec((g, kk, 128), lambda o, bt, r, li: (0, 0, 0)),
             pl.BlockSpec((g, kk, 128), lambda o, bt, r, li: (0, 0, 0)),
-            pl.BlockSpec((tb, tig, g), lambda o, bt, r, li: (bt, r, 0)),
+            pl.BlockSpec((tb, tig * g), lambda o, bt, r, li: (bt, r)),
             pl.BlockSpec((1, 1, tn), lambda o, bt, r, li: (li[0], 0, o)),
         ],
         out_specs=pl.BlockSpec((tb, tn), lambda o, bt, r, li: (bt, o)),
@@ -325,7 +333,7 @@ def _call_indexed(xb, codes_tl_all, lo, hi, scales_all, layer_idx, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nt * tn), xb.dtype),
         interpret=interpret,
-    )(layer_idx.reshape(1), codes_tl_all, lo, hi, xb.reshape(b, kig // kk, g),
+    )(layer_idx.reshape(1), codes_tl_all, lo, hi, xb,
       scales_all.reshape(L, 1, -1).astype(jnp.float32))
 
 
@@ -393,7 +401,7 @@ def _call_grouped(xb, codes_tl_all, lo_p, hi_p, scales_all, proj_map, layer_idx,
             pl.BlockSpec((1, 1, kr, tn), lambda o, bt, r, li, pt: (li[0], o, r, 0)),
             pl.BlockSpec((1, g, kk, 128), lambda o, bt, r, li, pt: (pt[o], 0, 0, 0)),
             pl.BlockSpec((1, g, kk, 128), lambda o, bt, r, li, pt: (pt[o], 0, 0, 0)),
-            pl.BlockSpec((tb, tig, g), lambda o, bt, r, li, pt: (bt, r, 0)),
+            pl.BlockSpec((tb, tig * g), lambda o, bt, r, li, pt: (bt, r)),
             pl.BlockSpec((1, 1, tn), lambda o, bt, r, li, pt: (li[0], 0, o)),
         ],
         out_specs=pl.BlockSpec((tb, tn), lambda o, bt, r, li, pt: (bt, o)),
@@ -407,8 +415,7 @@ def _call_grouped(xb, codes_tl_all, lo_p, hi_p, scales_all, proj_map, layer_idx,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nt * tn), xb.dtype),
         interpret=interpret,
-    )(layer_idx.reshape(1), proj_map, codes_tl_all, lo_p, hi_p,
-      xb.reshape(b, kig // kk, g),
+    )(layer_idx.reshape(1), proj_map, codes_tl_all, lo_p, hi_p, xb,
       scales_all.reshape(L, 1, -1).astype(jnp.float32))
 
 
