@@ -300,10 +300,16 @@ def _make_manual_st_proj(scheme, compute_dtype, use_st, win, has_bias):
         dcbs, dscales = dq_vjp(gw)
         f0 = lambda a: np.zeros(jnp.shape(a), dtypes.float0)
         if use_st:
-            pos = jnp.clip(li - start, 0, win - 1)
             in_win = ((li >= start) & (li < start + win)).astype(jnp.float32)
-            dst = jnp.zeros((win,) + gw.shape, jnp.float32)
-            dst = jax.lax.dynamic_update_index_in_dim(dst, gw * in_win, pos, 0)
+            if win == 1:
+                # common case (window=1): no zeros+scatter chain — the scan
+                # transpose accumulates these, and the zeros materialization
+                # doubled the ~0.8 GB window transient per iteration
+                dst = (gw * in_win)[None]
+            else:
+                pos = jnp.clip(li - start, 0, win - 1)
+                dst = jnp.zeros((win,) + gw.shape, jnp.float32)
+                dst = jax.lax.dynamic_update_index_in_dim(dst, gw * in_win, pos, 0)
         else:
             dst = None
         dbias = (

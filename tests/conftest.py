@@ -27,12 +27,14 @@ jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: Engine/TPEngine construct fresh jit closures
 # per instance, so identical graphs recompile across tests and runs; the
 # on-disk cache collapses those (measured ~2x on the serve/spec files).
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/aqlm_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-except Exception:  # older jax without the knobs: run uncached
-    pass
+# AQLM_TEST_NO_COMPILE_CACHE=1 disables it (crash bisection).
+if not os.environ.get("AQLM_TEST_NO_COMPILE_CACHE"):
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/aqlm_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    except Exception:  # older jax without the knobs: run uncached
+        pass
 
 import pytest  # noqa: E402
 

@@ -22,6 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# The persistent compilation cache (conftest) serializes executables to
+# disk; at these REAL widths the CPU executables embed multi-GB buffers and
+# the cache write aborts the process (r4: "Fatal Python error: Aborted" in
+# the first generate). No cache for this module.
+jax.config.update("jax_compilation_cache_dir", None)
+
 pytestmark = pytest.mark.slow
 
 from aqlm_tpu.config import SCHEME_1X16, SCHEME_2X8
