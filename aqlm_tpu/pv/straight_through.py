@@ -481,12 +481,17 @@ def scanned_student_hidden(
                     bias=bias_l.get(name),
                     st_arr=st_stack[name] if use_st else None, li=li,
                 ))
+        import os as _os
+
+        no_glue = bool(_os.environ.get("AQLM_PV_NO_REMAT_GLUE"))
         out, _ = llama._block(
             x, layer, cfg, positions, None, None, None,
             # recompute-in-backward attention + silu glue: without these the
             # scan stacks [L,B,Hkv,rep,T,T] attention probs and three
-            # [L,B,T,inter] f32 glue residuals (the L=32/T=512 OOM)
-            attention_fn=_attention_remat, act_mul_fn=_silu_mul_remat,
+            # [L,B,T,inter] f32 glue residuals (the L=32/T=512 OOM).
+            # AQLM_PV_NO_REMAT_GLUE=1 disables them (on-chip fault bisection)
+            attention_fn=None if no_glue else _attention_remat,
+            act_mul_fn=None if no_glue else _silu_mul_remat,
         )
         return out, None
 
