@@ -101,6 +101,11 @@ class PVConfig:
     # 7B widths (every remat mode; r4 ladder), 8 is the proven depth. 0 = one
     # unsegmented scan.
     scan_segment_layers: int = 8
+    # dequant implementation for scan_remat="manual": "auto" = the Pallas
+    # one-hot kernel on real TPUs (XLA's take_along_axis gather at 7B dequant
+    # scale crashes the v5e worker after ~33-64 executions —
+    # experiments/dequant_crash_probe) and XLA on CPU; "xla"/"kernel" force.
+    scan_dequant: str = "auto"
 
 
 @partial(
@@ -247,7 +252,8 @@ def _silu_mul_bwd(res, g):
 _silu_mul_remat.defvjp(_silu_mul_fwd, _silu_mul_bwd)
 
 
-def _make_manual_st_proj(scheme, compute_dtype, use_st, win, has_bias):
+def _make_manual_st_proj(scheme, compute_dtype, use_st, win, has_bias,
+                         dequant_impl: str = "xla"):
     """custom_vjp straight-through projection for scan_remat="manual".
 
     Replaces `jax.checkpoint(dequant + masked-ST + matmul)` with an explicit
@@ -266,12 +272,52 @@ def _make_manual_st_proj(scheme, compute_dtype, use_st, win, has_bias):
 
     from jax import dtypes
 
+    assert dequant_impl in ("xla", "kernel"), dequant_impl
+
     def _dequant(codes, cbs, scales, dtype):
+        """Dense W [OUT, IN]. impl="kernel": the Pallas one-hot MXU dequant —
+        the XLA take_along_axis gather at 7B dequant scale CRASHES the v5e
+        worker after ~33-64 executions (experiments/dequant_crash_probe: A/B
+        crash at n=64, the Pallas kernels survive 256+), which was the root
+        cause of every PV-at-depth device fault (r1 unrolled, r4 L-ladder)."""
+        if dequant_impl == "kernel":
+            from aqlm_tpu.ops.kernels import dequantize_onehot
+
+            ct = codes.astype(jnp.int32).transpose(2, 1, 0)  # [K, IG, OUT]
+            wt = dequantize_onehot(
+                ct, cbs[:, :, 0, :], scales,
+                group=scheme.in_group_size, dtype=dtype,
+            )  # [IN, OUT], scales applied
+            return wt.T
         return dequantize_weight(
             AqlmWeight(codes=codes, codebooks=cbs, scales=scales, bias=None,
                        scheme=scheme),
             dtype=dtype,
         )
+
+    def _dq_grads(codes, cbs, scales, w, gw):
+        """(dcbs, dscales) without XLA gathers.
+
+        dscales[o] = sum_i gw[o,i] * U[o,i] with U = W/scales (W is already
+        rematerialized); dcb[k,s,:] = sum over groups with code s of
+        scales[o] * gw_group — a segment_sum (scatter-add), which the crash
+        probe's E variant validates on-chip separately."""
+        g_ = scheme.in_group_size
+        out_f = gw.shape[0]
+        ig = gw.shape[1] // g_
+        safe = jnp.where(jnp.abs(scales) > 1e-12, scales, 1.0)
+        dscales = (jnp.sum(gw * w.astype(jnp.float32), axis=1) / safe).astype(
+            scales.dtype
+        )
+        data = (gw.reshape(out_f, ig, g_) * scales[:, None, None]).reshape(-1, g_)
+        dcb_ks = []
+        for k in range(scheme.num_codebooks):
+            seg = codes[:, :, k].astype(jnp.int32).reshape(-1)
+            dcb_ks.append(
+                jax.ops.segment_sum(data, seg, num_segments=scheme.codebook_size)
+            )
+        dcbs = jnp.stack(dcb_ks)[:, :, None, :].astype(cbs.dtype)  # [K,S,1,g]
+        return dcbs, dscales
 
     @jax.custom_vjp
     def f(x, codes, cbs, scales, bias, st_arr, li, start):
@@ -291,13 +337,19 @@ def _make_manual_st_proj(scheme, compute_dtype, use_st, win, has_bias):
 
     def bwd(res, g):
         x, codes, cbs, scales, li, start = res
-        w, dq_vjp = jax.vjp(
-            lambda c, s: _dequant(codes, c, s, jnp.float32), cbs, scales
-        )
         gf = g.astype(jnp.float32)
-        dx = jnp.einsum("...o,oi->...i", gf, w).astype(x.dtype)
-        gw = jnp.einsum("...o,...i->oi", gf, x.astype(jnp.float32))
-        dcbs, dscales = dq_vjp(gw)
+        if dequant_impl == "kernel":
+            w = _dequant(codes, cbs, scales, jnp.float32)
+            dx = jnp.einsum("...o,oi->...i", gf, w).astype(x.dtype)
+            gw = jnp.einsum("...o,...i->oi", gf, x.astype(jnp.float32))
+            dcbs, dscales = _dq_grads(codes, cbs, scales, w, gw)
+        else:
+            w, dq_vjp = jax.vjp(
+                lambda c, s: _dequant(codes, c, s, jnp.float32), cbs, scales
+            )
+            dx = jnp.einsum("...o,oi->...i", gf, w).astype(x.dtype)
+            gw = jnp.einsum("...o,...i->oi", gf, x.astype(jnp.float32))
+            dcbs, dscales = dq_vjp(gw)
         f0 = lambda a: np.zeros(jnp.shape(a), dtypes.float0)
         if use_st:
             in_win = ((li >= start) & (li < start + win)).astype(jnp.float32)
@@ -324,7 +376,7 @@ def _make_manual_st_proj(scheme, compute_dtype, use_st, win, has_bias):
 
 def scanned_student_hidden(
     params: dict, st_buffers, cfg: llama.ModelConfig, input_ids, window_start=None,
-    remat: str = "manual", segment_layers: int = 8,
+    remat: str = "manual", segment_layers: int = 8, dequant_impl: str = "auto",
 ):
     """Student forward to post-final-norm hidden states via one lax.scan.
 
@@ -441,11 +493,18 @@ def scanned_student_hidden(
 
     manual_fns = {}
     if remat == "manual":
+        if dequant_impl == "auto":
+            from aqlm_tpu.ops.kernels import should_interpret
+
+            kernel_ok = (
+                scheme.nbits_per_codebook <= 8 and scheme.out_group_size == 1
+            )
+            dequant_impl = "kernel" if (kernel_ok and not should_interpret()) else "xla"
         start_arr = jnp.asarray(start, jnp.int32)
         for name in QUANTIZABLE_PROJS:
             manual_fns[name] = _make_manual_st_proj(
                 scheme, compute_dtype, use_st and name in st_stack, win,
-                has_bias=name in bias_stack,
+                has_bias=name in bias_stack, dequant_impl=dequant_impl,
             )
 
     class _FnLinear:
@@ -579,6 +638,7 @@ def make_pv_step(
                     params, st, student_cfg, input_ids, window_start,
                     remat=pv.scan_remat,
                     segment_layers=pv.scan_segment_layers,
+                    dequant_impl=pv.scan_dequant,
                 )
             else:
                 eff = materialize_st_params(params, st)

@@ -16,6 +16,11 @@ N, for each variant:
   B  per-j gather loop (8 gathers with [k, 1, N] indices, no broadcast)
   C  Pallas one-hot MXU dequant (ops/kernels.dequantize_onehot)
   D  Pallas gather dequant over tiled codes (ops/gather_prefill.gather_dequant_wt)
+  E  segment_sum scatter-add at codebook-grad scale (dcb[k,s,:] = sum of
+     dW groups with code s) — is XLA scatter affected like gather?
+
+r4d verdict: A and B CRASH the worker between n=32 and n=64; C and D
+survive 256 — the XLA gather op at this scale is the faulting primitive.
 
 Run: python experiments/dequant_crash_probe.py [variant] [n_calls]
 (one variant per process — a crash must not poison the next).
@@ -84,6 +89,14 @@ def dequant_b(codes, cb, sc):
 def run(codes_src, cb, sc, n):
     def body(i, acc):
         li = i % L
+        if variant == "E":
+            codes = jax.lax.dynamic_index_in_dim(codes_src, li, 0, keepdims=False)
+            # codebook-grad shaped scatter: dcb[k*S + code] += dW_group
+            flat = codes.astype(jnp.int32).transpose(2, 0, 1).reshape(K, -1)
+            seg = (flat + (jnp.arange(K, dtype=jnp.int32) * S)[:, None]).reshape(-1)
+            dw = jnp.ones((seg.shape[0], G), jnp.float32) * (1.0 + acc * 0)
+            dcb = jax.ops.segment_sum(dw, seg, num_segments=K * S)
+            return acc + jnp.sum(dcb) * 1e-12
         if variant in ("A", "B"):
             codes = jax.lax.dynamic_index_in_dim(codes_src, li, 0, keepdims=False)
             if variant == "A":
@@ -103,7 +116,8 @@ def run(codes_src, cb, sc, n):
     return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
 
-src = {"A": codes_l, "B": codes_l, "C": codes_t_l if variant == "C" else None,
+src = {"A": codes_l, "B": codes_l, "E": codes_l,
+       "C": codes_t_l if variant == "C" else None,
        "D": codes_tl_l if variant == "D" else None}[variant]
 
 for n in (8, 32, 64, 96, 128, 192, 256):

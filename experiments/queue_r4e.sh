@@ -1,7 +1,9 @@
 #!/bin/bash
-# Round-4 queue E: pin the REGRESSION — L=8 dequant passed in r3 but faults
-# now. Toggle the r4 additions one at a time at the r3-passing config
-# (L=8 T=256 dequant unsegmented). Run AFTER queue_r4d.
+# Round-4 queue E (rewritten after the r4d root cause): XLA's dequant-scale
+# take_along_axis gather crashes the v5e worker after ~33-64 executions;
+# the PV manual path now dequantizes via the Pallas one-hot kernel
+# (PVConfig.scan_dequant="auto"). Validate: scatter survival (codebook
+# grads), the PV depth ladder with kernel dequant, and the full memcheck.
 set -x
 cd /root/repo
 {
@@ -12,17 +14,21 @@ import jax, jax.numpy as jnp
 x = jnp.ones((256, 256))
 print('chip ok:', float((x @ x).sum()))" || exit 1
 
-  echo "--- L=8 dequant, NO remat glue (the r3 body, modulo nothing else)"
-  AQLM_PV_NO_REMAT_GLUE=1 timeout 2400 python experiments/pv_scan_bisect2.py grad_st 8 256 dequant 0
+  echo "--- scatter survival (segment_sum at codebook-grad scale)"
+  timeout 2400 python experiments/dequant_crash_probe.py E 256
   echo "--- rc=$?"
-  echo "--- L=8 dequant, WITH remat glue (replicates the r4d fault?)"
-  timeout 2400 python experiments/pv_scan_bisect2.py grad_st 8 256 dequant 0
+
+  echo "--- PV kernel-dequant ladder: L=8"
+  timeout 2400 python experiments/pv_grad_bisect.py 8 256 scan manual
   echo "--- rc=$?"
-  echo "--- L=16 manual, NO remat glue"
-  AQLM_PV_NO_REMAT_GLUE=1 timeout 2400 python experiments/pv_scan_bisect2.py grad_st 16 256 manual 0
+  echo "--- PV kernel-dequant ladder: L=16"
+  timeout 2400 python experiments/pv_grad_bisect.py 16 256 scan manual
   echo "--- rc=$?"
-  echo "--- L=32 manual segmented, NO remat glue"
-  AQLM_PV_NO_REMAT_GLUE=1 timeout 3600 python experiments/pv_grad_bisect.py 32 256 scan manual
+  echo "--- PV kernel-dequant ladder: L=32 (the 7B depth)"
+  timeout 3600 python experiments/pv_grad_bisect.py 32 256 scan manual
+  echo "--- rc=$?"
+  echo "--- PV 7B full step + V step + peak HBM (kernel dequant, T=512)"
+  timeout 4800 python experiments/pv_7b_memcheck.py
   echo "--- rc=$?"
   echo "=== queue R4e done $(date) ==="
 } 2>&1 | tee /tmp/queue_r4e.log

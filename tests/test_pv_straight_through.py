@@ -298,3 +298,41 @@ def test_windowed_st_matches_list_form(key):
         state_w2 = fns.code_step(state_w, jax.random.PRNGKey(7), active=active)
         assert isinstance(state_w2.st_buffers, dict)
         assert set(state_w2.st_buffers) == set(window)
+
+
+def test_scan_kernel_dequant_matches_xla(key):
+    """scan_remat="manual" with the Pallas one-hot dequant == the XLA-dequant
+    path, at the kernel's bf16-codebook tolerance (the kernel impl exists
+    because XLA's dequant gather crashes the v5e worker after ~64 calls —
+    experiments/dequant_crash_probe)."""
+    cfg = llama.ModelConfig.tiny(num_layers=3)
+    student = random_quantized_params(
+        key, cfg, SCHEME_2X8, mode="reference", dtype=jnp.float32
+    )
+    teacher = llama.init_random_params(jax.random.PRNGKey(42), cfg, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    cont_opt = optax.adamw(1e-3)
+    st_opt = optax.adam(3e-3)
+
+    out = {}
+    for impl in ("xla", "kernel"):
+        pv = PVConfig(chunk_tokens=8, scan_blocks=True, scan_remat="manual",
+                      scan_dequant=impl)
+        fns = make_pv_step(cfg, cfg, pv)
+        state = init_pv_state(student, cont_opt, st_opt, active_layers=(1,))
+        loss, g = jax.jit(fns.grad_fn)(state, teacher, ids)
+        out[impl] = (float(loss), g)
+    np.testing.assert_allclose(out["kernel"][0], out["xla"][0], rtol=2e-2)
+    flat_x, tree_x = jax.tree.flatten(out["xla"][1])
+    flat_k, tree_k = jax.tree.flatten(out["kernel"][1])
+    assert tree_x == tree_k
+    for a, b in zip(flat_x, flat_k):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        # the kernel path rounds codebook entries to bf16, which perturbs the
+        # near-zero KL grads relatively; gate on relative Frobenius error —
+        # a layout/mask/sign bug in the manual VJP lands at O(1), bf16 noise
+        # at a few percent
+        na = np.linalg.norm(a)
+        rel = np.linalg.norm(a - b) / max(na, 1e-6)
+        assert rel < 0.15, (a.shape, rel)
