@@ -86,16 +86,14 @@ def broadcast_scales(scales: jax.Array, og: int, ig: int) -> jax.Array:
     return scales.reshape(og, ig, 1, 1)
 
 
-def dequantize_weight(w: AqlmWeight, dtype=None) -> jax.Array:
-    """Reconstruct the dense weight ``[out_features, in_features]``.
-
-    W[og*o, ig*i] = scales[og(, ig)] * sum_k codebooks[k, codes[og, ig, k], o, i]
-    """
-    scheme = w.scheme
-    og, ig, k = w.codes.shape
+def _dequant_groups_xla(codes, cb, scheme):
+    """UNscaled dense weight [OUT, IN] via the XLA gather (exact; but the
+    take_along_axis gather at 7B dequant scale CRASHES the v5e TPU worker
+    after ~33-64 executions — experiments/dequant_crash_probe). CPU / small
+    shapes / >8-bit schemes use this path."""
+    og, ig, k = codes.shape
     o, i = scheme.out_group_size, scheme.in_group_size
-    codes = w.codes.astype(jnp.int32)
-    cb = w.codebooks  # [k, S, o, i]
+    codes = codes.astype(jnp.int32)
     # Gather with the (huge) group axis LAST: a [k, N, o, i] result pads its
     # (o=1, i=8) minor dims to the (8, 128) tile — a 16x HBM expansion that
     # made the differentiable dequant the peak allocation of PV training
@@ -106,6 +104,95 @@ def dequantize_weight(w: AqlmWeight, dtype=None) -> jax.Array:
     groups = jnp.take_along_axis(cb_t, jnp.broadcast_to(idx, (k, o * i, n)), axis=2)
     groups = groups.sum(axis=0)  # [o*i, N]
     groups = groups.T.reshape(og, ig, o, i)
+    return groups.transpose(0, 2, 1, 3).reshape(og * o, ig * i)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dequant_groups_kernel(codes, cb, scheme):
+    """UNscaled dense weight [OUT, IN] via the Pallas one-hot MXU kernel in
+    precise (f32) mode — the TPU-safe replacement for the XLA gather, with
+    a manual VJP (codebook grads via segment_sum; codes are ints).
+    Requires out_group_size == 1 and nbits_per_codebook <= 8."""
+    from aqlm_tpu.ops.kernels import dequantize_onehot
+
+    ct = codes.astype(jnp.int32).transpose(2, 1, 0)  # [K, IG, OUT]
+    ones = jnp.ones((codes.shape[0],), jnp.float32)
+    wt = dequantize_onehot(
+        ct, cb[:, :, 0, :], ones, group=scheme.in_group_size,
+        dtype=jnp.float32, precise=True,
+    )  # [IN, OUT]
+    return wt.T
+
+
+def _dequant_groups_kernel_fwd(codes, cb, scheme):
+    # residuals must be jax types: carry cb's dtype via an empty scalar
+    return _dequant_groups_kernel(codes, cb, scheme), (codes, jnp.zeros((), cb.dtype))
+
+
+def _dequant_groups_kernel_bwd(scheme, res, g):
+    import numpy as np
+
+    from jax import dtypes
+
+    codes, cb_proto = res
+    k, s = scheme.num_codebooks, scheme.codebook_size
+    g_ = scheme.in_group_size
+    cb_dtype = cb_proto.dtype
+    out_f = g.shape[0]
+    ig = g.shape[1] // g_
+    data = g.astype(jnp.float32).reshape(out_f, ig, g_).reshape(-1, g_)
+    dcb_ks = []
+    for kk in range(k):
+        seg = codes[:, :, kk].astype(jnp.int32).reshape(-1)
+        dcb_ks.append(jax.ops.segment_sum(data, seg, num_segments=s))
+    dcb = jnp.stack(dcb_ks)[:, :, None, :].astype(cb_dtype)  # [K, S, 1, g]
+    return np.zeros(codes.shape, dtypes.float0), dcb
+
+
+_dequant_groups_kernel.defvjp(_dequant_groups_kernel_fwd, _dequant_groups_kernel_bwd)
+
+
+def _kernel_dequant_ok(scheme) -> bool:
+    from aqlm_tpu.ops.kernels import should_interpret
+
+    return (
+        scheme.out_group_size == 1
+        and scheme.nbits_per_codebook <= 8
+        and not should_interpret()
+    )
+
+
+def dequantize_weight(w: AqlmWeight, dtype=None, *, impl: str = "auto") -> jax.Array:
+    """Reconstruct the dense weight ``[out_features, in_features]``.
+
+    W[og*o, ig*i] = scales[og(, ig)] * sum_k codebooks[k, codes[og, ig, k], o, i]
+
+    impl: "auto" (default) uses the Pallas one-hot kernel on real TPUs for
+    Kx<=8-bit schemes — XLA's dequant-scale gather crashes the v5e worker
+    after ~33-64 executions (experiments/dequant_crash_probe) — and the
+    exact XLA gather on CPU; "xla"/"kernel" force a path. Both are
+    differentiable w.r.t. codebooks and scales (the kernel path through a
+    manual VJP; the scale multiply is ordinary autodiff either way) and
+    numerically equal (the kernel runs the selection matmul in f32).
+    """
+    scheme = w.scheme
+    og, ig, _ = w.codes.shape
+    if impl == "auto":
+        impl = "kernel" if _kernel_dequant_ok(scheme) else "xla"
+    if impl == "kernel":
+        groups_flat = _dequant_groups_kernel(w.codes, w.codebooks, scheme)
+        o, i = scheme.out_group_size, scheme.in_group_size
+        groups = groups_flat.reshape(og, o, ig, i).transpose(0, 2, 1, 3)
+    else:
+        o, i = scheme.out_group_size, scheme.in_group_size
+        groups = (
+            _dequant_groups_xla(w.codes, w.codebooks, scheme)
+            .reshape(og, o, ig, i)
+            .transpose(0, 2, 1, 3)
+        )
     weight = groups * broadcast_scales(w.scales, og, ig).astype(groups.dtype)
     weight = weight.transpose(0, 2, 1, 3).reshape(og * o, ig * i)
     if dtype is not None:

@@ -43,23 +43,33 @@ def _pick_tile(n: int, target: int) -> int:
     return t
 
 
-def _onehot_dequant_wt(codes_t, codebooks, ig_tile, tn, group, nbooks, s):
+def _onehot_dequant_wt(codes_t, codebooks, ig_tile, tn, group, nbooks, s,
+                       precise=False):
     """Dequantize a W^T tile [ig_tile*group, tn] from transposed codes.
 
     codes_t: [nbooks, ig_tile, tn] int32
     codebooks: [nbooks, s, group]
+    precise: keep the one-hot matmul in f32 (exact selection of f32 codebook
+    entries — the calibration-grade mode; bf16 operands are the serving
+    default, ~8x faster on the MXU).
     """
     tk = ig_tile * group
+    mxu_dtype = jnp.float32 if precise else jnp.bfloat16
+    # TPU f32 dots default to ONE bf16 pass; HIGHEST = bf16x3 decomposition,
+    # exact to f32 roundoff (the one-hot operand is 0/1, so all error lives
+    # in the codebook operand)
+    prec = jax.lax.Precision.HIGHEST if precise else None
     wt = jnp.zeros((tk, tn), jnp.float32)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (ig_tile, tn, s), 2)
     for k in range(nbooks):
-        onehot = (codes_t[k][:, :, None] == iota_s).astype(jnp.bfloat16)  # [ig, tn, s]
+        onehot = (codes_t[k][:, :, None] == iota_s).astype(mxu_dtype)  # [ig, tn, s]
         # [ig*tn, s] @ [s, group] -> [ig, tn, group]
         g = jax.lax.dot_general(
             onehot.reshape(ig_tile * tn, s),
-            codebooks[k].astype(jnp.bfloat16),
+            codebooks[k].astype(mxu_dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=prec,
         ).reshape(ig_tile, tn, group)
         wt = wt + g.transpose(0, 2, 1).reshape(tk, tn)
     return wt
@@ -141,20 +151,22 @@ def fused_onehot_matmul(x, codes_t, codebooks, scales, bias=None, *, group: int)
 # ---------------------------------------------------------------------------
 
 
-def _dequant_kernel(codes_ref, cb_ref, out_ref, *, group, nbooks, s):
+def _dequant_kernel(codes_ref, cb_ref, out_ref, *, group, nbooks, s, precise=False):
     ig_tile, tn = codes_ref.shape[1], codes_ref.shape[2]
     out_ref[:] = _onehot_dequant_wt(
-        codes_ref[:].astype(jnp.int32), cb_ref[:], ig_tile, tn, group, nbooks, s
+        codes_ref[:].astype(jnp.int32), cb_ref[:], ig_tile, tn, group, nbooks, s,
+        precise=precise,
     ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group", "dtype", "interpret"))
-def _dequant_call(codes_t, codebooks, *, group, dtype, interpret):
+@functools.partial(jax.jit, static_argnames=("group", "dtype", "interpret", "precise"))
+def _dequant_call(codes_t, codebooks, *, group, dtype, interpret, precise=False):
     nbooks, ig, out_features = codes_t.shape
     s = codebooks.shape[1]
     tn = _pick_tile(out_features, 128)
     tig = _pick_tile(ig, max(1, 2 ** 21 // (tn * s * 2)))
-    kernel = functools.partial(_dequant_kernel, group=group, nbooks=nbooks, s=s)
+    kernel = functools.partial(_dequant_kernel, group=group, nbooks=nbooks, s=s,
+                               precise=precise)
     return pl.pallas_call(
         kernel,
         grid=(ig // tig, out_features // tn),
@@ -170,9 +182,14 @@ def _dequant_call(codes_t, codebooks, *, group, dtype, interpret):
     )(codes_t, codebooks)
 
 
-def dequantize_onehot(codes_t, codebooks, scales, *, group: int, dtype=jnp.bfloat16):
-    """Materialize W^T [in_features, out_features] via the one-hot MXU path."""
+def dequantize_onehot(codes_t, codebooks, scales, *, group: int, dtype=jnp.bfloat16,
+                      precise: bool = False):
+    """Materialize W^T [in_features, out_features] via the one-hot MXU path.
+
+    precise=True keeps the selection matmul in f32 (bit-exact codebook
+    entries; calibration-grade)."""
     wt = _dequant_call(
-        codes_t, codebooks, group=group, dtype=jnp.float32, interpret=should_interpret()
+        codes_t, codebooks, group=group, dtype=jnp.float32,
+        interpret=should_interpret(), precise=precise,
     )
     return (wt * scales[None, :].astype(wt.dtype)).astype(dtype)

@@ -102,7 +102,8 @@ def run(codes_src, cb, sc, n):
             if variant == "A":
                 w = dequantize_weight(
                     AqlmWeight(codes=codes, codebooks=cb, scales=sc, bias=None,
-                               scheme=SCHEME_2X8), dtype=jnp.bfloat16)
+                               scheme=SCHEME_2X8), dtype=jnp.bfloat16,
+                    impl="xla")  # the probe MUST exercise the crashing path
             else:
                 w = dequant_b(codes, cb, sc).astype(jnp.bfloat16)
         elif variant == "C":
