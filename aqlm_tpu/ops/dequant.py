@@ -118,6 +118,12 @@ def _dequant_groups_kernel(codes, cb, scheme):
     Requires out_group_size == 1 and nbits_per_codebook <= 8."""
     from aqlm_tpu.ops.kernels import dequantize_onehot
 
+    # a forced impl="kernel" call on an og>1 scheme would silently read only
+    # codebook row 0 (cb[:, :, 0, :]) — fail loudly instead of returning
+    # wrong weights (the "auto" gate protects only the default path)
+    assert scheme.out_group_size == 1, (
+        f"kernel dequant requires out_group_size == 1, got {scheme}"
+    )
     ct = codes.astype(jnp.int32).transpose(2, 1, 0)  # [K, IG, OUT]
     ones = jnp.ones((codes.shape[0],), jnp.float32)
     wt = dequantize_onehot(

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from aqlm_tpu.ops.kernels import should_interpret
+from aqlm_tpu.ops.kernels import gather_wraps, should_interpret
 
 __all__ = [
     "gather_prefill_matmul",
@@ -121,9 +121,16 @@ def _row_tile(kig: int, kk: int, g: int, tn: int) -> int:
 
 
 def _batch_tile(b: int) -> int:
-    tb = min(b, 256)
+    """Batch tile: the second-to-last dim of the x/out blocks, so Mosaic
+    requires a multiple of 8 (or the full dim). b is already padded to a
+    multiple of 8 (_pad_batch), so searching downward over multiples of 8
+    always terminates at a legal tile (tb=8 divides every padded b); a
+    non-multiple-of-8 divisor (e.g. 328 -> 164) fails TPU lowering."""
+    if b <= 256:
+        return b  # full dim — always Mosaic-legal
+    tb = 256
     while b % tb:
-        tb -= 1
+        tb -= 8
     return tb
 
 
@@ -197,7 +204,7 @@ def _call_plain(xb, codes_tl, lo, hi, scales, *, group, two_halves, interpret):
     tb = _batch_tile(b)
 
     kern = functools.partial(_kernel, tig=tig, kk=kk, g=g, tn=tn,
-                             two_halves=two_halves, wrap_ok=not interpret)
+                             two_halves=two_halves, wrap_ok=not interpret and gather_wraps())
     return pl.pallas_call(
         kern,
         grid=(nt, b // tb, kig // kr),
@@ -311,7 +318,7 @@ def _call_indexed(xb, codes_tl_all, lo, hi, scales_all, layer_idx, *,
     tb = _batch_tile(b)
 
     kern = functools.partial(_kernel_indexed, tig=tig, kk=kk, g=g, tn=tn,
-                             two_halves=two_halves, wrap_ok=not interpret)
+                             two_halves=two_halves, wrap_ok=not interpret and gather_wraps())
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt, b // tb, kig // kr),
@@ -393,7 +400,7 @@ def _call_grouped(xb, codes_tl_all, lo_p, hi_p, scales_all, proj_map, layer_idx,
     tb = _batch_tile(b)
 
     kern = functools.partial(_kernel_grouped, tig=tig, kk=kk, g=g, tn=tn,
-                             two_halves=two_halves, wrap_ok=not interpret)
+                             two_halves=two_halves, wrap_ok=not interpret and gather_wraps())
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt, b // tb, kig // kr),

@@ -28,11 +28,58 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_onehot_matmul", "dequantize_onehot", "should_interpret"]
+__all__ = [
+    "fused_onehot_matmul", "dequantize_onehot", "should_interpret",
+    "gather_wraps",
+]
 
 
 def should_interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+_GATHER_WRAPS: bool | None = None
+
+
+def _wrap_probe_kernel(tab_ref, idx_ref, out_ref):
+    out_ref[:] = jnp.take_along_axis(tab_ref[:], idx_ref[:], axis=1)
+
+
+def gather_wraps() -> bool:
+    """Whether tpu.dynamic_gather wraps out-of-range lane indices mod 128.
+
+    Measured true on the v5e (experiments/lutgemv_oob_probe.py) but NOT an
+    API contract — another TPU generation or Mosaic version may clamp (as
+    interpret mode does). The LUT-GEMV / gather-prefill kernels only drop
+    their `& 127` lane mask when this per-process probe confirms the wrap on
+    the actual backend; any failure (or a clamping backend) keeps the mask.
+    AQLM_GATHER_WRAP=0/1 overrides the probe.
+    """
+    global _GATHER_WRAPS
+    if _GATHER_WRAPS is None:
+        import os
+
+        env = os.environ.get("AQLM_GATHER_WRAP")
+        if env is not None:
+            _GATHER_WRAPS = env not in ("0", "false", "")
+        elif should_interpret():
+            _GATHER_WRAPS = False  # XLA interpret clamps OOB indices
+        else:
+            try:
+                tab = jnp.broadcast_to(
+                    jnp.arange(128, dtype=jnp.float32)[None, :], (8, 128)
+                )
+                idx = jnp.broadcast_to(
+                    jnp.arange(128, dtype=jnp.int32)[None, :] + 128, (8, 128)
+                )
+                out = pl.pallas_call(
+                    _wrap_probe_kernel,
+                    out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                )(tab, idx)
+                _GATHER_WRAPS = bool(jnp.all(out == tab))
+            except Exception:
+                _GATHER_WRAPS = False
+    return _GATHER_WRAPS
 
 
 def _pick_tile(n: int, target: int) -> int:

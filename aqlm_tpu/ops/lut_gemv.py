@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from aqlm_tpu.ops.kernels import should_interpret
+from aqlm_tpu.ops.kernels import gather_wraps, should_interpret
 
 __all__ = [
     "lut_gemv_kx8",
@@ -168,7 +168,7 @@ def _call(codes_tl, lut_lo, lut_hi, scales, *, interpret, out_dtype=jnp.float32)
     kr = _row_tile(kig, B)
 
     kern = functools.partial(_kernel, B=B, tn=tn, two_halves=two_halves,
-                             wrap_ok=not interpret)
+                             wrap_ok=not interpret and gather_wraps())
     in_specs = [
         pl.BlockSpec((1, kr, tn), lambda o, r: (o, r, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((B, kr, 128), lambda o, r: (0, r, 0), memory_space=pltpu.VMEM),
@@ -260,7 +260,7 @@ def _call_moe(codes_tl_e, lut_lo_e, lut_hi_e, scales_e, *, interpret):
     kr = _row_tile(kig, B)
 
     kern = functools.partial(_kernel_moe, B=B, tn=tn, two_halves=two_halves,
-                             wrap_ok=not interpret)
+                             wrap_ok=not interpret and gather_wraps())
     in_specs = [
         pl.BlockSpec((1, 1, kr, tn), lambda e, o, r: (e, o, r, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B, kr, 128), lambda e, o, r: (e, 0, r, 0), memory_space=pltpu.VMEM),
@@ -333,7 +333,7 @@ def _call_moe_indexed(codes_tl_le, lut_lo_e, lut_hi_e, scales_le, layer_idx, *, 
     kr = _row_tile(kig, B)
 
     kern = functools.partial(_kernel_moe_indexed, B=B, tn=tn, two_halves=two_halves,
-                             wrap_ok=not interpret)
+                             wrap_ok=not interpret and gather_wraps())
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E, nt, kig // kr),
@@ -417,7 +417,7 @@ def _call_indexed(codes_tl, lut_lo, lut_hi, scales_all, layer_idx, *, interpret,
     kr = _row_tile(kig, B)
 
     kern = functools.partial(_kernel_indexed, B=B, tn=tn, two_halves=two_halves,
-                             wrap_ok=not interpret)
+                             wrap_ok=not interpret and gather_wraps())
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt, kig // kr),
@@ -500,7 +500,7 @@ def _call_grouped(codes_tl, lut_lo, lut_hi, scales_all, proj_map, layer_idx, *,
     kr = _row_tile(kig, B)
 
     kern = functools.partial(_kernel_grouped, B=B, tn=tn, two_halves=two_halves,
-                             wrap_ok=not interpret)
+                             wrap_ok=not interpret and gather_wraps())
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt, kig // kr),

@@ -283,6 +283,13 @@ def _make_manual_st_proj(scheme, compute_dtype, use_st, win, has_bias,
         if dequant_impl == "kernel":
             from aqlm_tpu.ops.kernels import dequantize_onehot
 
+            # the kernel epilogue and _dq_grads assume [OUT] scales and
+            # og == 1; a forced "kernel" on other schemes must fail loudly
+            assert scheme.out_group_size == 1, scheme
+            assert scales.ndim == 1, (
+                "kernel dequant path needs per-out scales [OUT]; per-group "
+                f"scales {scales.shape} use dequant_impl='xla'"
+            )
             ct = codes.astype(jnp.int32).transpose(2, 1, 0)  # [K, IG, OUT]
             wt = dequantize_onehot(
                 ct, cbs[:, :, 0, :], scales,
@@ -497,7 +504,13 @@ def scanned_student_hidden(
             from aqlm_tpu.ops.kernels import should_interpret
 
             kernel_ok = (
-                scheme.nbits_per_codebook <= 8 and scheme.out_group_size == 1
+                scheme.nbits_per_codebook <= 8
+                and scheme.out_group_size == 1
+                # per-group scales ([OG, IG], scale_nbits>0): the kernel
+                # epilogue + _dq_grads assume [OUT] scales — fall back to xla
+                and all(
+                    l0[name].scales.ndim == 1 for name in QUANTIZABLE_PROJS
+                )
             )
             dequant_impl = "kernel" if (kernel_ok and not should_interpret()) else "xla"
         start_arr = jnp.asarray(start, jnp.int32)
