@@ -169,7 +169,7 @@ def beam_search_optimal_codes_l2(
     trust_ratio: float | None = None,
     dim_order: jax.Array | None = None,
     key: jax.Array | None = None,
-    group_chunk: int = 4096,
+    group_chunk: int | None = None,
 ) -> jax.Array:
     """Weight-space beam search with PV constraints; returns new codes.
 
@@ -181,6 +181,14 @@ def beam_search_optimal_codes_l2(
     K, S, ogs, igs = codebooks.shape
     OG, IG, K2 = prev_codes.shape
     assert K2 == K
+    if group_chunk is None:
+        # chunking exists to bound the [chunk, B, S] score tensor; the old
+        # fixed 4096 made the 7B V step a serial lax.map of ~1370 tiny
+        # launches per codebook (launch-bound, ~12 s/projection on the v5e).
+        # Budget ~2^25 score elements (~134 MB f32) and let big-G cases run
+        # tens of chunks instead of thousands.
+        b_eff = max(beam_size, 2 if (force_update or stochastic_rounding_tau > 0) else 1)
+        group_chunk = max(512, 2 ** 25 // max(b_eff * S, 1))
     if key is None:
         key = jax.random.PRNGKey(0)
     if dim_order is None:

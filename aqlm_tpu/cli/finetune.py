@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "scale; llama-family fully-quantized students only)")
     p.add_argument("--offload_teacher", action="store_true",
                    help="teacher weights in host RAM, layer-streamed forward")
+    p.add_argument("--teacher_stream_group", type=int, default=4,
+                   help="with --offload_teacher: batches sharing one "
+                        "weight-streaming pass, prefetched in a background "
+                        "thread (the stream is transfer-bound; N batches "
+                        "per pass cut its per-batch cost by ~N)")
     # optimizer variants (configurable_adam.py parity)
     p.add_argument("--lamb", action="store_true")
     p.add_argument("--amsgrad", action="store_true")
@@ -216,6 +221,20 @@ def main(argv=None) -> dict:
     n = data.shape[0]
     for _ in range(start_step * n_micro):  # replay the batch stream to the resume point
         rng.randint(0, n, size=micro)
+    teacher_iter = None
+    if host_teacher is not None:
+        from aqlm_tpu.pv.teacher import TeacherPrefetcher
+
+        def _batch_stream():
+            # same rng stream as the inline draw below; only the prefetch
+            # worker advances rng once this iterator owns it
+            while True:
+                yield data[rng.randint(0, n, size=micro)]
+
+        teacher_iter = TeacherPrefetcher(
+            host_teacher, _batch_stream(),
+            group_size=args.teacher_stream_group,
+        )
     losses = []
     windowed = st_mgr is not None and args.scan_blocks  # single-compile rotation
     for step in range(start_step, args.total_steps):
@@ -233,15 +252,18 @@ def main(argv=None) -> dict:
         # gradient accumulation over microbatches
         acc, loss_sum = None, 0.0
         for _ in range(n_micro):
-            idx = rng.randint(0, n, size=micro)
-            batch = data[idx]
+            if teacher_iter is not None:
+                batch, t_in = next(teacher_iter)
+            else:
+                idx = rng.randint(0, n, size=micro)
+                batch = data[idx]
+                t_in = teacher
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 batch = jax.device_put(
                     jnp.asarray(batch), NamedSharding(mesh, PartitionSpec("data", None))
                 )
-            t_in = host_teacher.batch(batch) if host_teacher is not None else teacher
             loss, grads = grad_fn(state, t_in, batch, None, win_start)
             loss_sum += float(loss)
             acc = grads if acc is None else jax.tree.map(jnp.add, acc, grads)

@@ -150,11 +150,22 @@ def _dequant_groups_kernel_bwd(scheme, res, g):
     out_f = g.shape[0]
     ig = g.shape[1] // g_
     data = g.astype(jnp.float32).reshape(out_f, ig, g_).reshape(-1, g_)
-    dcb_ks = []
-    for kk in range(k):
-        seg = codes[:, :, kk].astype(jnp.int32).reshape(-1)
-        dcb_ks.append(jax.ops.segment_sum(data, seg, num_segments=s))
-    dcb = jnp.stack(dcb_ks)[:, :, None, :].astype(cb_dtype)  # [K, S, 1, g]
+    from aqlm_tpu.ops.kernels import (
+        CB_GRAD_MAX_SEGMENTS, cb_grad_segment, should_interpret,
+    )
+
+    if s <= CB_GRAD_MAX_SEGMENTS and not should_interpret():
+        # batched one-hot-MXU kernel: TPU scatter serializes, and the
+        # per-codebook segment_sums dominated the calibration Adam epoch and
+        # the PV grad step at 7B scale (NOTES.md r5)
+        dcb = cb_grad_segment(codes.reshape(-1, k), data, s)
+    else:
+        dcb_ks = []
+        for kk in range(k):
+            seg = codes[:, :, kk].astype(jnp.int32).reshape(-1)
+            dcb_ks.append(jax.ops.segment_sum(data, seg, num_segments=s))
+        dcb = jnp.stack(dcb_ks)
+    dcb = dcb[:, :, None, :].astype(cb_dtype)  # [K, S, 1, g]
     return np.zeros(codes.shape, dtypes.float0), dcb
 
 

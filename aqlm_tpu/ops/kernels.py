@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "fused_onehot_matmul", "dequantize_onehot", "should_interpret",
-    "gather_wraps",
+    "gather_wraps", "cb_grad_segment",
 ]
 
 
@@ -191,6 +191,87 @@ def fused_onehot_matmul(x, codes_t, codebooks, scales, bias=None, *, group: int)
     if bias is not None:
         y = y + bias[None, :].astype(y.dtype)
     return y.reshape(*lead, -1)
+
+
+# ---------------------------------------------------------------------------
+# batched codebook-gradient segment sum (the PV/calibration backward)
+# ---------------------------------------------------------------------------
+
+CB_GRAD_MAX_SEGMENTS = 512
+
+
+def _cb_grad_kernel(codes_ref, data_ref, out_ref, *, K, S):
+    """grid = (group_tiles,); accumulate onehot^T @ data into [K, S, g]."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    c = codes_ref[:]  # [K, tg] int32
+    d = data_ref[:]  # [tg, g] f32
+    iota = jax.lax.broadcasted_iota(jnp.int32, (S, c.shape[1]), 0)
+    for k in range(K):
+        oh = (iota == c[k][None, :]).astype(jnp.float32)  # [S, tg]
+        out_ref[k] = out_ref[k] + jax.lax.dot_general(
+            oh, d, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # one operand is 0/1 (exact in bf16), so HIGHEST makes the dot
+            # exact to f32 roundoff — grads match segment_sum to ~1 ulp
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "interpret"))
+def _cb_grad_call(codes2, data, *, num_segments, interpret):
+    K, G = codes2.shape
+    g = data.shape[1]
+    tg = min(4096, -(-G // 128) * 128)
+    Gp = -(-G // tg) * tg
+    if Gp != G:
+        # padded rows carry zero data -> contribute nothing to segment 0
+        codes2 = jnp.pad(codes2, ((0, 0), (0, Gp - G)))
+        data = jnp.pad(data, ((0, Gp - G), (0, 0)))
+    kern = functools.partial(_cb_grad_kernel, K=K, S=num_segments)
+    return pl.pallas_call(
+        kern,
+        grid=(Gp // tg,),
+        in_specs=[
+            pl.BlockSpec((K, tg), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, g), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (K, num_segments, g), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((K, num_segments, g), jnp.float32),
+        interpret=interpret,
+    )(codes2, data)
+
+
+def cb_grad_segment(codes: jax.Array, data: jax.Array, num_segments: int) -> jax.Array:
+    """Batched codebook-grad segment-sum: out[k, s] = sum_{i: codes[i,k]==s} data[i].
+
+    codes: [G, K] integer; data: [G, g] float; returns [K, num_segments, g]
+    f32 — the gradient of sum-of-codebook-lookups dequantization w.r.t. the
+    codebooks, for ALL K codebooks in one launch.
+
+    TPU scatter (jax.ops.segment_sum) serializes millions of random-index
+    updates; the per-(projection, codebook) scatters were the dominant cost
+    of the 7B PV grad step (NOTES.md r4e: 23-38 s/step vs ~0.5 s of FLOPs).
+    This kernel streams group tiles and accumulates onehot^T @ data on the
+    MXU instead — a scatter-free formulation (the transpose of the one-hot
+    dequant trick above). Reference counterpart: autograd through
+    F.embedding_bag in /root/reference/src/utils.py:64-91.
+
+    Requires num_segments <= CB_GRAD_MAX_SEGMENTS (one-hot width bounds the
+    [S, tile] VMEM transient); callers fall back to segment_sum beyond that.
+    """
+    assert num_segments <= CB_GRAD_MAX_SEGMENTS, num_segments
+    codes2 = codes.astype(jnp.int32).T  # [K, G]
+    return _cb_grad_call(
+        codes2, data.astype(jnp.float32), num_segments=num_segments,
+        interpret=should_interpret(),
+    )
 
 
 # ---------------------------------------------------------------------------

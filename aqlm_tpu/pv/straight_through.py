@@ -307,8 +307,10 @@ def _make_manual_st_proj(scheme, compute_dtype, use_st, win, has_bias,
 
         dscales[o] = sum_i gw[o,i] * U[o,i] with U = W/scales (W is already
         rematerialized); dcb[k,s,:] = sum over groups with code s of
-        scales[o] * gw_group — a segment_sum (scatter-add), which the crash
-        probe's E variant validates on-chip separately."""
+        scales[o] * gw_group — on real TPUs the batched one-hot-MXU
+        cb_grad_segment kernel (TPU scatter serializes: the 7x32 per-layer
+        segment_sums were the dominant cost of the r4e 23-38 s grad step);
+        segment_sum remains the CPU path and the >512-entry fallback."""
         g_ = scheme.in_group_size
         out_f = gw.shape[0]
         ig = gw.shape[1] // g_
@@ -317,13 +319,20 @@ def _make_manual_st_proj(scheme, compute_dtype, use_st, win, has_bias,
             scales.dtype
         )
         data = (gw.reshape(out_f, ig, g_) * scales[:, None, None]).reshape(-1, g_)
-        dcb_ks = []
-        for k in range(scheme.num_codebooks):
-            seg = codes[:, :, k].astype(jnp.int32).reshape(-1)
-            dcb_ks.append(
-                jax.ops.segment_sum(data, seg, num_segments=scheme.codebook_size)
-            )
-        dcbs = jnp.stack(dcb_ks)[:, :, None, :].astype(cbs.dtype)  # [K,S,1,g]
+        from aqlm_tpu.ops.kernels import (
+            CB_GRAD_MAX_SEGMENTS, cb_grad_segment, should_interpret,
+        )
+
+        S = scheme.codebook_size
+        if S <= CB_GRAD_MAX_SEGMENTS and not should_interpret():
+            dcbs = cb_grad_segment(codes.reshape(-1, scheme.num_codebooks), data, S)
+        else:
+            dcb_ks = []
+            for k in range(scheme.num_codebooks):
+                seg = codes[:, :, k].astype(jnp.int32).reshape(-1)
+                dcb_ks.append(jax.ops.segment_sum(data, seg, num_segments=S))
+            dcbs = jnp.stack(dcb_ks)
+        dcbs = dcbs[:, :, None, :].astype(cbs.dtype)  # [K,S,1,g]
         return dcbs, dscales
 
     @jax.custom_vjp

@@ -336,3 +336,34 @@ def test_scan_kernel_dequant_matches_xla(key):
         na = np.linalg.norm(a)
         rel = np.linalg.norm(a - b) / max(na, 1e-6)
         assert rel < 0.15, (a.shape, rel)
+
+
+def test_teacher_hidden_many_and_prefetcher(key):
+    """Multi-batch weight-streaming pass == per-batch hidden; the background
+    prefetcher yields the same (batch, teacher) pairs in order."""
+    from aqlm_tpu.pv.teacher import HostTeacher, TeacherPrefetcher
+
+    cfg = llama.ModelConfig.tiny(num_layers=2)
+    teacher = llama.init_random_params(jax.random.PRNGKey(42), cfg)
+    ht = HostTeacher(teacher, cfg)
+    batches = [
+        jax.random.randint(jax.random.PRNGKey(i), (2, 16), 0, cfg.vocab_size)
+        for i in range(5)
+    ]
+    many = ht.hidden_many(batches)
+    for ids, h in zip(batches, many):
+        np.testing.assert_allclose(
+            np.asarray(h, np.float32), np.asarray(ht.hidden(ids), np.float32),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    pf = TeacherPrefetcher(ht, iter(batches), group_size=2, depth=1)
+    got = list(pf)
+    assert len(got) == 5
+    for (ids_in, t_in), ids_ref, h_ref in zip(got, batches, many):
+        np.testing.assert_array_equal(np.asarray(ids_in), np.asarray(ids_ref))
+        np.testing.assert_allclose(
+            np.asarray(t_in["hidden"], np.float32), np.asarray(h_ref, np.float32),
+            rtol=1e-5, atol=1e-5,
+        )
+        assert "head" in t_in and "embed" in t_in
