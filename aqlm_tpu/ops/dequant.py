@@ -172,12 +172,52 @@ def _dequant_groups_kernel_bwd(scheme, res, g):
 _dequant_groups_kernel.defvjp(_dequant_groups_kernel_fwd, _dequant_groups_kernel_bwd)
 
 
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dequant_groups_g16(codes, cb, scheme):
+    """UNscaled dense weight [OUT, IN] for 16-bit codebooks via the wide-row
+    gather (ops/gather16) with a manual VJP — the TPU-safe differentiable
+    1x16 dequant for the calibration MSE loss: the XLA broadcast-index
+    take_along_axis gather crashes the v5e worker after ~33-64 executions
+    (experiments/dequant_crash_probe) and the one-hot kernel cannot span a
+    65536-entry codebook; the [S*g/128, 128] row-packed gather is a
+    different (wide-row) gather class. Backward = per-codebook segment_sum
+    (the E-probe-validated scatter). Requires out_group_size == 1."""
+    from aqlm_tpu.ops.gather16 import _dequant_weight_16, pack_codebook_rows
+
+    assert scheme.out_group_size == 1, scheme
+    g_ = scheme.in_group_size
+    w = None
+    for k in range(scheme.num_codebooks):
+        packed = pack_codebook_rows(cb[k, :, 0, :], g_, dtype=jnp.float32)
+        wk = _dequant_weight_16(codes[:, :, k], packed, group=g_)
+        w = wk if w is None else w + wk
+    return w.astype(jnp.float32)
+
+
+def _dequant_groups_g16_fwd(codes, cb, scheme):
+    return _dequant_groups_g16(codes, cb, scheme), (codes, jnp.zeros((), cb.dtype))
+
+
+_dequant_groups_g16.defvjp(_dequant_groups_g16_fwd, _dequant_groups_kernel_bwd)
+
+
 def _kernel_dequant_ok(scheme) -> bool:
     from aqlm_tpu.ops.kernels import should_interpret
 
     return (
         scheme.out_group_size == 1
         and scheme.nbits_per_codebook <= 8
+        and not should_interpret()
+    )
+
+
+def _g16_dequant_ok(scheme) -> bool:
+    from aqlm_tpu.ops.kernels import should_interpret
+
+    return (
+        scheme.out_group_size == 1
+        and scheme.nbits_per_codebook > 8
+        and scheme.codebook_size * scheme.in_group_size % 128 == 0
         and not should_interpret()
     )
 
@@ -189,8 +229,9 @@ def dequantize_weight(w: AqlmWeight, dtype=None, *, impl: str = "auto") -> jax.A
 
     impl: "auto" (default) uses the Pallas one-hot kernel on real TPUs for
     Kx<=8-bit schemes — XLA's dequant-scale gather crashes the v5e worker
-    after ~33-64 executions (experiments/dequant_crash_probe) — and the
-    exact XLA gather on CPU; "xla"/"kernel" force a path. Both are
+    after ~33-64 executions (experiments/dequant_crash_probe) — the
+    row-packed wide gather ("gather16") for >8-bit schemes on TPUs, and the
+    exact XLA gather on CPU; "xla"/"kernel"/"gather16" force a path. All are
     differentiable w.r.t. codebooks and scales (the kernel path through a
     manual VJP; the scale multiply is ordinary autodiff either way) and
     numerically equal (the kernel runs the selection matmul in f32).
@@ -198,9 +239,15 @@ def dequantize_weight(w: AqlmWeight, dtype=None, *, impl: str = "auto") -> jax.A
     scheme = w.scheme
     og, ig, _ = w.codes.shape
     if impl == "auto":
-        impl = "kernel" if _kernel_dequant_ok(scheme) else "xla"
-    if impl == "kernel":
-        groups_flat = _dequant_groups_kernel(w.codes, w.codebooks, scheme)
+        if _kernel_dequant_ok(scheme):
+            impl = "kernel"
+        elif _g16_dequant_ok(scheme):
+            impl = "gather16"
+        else:
+            impl = "xla"
+    if impl in ("kernel", "gather16"):
+        fn = _dequant_groups_kernel if impl == "kernel" else _dequant_groups_g16
+        groups_flat = fn(w.codes, w.codebooks, scheme)
         o, i = scheme.out_group_size, scheme.in_group_size
         groups = groups_flat.reshape(og, o, ig, i).transpose(0, 2, 1, 3)
     else:

@@ -20,12 +20,13 @@ import jax.numpy as jnp
 __all__ = ["pack_codebook_rows", "gather_matmul_16", "dequantize_gather16"]
 
 
-def pack_codebook_rows(codebook: jax.Array, group: int) -> jax.Array:
-    """[S, group] -> [S*group/128, 128] row-packed table (bf16)."""
+def pack_codebook_rows(codebook: jax.Array, group: int, dtype=jnp.bfloat16) -> jax.Array:
+    """[S, group] -> [S*group/128, 128] row-packed table (bf16 for serving;
+    f32 for the calibration-grade differentiable path)."""
     s = codebook.shape[0]
     per_row = 128 // group
     assert s % per_row == 0
-    return codebook.reshape(s * group // 128, 128).astype(jnp.bfloat16)
+    return codebook.reshape(s * group // 128, 128).astype(dtype)
 
 
 def _dequant_rows(codes, packed_cb, group: int):

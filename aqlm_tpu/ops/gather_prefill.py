@@ -39,42 +39,52 @@ __all__ = [
 ]
 
 
-def _dequant_accum(codes_blk, lo_ref, hi_ref, x_ref, acc_ref, wt_ref, *,
-                   tig, kk, g, tn, two_halves, first_r, wrap_ok=False):
-    """Shared body: dequantize the [kr, tn] codes block into a W^T tile via
-    lane gathers, then accumulate x_blk @ W^T on the MXU.
+def _dequant_tile(codes_blk, lo_ref, hi_ref, wt_ref, *, tig, kk, g, tn,
+                  two_halves, wrap_ok=False):
+    """Dequantize a [kr, tn] codes block into wt_ref [tig, g, tn] f32 via
+    lane gathers; returns the [tig*g, tn] f32 W^T tile.
 
     codes_blk  [kr, tn] uint8 (kr = tig*kk rows, ig-major)
     lo/hi_ref  [g, kk, 128] f32 element-j codebook tables (f32: bf16 lane
                gathers crash the remote Mosaic compiler, NOTES.md)
-    x_ref      [tb, tig*g] (the row-tile search guarantees tig*g %% 128 == 0
-               or tig*g == IN — Mosaic's last-dim block rule; the 3-D
-               [tb, tig, g] alternative is NOT viable: tpu.matmul cannot
-               lower a 2-contracting-dims dot, bench r4b)
     wt_ref     scratch [tig, g, tn] f32
+
+    The j loop is OUTER so the [kr, 128] table broadcast (a strided
+    tig-replication of the [kk, 128] row — as many element writes as the
+    gathers themselves) happens once per j instead of once per (j, chunk).
     """
     kr = tig * kk
     idx = codes_blk.astype(jnp.int32)
-    for c in range(tn // 128):
-        chunk = idx[:, c * 128 : (c + 1) * 128]
-        # real TPUs: tpu.dynamic_gather wraps mod 128 (lutgemv_oob_probe), so
-        # the lane mask is only needed in interpret mode (XLA clamps there)
-        lane = chunk if (wrap_ok or not two_halves) else (chunk & 127)
-        half = chunk < 128
-        for j in range(g):
-            tlo = jnp.broadcast_to(lo_ref[j][None], (tig, kk, 128)).reshape(kr, 128)
+    for j in range(g):
+        tlo = jnp.broadcast_to(lo_ref[j][None], (tig, kk, 128)).reshape(kr, 128)
+        thi = (
+            jnp.broadcast_to(hi_ref[j][None], (tig, kk, 128)).reshape(kr, 128)
+            if two_halves else None
+        )
+        for c in range(tn // 128):
+            chunk = idx[:, c * 128 : (c + 1) * 128]
+            # real TPUs: tpu.dynamic_gather wraps mod 128 (probed in
+            # kernels.gather_wraps), so the lane mask is interpret-only
+            lane = chunk if (wrap_ok or not two_halves) else (chunk & 127)
             glo = jnp.take_along_axis(tlo, lane, axis=1)
             if two_halves:
-                thi = jnp.broadcast_to(hi_ref[j][None], (tig, kk, 128)).reshape(kr, 128)
                 ghi = jnp.take_along_axis(thi, lane, axis=1)
-                gath = jnp.where(half, glo, ghi)
+                gath = jnp.where(chunk < 128, glo, ghi)
             else:
                 gath = glo
             # sum the K codebook contributions (adjacent rows of the ig-major
             # layout) while scattering element j into the W^T row interleave
             wt_ref[:, j, c * 128 : (c + 1) * 128] = gath.reshape(tig, kk, 128).sum(axis=1)
+    return wt_ref[:].reshape(tig * g, tn)
 
-    wt = wt_ref[:].reshape(tig * g, tn).astype(jnp.bfloat16)
+
+def _accum_body(wt, x_ref, sc_ref, out_ref, acc_ref, *, first_r, last_r):
+    """x_blk @ W^T accumulated over row tiles; scale epilogue at the last.
+
+    x block is [tb, tig*g] (the row-tile search guarantees tig*g %% 128 == 0
+    or tig*g == IN — Mosaic's last-dim block rule; the 3-D [tb, tig, g]
+    alternative is NOT viable: tpu.matmul cannot lower a 2-contracting-dims
+    dot, bench r4b)."""
 
     @pl.when(first_r)
     def _():
@@ -83,6 +93,61 @@ def _dequant_accum(codes_blk, lo_ref, hi_ref, x_ref, acc_ref, wt_ref, *,
     acc_ref[:] += jax.lax.dot_general(
         x_ref[:], wt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+
+    @pl.when(last_r)
+    def _():
+        out_ref[:] = (acc_ref[:] * sc_ref[0, 0][None, :]).astype(out_ref.dtype)
+
+
+def _dequant_or_reuse(codes_blk, lo_ref, hi_ref, wt_ref, wtf_ref, *, tig, kk,
+                      g, tn, two_halves, wrap_ok, amortize):
+    """W^T tile for this (out-tile, row-tile) grid step.
+
+    amortize=True (multi-batch-tile grids): batch tile 0 dequantizes and
+    persists the tile into the wtf_ref full-column scratch at its row
+    offset; later batch tiles read it back — the dequant (>90% of the
+    kernel, prefill_probe r4) runs once per out-tile instead of once per
+    (out-tile, batch-tile). Scratch persists across sequential grid steps
+    because the batch-tile axis is OUTSIDE the row axis in the grid."""
+    if not amortize:
+        return _dequant_tile(codes_blk, lo_ref, hi_ref, wt_ref, tig=tig, kk=kk,
+                             g=g, tn=tn, two_halves=two_halves,
+                             wrap_ok=wrap_ok).astype(jnp.bfloat16)
+    bt, r = pl.program_id(1), pl.program_id(2)
+    tg2 = tig * g
+
+    @pl.when(bt == 0)
+    def _():
+        wt = _dequant_tile(codes_blk, lo_ref, hi_ref, wt_ref, tig=tig, kk=kk,
+                           g=g, tn=tn, two_halves=two_halves, wrap_ok=wrap_ok)
+        wtf_ref[pl.ds(r * tg2, tg2)] = wt.astype(jnp.bfloat16)
+
+    return wtf_ref[pl.ds(pl.program_id(2) * tg2, tg2)]
+
+
+_WT_SCRATCH_CAP = 6 * 2 ** 20  # bytes of persistent bf16 W^T column scratch
+
+
+def _slab_split(kig, kk, g, tn, n_bt):
+    """Row-dim slabs whose full-column W^T bf16 scratch fits the VMEM cap
+    (amortized-dequant mode); [(0, kig)] with amortize=False when single
+    batch tile or no legal equal split exists.
+
+    Slabs partition the CONTRACTION (input) dim: each slab is an independent
+    pallas_call over a contiguous row/x-column slice (rows are ig-major) and
+    the partial outputs sum — scales are per-out-channel, so the epilogue
+    distributes over the sum."""
+    if n_bt <= 1:
+        return [(0, kig)], False
+    for n in range(1, kig + 1):
+        if kig % n:
+            continue
+        rows = kig // n
+        if rows % kk:
+            continue
+        if rows // kk * g * tn * 2 <= _WT_SCRATCH_CAP:
+            return [(i * rows, (i + 1) * rows) for i in range(n)], True
+    return [(0, kig)], False
 
 
 def _row_tile(kig: int, kk: int, g: int, tn: int) -> int:
@@ -164,15 +229,14 @@ def _pad_batch(xb: jax.Array):
 
 
 def _kernel(codes_ref, lo_ref, hi_ref, x_ref, sc_ref, out_ref, acc_ref, wt_ref,
-            *, tig, kk, g, tn, two_halves, wrap_ok=False):
+            wtf_ref, *, tig, kk, g, tn, two_halves, wrap_ok=False,
+            amortize=False):
     r = pl.program_id(2)
-    _dequant_accum(codes_ref[0], lo_ref, hi_ref, x_ref, acc_ref, wt_ref,
-                   tig=tig, kk=kk, g=g, tn=tn, two_halves=two_halves,
-                   first_r=r == 0, wrap_ok=wrap_ok)
-
-    @pl.when(r == pl.num_programs(2) - 1)
-    def _():
-        out_ref[:] = (acc_ref[:] * sc_ref[0, 0][None, :]).astype(out_ref.dtype)
+    wt = _dequant_or_reuse(codes_ref[0], lo_ref, hi_ref, wt_ref, wtf_ref,
+                           tig=tig, kk=kk, g=g, tn=tn, two_halves=two_halves,
+                           wrap_ok=wrap_ok, amortize=amortize)
+    _accum_body(wt, x_ref, sc_ref, out_ref, acc_ref, first_r=r == 0,
+                last_r=r == pl.num_programs(2) - 1)
 
 
 def gather_prefill_matmul(x, codes_tl, codebooks, scales, bias=None, *, group: int):
@@ -199,30 +263,48 @@ def _call_plain(xb, codes_tl, lo, hi, scales, *, group, two_halves, interpret):
     nt, kig, tn = codes_tl.shape
     g, kk = lo.shape[0], lo.shape[1]
     b = xb.shape[0]
-    kr = _row_tile(kig, kk, g, tn)
-    tig = kr // kk
     tb = _batch_tile(b)
+    slabs, amortize = _slab_split(kig, kk, g, tn, b // tb)
+    sc = scales.reshape(1, 1, -1).astype(jnp.float32)
+    # partial sums across >1 slab stay f32; the single-slab fast path writes
+    # the activation dtype directly
+    out_dtype = jnp.float32 if len(slabs) > 1 else xb.dtype
 
-    kern = functools.partial(_kernel, tig=tig, kk=kk, g=g, tn=tn,
-                             two_halves=two_halves, wrap_ok=not interpret and gather_wraps())
-    return pl.pallas_call(
-        kern,
-        grid=(nt, b // tb, kig // kr),
-        in_specs=[
-            pl.BlockSpec((1, kr, tn), lambda o, bt, r: (o, r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, tig * g), lambda o, bt, r: (bt, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tn), lambda o, bt, r: (0, 0, o), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tb, tn), lambda o, bt, r: (bt, o), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, nt * tn), xb.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tb, tn), jnp.float32),
-            pltpu.VMEM((tig, g, tn), jnp.float32),
-        ],
-        interpret=interpret,
-    )(codes_tl, lo, hi, xb, scales.reshape(1, 1, -1).astype(jnp.float32))
+    y = None
+    for s0, s1 in slabs:
+        skig = s1 - s0
+        kr = _row_tile(skig, kk, g, tn)
+        tig = kr // kk
+        off = s0 // kr  # slab offset in row-block units (kr divides skig = s0 step)
+        kern = functools.partial(
+            _kernel, tig=tig, kk=kk, g=g, tn=tn, two_halves=two_halves,
+            wrap_ok=not interpret and gather_wraps(), amortize=amortize,
+        )
+        # slabs enter via the index maps, NOT operand slices — slicing the
+        # codes operand would materialize a partial copy of it per call
+        part = pl.pallas_call(
+            kern,
+            grid=(nt, b // tb, skig // kr),
+            in_specs=[
+                pl.BlockSpec((1, kr, tn), lambda o, bt, r, _f=off: (o, r + _f, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, tig * g), lambda o, bt, r, _f=off: (bt, r + _f), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tn), lambda o, bt, r: (0, 0, o), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tb, tn), lambda o, bt, r: (bt, o), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, nt * tn), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((tb, tn), jnp.float32),
+                pltpu.VMEM((tig, g, tn), jnp.float32),
+                pltpu.VMEM(
+                    ((skig // kk) * g if amortize else 8, tn), jnp.bfloat16
+                ),
+            ],
+            interpret=interpret,
+        )(codes_tl, lo, hi, xb, sc)
+        y = part if y is None else y + part
+    return y.astype(xb.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -231,26 +313,10 @@ def _call_plain(xb, codes_tl, lo, hi, scales, *, group, two_halves, interpret):
 
 
 def _dequant_kernel(codes_ref, lo_ref, hi_ref, sc_ref, out_ref, wt_ref,
-                    *, tig, kk, g, tn, two_halves):
-    kr = tig * kk
-    idx = codes_ref[0].astype(jnp.int32)
-    for c in range(tn // 128):
-        chunk = idx[:, c * 128 : (c + 1) * 128]
-        lane = (chunk & 127) if two_halves else chunk
-        half = chunk < 128
-        for j in range(g):
-            tlo = jnp.broadcast_to(lo_ref[j][None], (tig, kk, 128)).reshape(kr, 128)
-            glo = jnp.take_along_axis(tlo, lane, axis=1)
-            if two_halves:
-                thi = jnp.broadcast_to(hi_ref[j][None], (tig, kk, 128)).reshape(kr, 128)
-                ghi = jnp.take_along_axis(thi, lane, axis=1)
-                gath = jnp.where(half, glo, ghi)
-            else:
-                gath = glo
-            wt_ref[:, j, c * 128 : (c + 1) * 128] = gath.reshape(tig, kk, 128).sum(axis=1)
-    out_ref[:] = (
-        wt_ref[:].reshape(tig * g, tn) * sc_ref[0, 0][None, :]
-    ).astype(out_ref.dtype)
+                    *, tig, kk, g, tn, two_halves, wrap_ok=False):
+    wt = _dequant_tile(codes_ref[0], lo_ref, hi_ref, wt_ref, tig=tig, kk=kk,
+                       g=g, tn=tn, two_halves=two_halves, wrap_ok=wrap_ok)
+    out_ref[:] = (wt * sc_ref[0, 0][None, :]).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("two_halves", "dtype", "interpret"))
@@ -260,7 +326,8 @@ def _call_dequant(codes_tl, lo, hi, scales, *, two_halves, dtype, interpret):
     kr = _row_tile(kig, kk, g, tn)
     tig = kr // kk
     kern = functools.partial(_dequant_kernel, tig=tig, kk=kk, g=g, tn=tn,
-                             two_halves=two_halves)
+                             two_halves=two_halves,
+                             wrap_ok=not interpret and gather_wraps())
     return pl.pallas_call(
         kern,
         grid=(nt, kig // kr),
@@ -291,16 +358,15 @@ def gather_dequant_wt(codes_tl, codebooks, scales, *, dtype=jnp.bfloat16):
 
 
 def _kernel_indexed(idx_ref, codes_ref, lo_ref, hi_ref, x_ref, sc_ref, out_ref,
-                    acc_ref, wt_ref, *, tig, kk, g, tn, two_halves, wrap_ok=False):
+                    acc_ref, wt_ref, wtf_ref, *, tig, kk, g, tn, two_halves,
+                    wrap_ok=False, amortize=False):
     del idx_ref
     r = pl.program_id(2)
-    _dequant_accum(codes_ref[0, 0], lo_ref, hi_ref, x_ref, acc_ref, wt_ref,
-                   tig=tig, kk=kk, g=g, tn=tn, two_halves=two_halves,
-                   first_r=r == 0, wrap_ok=wrap_ok)
-
-    @pl.when(r == pl.num_programs(2) - 1)
-    def _():
-        out_ref[:] = (acc_ref[:] * sc_ref[0, 0][None, :]).astype(out_ref.dtype)
+    wt = _dequant_or_reuse(codes_ref[0, 0], lo_ref, hi_ref, wt_ref, wtf_ref,
+                           tig=tig, kk=kk, g=g, tn=tn, two_halves=two_halves,
+                           wrap_ok=wrap_ok, amortize=amortize)
+    _accum_body(wt, x_ref, sc_ref, out_ref, acc_ref, first_r=r == 0,
+                last_r=r == pl.num_programs(2) - 1)
 
 
 @functools.partial(jax.jit, static_argnames=("group", "two_halves", "interpret"))
@@ -313,35 +379,48 @@ def _call_indexed(xb, codes_tl_all, lo, hi, scales_all, layer_idx, *,
     L, nt, kig, tn = codes_tl_all.shape
     g, kk = lo.shape[0], lo.shape[1]
     b = xb.shape[0]
-    kr = _row_tile(kig, kk, g, tn)
-    tig = kr // kk
     tb = _batch_tile(b)
+    slabs, amortize = _slab_split(kig, kk, g, tn, b // tb)
+    sc = scales_all.reshape(L, 1, -1).astype(jnp.float32)
+    out_dtype = jnp.float32 if len(slabs) > 1 else xb.dtype
 
-    kern = functools.partial(_kernel_indexed, tig=tig, kk=kk, g=g, tn=tn,
-                             two_halves=two_halves, wrap_ok=not interpret and gather_wraps())
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nt, b // tb, kig // kr),
-        in_specs=[
-            pl.BlockSpec((1, 1, kr, tn), lambda o, bt, r, li: (li[0], o, r, 0)),
-            pl.BlockSpec((g, kk, 128), lambda o, bt, r, li: (0, 0, 0)),
-            pl.BlockSpec((g, kk, 128), lambda o, bt, r, li: (0, 0, 0)),
-            pl.BlockSpec((tb, tig * g), lambda o, bt, r, li: (bt, r)),
-            pl.BlockSpec((1, 1, tn), lambda o, bt, r, li: (li[0], 0, o)),
-        ],
-        out_specs=pl.BlockSpec((tb, tn), lambda o, bt, r, li: (bt, o)),
-        scratch_shapes=[
-            pltpu.VMEM((tb, tn), jnp.float32),
-            pltpu.VMEM((tig, g, tn), jnp.float32),
-        ],
-    )
-    return pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nt * tn), xb.dtype),
-        interpret=interpret,
-    )(layer_idx.reshape(1), codes_tl_all, lo, hi, xb,
-      scales_all.reshape(L, 1, -1).astype(jnp.float32))
+    y = None
+    for s0, s1 in slabs:
+        skig = s1 - s0
+        kr = _row_tile(skig, kk, g, tn)
+        tig = kr // kk
+        off = s0 // kr  # slab offset in row-block units
+        kern = functools.partial(
+            _kernel_indexed, tig=tig, kk=kk, g=g, tn=tn, two_halves=two_halves,
+            wrap_ok=not interpret and gather_wraps(), amortize=amortize,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt, b // tb, skig // kr),
+            in_specs=[
+                pl.BlockSpec((1, 1, kr, tn), lambda o, bt, r, li, _f=off: (li[0], o, r + _f, 0)),
+                pl.BlockSpec((g, kk, 128), lambda o, bt, r, li: (0, 0, 0)),
+                pl.BlockSpec((g, kk, 128), lambda o, bt, r, li: (0, 0, 0)),
+                pl.BlockSpec((tb, tig * g), lambda o, bt, r, li, _f=off: (bt, r + _f)),
+                pl.BlockSpec((1, 1, tn), lambda o, bt, r, li: (li[0], 0, o)),
+            ],
+            out_specs=pl.BlockSpec((tb, tn), lambda o, bt, r, li: (bt, o)),
+            scratch_shapes=[
+                pltpu.VMEM((tb, tn), jnp.float32),
+                pltpu.VMEM((tig, g, tn), jnp.float32),
+                pltpu.VMEM(
+                    ((skig // kk) * g if amortize else 8, tn), jnp.bfloat16
+                ),
+            ],
+        )
+        part = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, nt * tn), out_dtype),
+            interpret=interpret,
+        )(layer_idx.reshape(1), codes_tl_all, lo, hi, xb, sc)
+        y = part if y is None else y + part
+    return y.astype(xb.dtype)
 
 
 def gather_prefill_matmul_indexed(
@@ -373,17 +452,16 @@ def gather_prefill_matmul_indexed(
 
 
 def _kernel_grouped(idx_ref, pt_ref, codes_ref, lo_ref, hi_ref, x_ref, sc_ref,
-                    out_ref, acc_ref, wt_ref, *, tig, kk, g, tn, two_halves,
-                    wrap_ok=False):
+                    out_ref, acc_ref, wt_ref, wtf_ref, *, tig, kk, g, tn,
+                    two_halves, wrap_ok=False, amortize=False):
     del idx_ref, pt_ref
     r = pl.program_id(2)
-    _dequant_accum(codes_ref[0, 0], lo_ref[0], hi_ref[0], x_ref, acc_ref, wt_ref,
-                   tig=tig, kk=kk, g=g, tn=tn, two_halves=two_halves,
-                   first_r=r == 0, wrap_ok=wrap_ok)
-
-    @pl.when(r == pl.num_programs(2) - 1)
-    def _():
-        out_ref[:] = (acc_ref[:] * sc_ref[0, 0][None, :]).astype(out_ref.dtype)
+    wt = _dequant_or_reuse(codes_ref[0, 0], lo_ref[0], hi_ref[0], wt_ref,
+                           wtf_ref, tig=tig, kk=kk, g=g, tn=tn,
+                           two_halves=two_halves, wrap_ok=wrap_ok,
+                           amortize=amortize)
+    _accum_body(wt, x_ref, sc_ref, out_ref, acc_ref, first_r=r == 0,
+                last_r=r == pl.num_programs(2) - 1)
 
 
 @functools.partial(jax.jit, static_argnames=("group", "two_halves", "interpret"))
@@ -395,35 +473,48 @@ def _call_grouped(xb, codes_tl_all, lo_p, hi_p, scales_all, proj_map, layer_idx,
     L, nt, kig, tn = codes_tl_all.shape
     P, g, kk = lo_p.shape[0], lo_p.shape[1], lo_p.shape[2]
     b = xb.shape[0]
-    kr = _row_tile(kig, kk, g, tn)
-    tig = kr // kk
     tb = _batch_tile(b)
+    slabs, amortize = _slab_split(kig, kk, g, tn, b // tb)
+    sc = scales_all.reshape(L, 1, -1).astype(jnp.float32)
+    out_dtype = jnp.float32 if len(slabs) > 1 else xb.dtype
 
-    kern = functools.partial(_kernel_grouped, tig=tig, kk=kk, g=g, tn=tn,
-                             two_halves=two_halves, wrap_ok=not interpret and gather_wraps())
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nt, b // tb, kig // kr),
-        in_specs=[
-            pl.BlockSpec((1, 1, kr, tn), lambda o, bt, r, li, pt: (li[0], o, r, 0)),
-            pl.BlockSpec((1, g, kk, 128), lambda o, bt, r, li, pt: (pt[o], 0, 0, 0)),
-            pl.BlockSpec((1, g, kk, 128), lambda o, bt, r, li, pt: (pt[o], 0, 0, 0)),
-            pl.BlockSpec((tb, tig * g), lambda o, bt, r, li, pt: (bt, r)),
-            pl.BlockSpec((1, 1, tn), lambda o, bt, r, li, pt: (li[0], 0, o)),
-        ],
-        out_specs=pl.BlockSpec((tb, tn), lambda o, bt, r, li, pt: (bt, o)),
-        scratch_shapes=[
-            pltpu.VMEM((tb, tn), jnp.float32),
-            pltpu.VMEM((tig, g, tn), jnp.float32),
-        ],
-    )
-    return pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nt * tn), xb.dtype),
-        interpret=interpret,
-    )(layer_idx.reshape(1), proj_map, codes_tl_all, lo_p, hi_p, xb,
-      scales_all.reshape(L, 1, -1).astype(jnp.float32))
+    y = None
+    for s0, s1 in slabs:
+        skig = s1 - s0
+        kr = _row_tile(skig, kk, g, tn)
+        tig = kr // kk
+        off = s0 // kr  # slab offset in row-block units
+        kern = functools.partial(
+            _kernel_grouped, tig=tig, kk=kk, g=g, tn=tn, two_halves=two_halves,
+            wrap_ok=not interpret and gather_wraps(), amortize=amortize,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nt, b // tb, skig // kr),
+            in_specs=[
+                pl.BlockSpec((1, 1, kr, tn), lambda o, bt, r, li, pt, _f=off: (li[0], o, r + _f, 0)),
+                pl.BlockSpec((1, g, kk, 128), lambda o, bt, r, li, pt: (pt[o], 0, 0, 0)),
+                pl.BlockSpec((1, g, kk, 128), lambda o, bt, r, li, pt: (pt[o], 0, 0, 0)),
+                pl.BlockSpec((tb, tig * g), lambda o, bt, r, li, pt, _f=off: (bt, r + _f)),
+                pl.BlockSpec((1, 1, tn), lambda o, bt, r, li, pt: (li[0], 0, o)),
+            ],
+            out_specs=pl.BlockSpec((tb, tn), lambda o, bt, r, li, pt: (bt, o)),
+            scratch_shapes=[
+                pltpu.VMEM((tb, tn), jnp.float32),
+                pltpu.VMEM((tig, g, tn), jnp.float32),
+                pltpu.VMEM(
+                    ((skig // kk) * g if amortize else 8, tn), jnp.bfloat16
+                ),
+            ],
+        )
+        part = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, nt * tn), out_dtype),
+            interpret=interpret,
+        )(layer_idx.reshape(1), proj_map, codes_tl_all, lo_p, hi_p, xb, sc)
+        y = part if y is None else y + part
+    return y.astype(xb.dtype)
 
 
 def gather_prefill_matmul_grouped_indexed(

@@ -115,3 +115,33 @@ def test_bit_packing_roundtrip():
         packed = pack_bits(codes, nbits)
         assert packed.size == (257 * nbits + 7) // 8
         np.testing.assert_array_equal(unpack_bits(packed, nbits, 257), codes)
+
+
+def test_gather16_dequant_matches_xla_and_grads():
+    """Forced impl='gather16' (the TPU 1x16 calibration path) == exact XLA
+    dequant, in value and in codebook/scale gradients."""
+    from aqlm_tpu.config import AqlmScheme
+    from aqlm_tpu.ops.dequant import dequantize_weight, random_aqlm_weight
+    import dataclasses
+
+    scheme = AqlmScheme.parse("1x16g8")
+    w = random_aqlm_weight(jax.random.PRNGKey(0), scheme, 64, 64)
+
+    w_xla = dequantize_weight(w, dtype=jnp.float32, impl="xla")
+    w_g16 = dequantize_weight(w, dtype=jnp.float32, impl="gather16")
+    np.testing.assert_allclose(
+        np.asarray(w_g16), np.asarray(w_xla), rtol=1e-6, atol=1e-6
+    )
+
+    def loss(impl):
+        def f(cb, sc):
+            ww = dataclasses.replace(w, codebooks=cb, scales=sc)
+            return jnp.sum(dequantize_weight(ww, dtype=jnp.float32, impl=impl) ** 2)
+        return jax.grad(f, argnums=(0, 1))(w.codebooks, w.scales)
+
+    ga = loss("xla")
+    gb = loss("gather16")
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )

@@ -124,3 +124,55 @@ def test_gather_dequant_wt_matches_reference():
         wt = gather_dequant_wt(tile_codes(codes_t), cbs, scales)
         assert wt.shape == wt_ref.shape
         assert _rel(wt, wt_ref) < 2e-2
+
+
+def test_amortized_multi_batch_tile_matches_onehot():
+    """b > 256 (multiple batch tiles) triggers the amortized-dequant grid:
+    batch tile 0 persists the W^T column, later tiles reuse it."""
+    out_f, in_f, g = 256, 128, 8
+    codes_t, cbs, scales, x = _mk(jax.random.PRNGKey(7), out_f, in_f, 2, 256, g, 520)
+    y_ref = fused_onehot_matmul(x, codes_t, cbs, scales, group=g)
+    y = gather_prefill_matmul(x, tile_codes(codes_t), cbs, scales, group=g)
+    assert _rel(y, y_ref) < 2e-2
+
+
+def test_slab_split_matches_onehot(monkeypatch):
+    """Force the IN-slab split (tiny scratch cap): partial sums over
+    contraction slabs must equal the unsplit result."""
+    from aqlm_tpu.ops import gather_prefill as gp
+
+    monkeypatch.setattr(gp, "_WT_SCRATCH_CAP", 16 * 1024)
+    out_f, in_f, g = 256, 512, 8
+    codes_t, cbs, scales, x = _mk(jax.random.PRNGKey(8), out_f, in_f, 2, 256, g, 264)
+    ct = tile_codes(codes_t)
+    slabs, amortize = gp._slab_split(ct.shape[1], 2, g, ct.shape[2], 2)
+    assert len(slabs) > 1 and amortize, (slabs, amortize)
+    y_ref = fused_onehot_matmul(x, codes_t, cbs, scales, group=g)
+    y = gp.gather_prefill_matmul(x, ct, cbs, scales, group=g)
+    assert _rel(y, y_ref) < 2e-2
+
+
+def test_amortized_indexed_and_grouped_match_plain():
+    """Layer-indexed + grouped variants under multi-batch-tile amortization."""
+    out_f, in_f, g, L = 256, 128, 8, 3
+    keys = jax.random.split(jax.random.PRNGKey(9), L)
+    per = [_mk(k, out_f, in_f, 2, 256, g, 264) for k in keys]
+    codes_all = jnp.stack([tile_codes(c) for c, _, _, _ in per])
+    cbs_all = jnp.stack([cb for _, cb, _, _ in per])
+    sc_all = jnp.stack([s for _, _, s, _ in per])
+    x = per[0][3]
+    for li in range(L):
+        y_ref = gather_prefill_matmul(
+            x, codes_all[li], cbs_all[li], sc_all[li], group=g
+        )
+        y = gather_prefill_matmul_indexed(
+            x, codes_all, cbs_all, sc_all, li, group=g
+        )
+        assert _rel(y, y_ref) < 1e-2
+    # grouped: two fused projections of out_f/2 each
+    yg = gather_prefill_matmul_grouped_indexed(
+        x, codes_all, cbs_all[:, None].repeat(2, 1)[:, :, :, :, :],
+        sc_all, (out_f // 2, out_f // 2), 1, group=g,
+    )
+    y_ref = gather_prefill_matmul(x, codes_all[1], cbs_all[1], sc_all[1], group=g)
+    assert _rel(yg, y_ref) < 1e-2
