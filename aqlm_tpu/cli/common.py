@@ -12,7 +12,32 @@ import numpy as np
 from aqlm_tpu.data import get_loaders
 from aqlm_tpu.models import llama
 
-__all__ = ["resolve_model", "load_tokenizer", "load_calibration_data", "dtype_from_str"]
+__all__ = [
+    "resolve_model", "load_tokenizer", "load_calibration_data",
+    "dtype_from_str", "enable_compile_cache",
+]
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache for the serving CLIs.
+
+    A cold 7B engine compile measured up to 103 s (BENCH_r04); with the
+    cache, a repeat process start replays executables from disk instead of
+    recompiling. AQLM_COMPILE_CACHE overrides the location. NOTE: kept out
+    of library import paths — 70B-real-width CPU executables abort the cache
+    writer on serialize (NOTES.md r4d), so only the serving CLIs opt in."""
+    import jax
+
+    path = path or os.environ.get(
+        "AQLM_COMPILE_CACHE", os.path.expanduser("~/.cache/aqlm_tpu_jax")
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
 
 
 def dtype_from_str(name: str):
@@ -49,6 +74,24 @@ def resolve_model(spec: str, *, dtype=jnp.float32, mode: str = "reference"):
         from aqlm_tpu.io import load_quantized_model
 
         params, cfg = load_quantized_model(spec)
+        stored = config.get("runtime_mode", "reference")
+        if stored == mode or all(
+            not hasattr(v, "mode") for l in params["layers"] for v in l.values()
+        ):
+            return params, cfg, "quantized"
+        if stored != "reference":
+            raise ValueError(
+                f"{spec} is a materialized {stored!r} checkpoint; requested "
+                f"mode {mode!r} needs the canonical checkpoint (or reconvert "
+                f"with `convert --to {mode}`)"
+            )
+        if mode != "reference":
+            # load-time transcode (slow for big models); `convert --to
+            # <mode>` materializes the layout once so serving starts cold in
+            # seconds instead
+            from aqlm_tpu.models.quantize import convert_runtime_mode
+
+            params = convert_runtime_mode(params, mode)
         return params, cfg, "quantized"
     if config.get("quantization_config"):
         from aqlm_tpu.io import load_hf_aqlm_checkpoint

@@ -21,7 +21,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("input", help="model dir (canonical or HF AQLM)")
     p.add_argument("output", help="destination dir")
-    p.add_argument("--to", choices=["hf", "canonical", "2x8", "2x7", "requant"], required=True,
+    p.add_argument("--to", choices=["hf", "canonical", "2x8", "2x7", "requant",
+                                    "int8", "int4", "codes"], required=True,
                    help="2x8: re-fit 1x16 codebooks as sums of two 256-entry "
                         "books (TPU codes-resident serving; reports rel-MSE); "
                         "2x7: same with 128-entry books (~2.0 bits) — decode "
@@ -29,7 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "gathers than 2x8, at a fit-error cost; "
                         "requant: fit a fresh --scheme to the dequantized "
                         "weights (weight-L2, no calibration data — e.g. a "
-                        "1x8 draft model for speculative serving)")
+                        "1x8 draft model for speculative serving); "
+                        "int8|int4|codes: MATERIALIZE the runtime serving "
+                        "layout (w8/w4/tiled codes) into the checkpoint so "
+                        "serving loads it directly — the load-time transcode "
+                        "costs 94-310 s for a 7B model")
     p.add_argument("--transcode_iters", type=int, default=25)
     p.add_argument("--scheme", default="1x8",
                    help="destination scheme for --to requant (e.g. 1x8, 2x8, 8x8)")
@@ -86,6 +91,12 @@ def main(argv=None):
     if args.to == "canonical":
         from aqlm_tpu.io import save_quantized_model
 
+        save_quantized_model(args.output, params, cfg)
+    elif args.to in ("int8", "int4", "codes"):
+        from aqlm_tpu.io import save_quantized_model
+        from aqlm_tpu.models.quantize import convert_runtime_mode
+
+        params = convert_runtime_mode(params, args.to)
         save_quantized_model(args.output, params, cfg)
     elif args.to in ("2x8", "2x7"):
         from aqlm_tpu.io import save_quantized_model

@@ -237,13 +237,24 @@ def main(argv=None) -> dict:
         )
     losses = []
     windowed = st_mgr is not None and args.scan_blocks  # single-compile rotation
+
+    def _zeros_window(active):
+        # the grad step's ST correction (st - stop_grad(st)) is identically
+        # zero and dL/d(st) = gw regardless of st's VALUE, so the grad pass
+        # gets a zeros window — skipping the ~0.8 GB/step host->device
+        # buffer upload (the dev tunnel moves ~25-30 MB/s; NOTES.md r5)
+        return {
+            name: jnp.zeros((len(active),) + buf.shape, jnp.float32)
+            for name, buf in st_mgr.buffers[active[0]].items()
+        }
+
     for step in range(start_step, args.total_steps):
         win_start = None
         if st_mgr is not None:
             active = st_mgr.active_window(step)
             if windowed:
                 win_start = jnp.int32(active[0])
-                st_dev = {k: jnp.asarray(v) for k, v in st_mgr.fetch_window(active).items()}
+                st_dev = _zeros_window(active)
             else:
                 st_dev = [
                     {k: jnp.asarray(v) for k, v in e.items()} for e in st_mgr.fetch(active)
@@ -271,15 +282,27 @@ def main(argv=None) -> dict:
             # buffers update on host; zero their device-side grads so
             # apply_fn's st_opt is a no-op for them
             g_tr, g_st = acc
-            g_list = (
-                st_mgr.window_to_list(active, g_st) if windowed
-                else [{k: np.asarray(v) for k, v in e.items()} for e in g_st]
-            )
+            if windowed:
+                # download grads in bf16 (halves the device->host transfer;
+                # host Adam re-accumulates in f32)
+                g16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), g_st)
+                g_list = st_mgr.window_to_list(active, {
+                    k: np.asarray(v).astype(np.float32) for k, v in g16.items()
+                })
+            else:
+                g_list = [{k: np.asarray(v) for k, v in e.items()} for e in g_st]
             st_mgr.adam_update(active, [
                 {k: v / n_micro for k, v in e.items()} for e in g_list
             ])
             if windowed:
-                st_dev = {k: jnp.asarray(v) for k, v in st_mgr.fetch_window(active).items()}
+                # the updated buffers only feed the V-step beam-search
+                # target; upload bf16 unless delta-decay mixing must write
+                # f32 precision back (store below)
+                up_dtype = np.float32 if pv.delta_decay != 0 else jnp.bfloat16
+                st_dev = {
+                    k: jnp.asarray(v.astype(up_dtype))
+                    for k, v in st_mgr.fetch_window(active).items()
+                }
             else:
                 st_dev = [
                     {k: jnp.asarray(v) for k, v in e.items()} for e in st_mgr.fetch(active)
@@ -291,7 +314,10 @@ def main(argv=None) -> dict:
         if args.code_update_every and (step + 1) % args.code_update_every == 0:
             key, sub = jax.random.split(key)
             state = fns.code_step(state, sub, active=active if st_mgr is not None else None)
-            if st_mgr is not None:  # persist delta-decay-mixed buffers
+            # persist delta-decay-mixed buffers; with delta_decay=0 the V
+            # step leaves them unchanged and (windowed) storing would round
+            # host-Adam f32 state through the bf16 upload
+            if st_mgr is not None and (pv.delta_decay != 0 or not windowed):
                 st_list = (
                     st_mgr.window_to_list(active, state.st_buffers) if windowed
                     else [{k: np.asarray(v) for k, v in e.items()} for e in state.st_buffers]

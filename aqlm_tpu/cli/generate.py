@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--draft_mode", choices=["reference", "codes", "int8", "int4"], default=None,
                    help="runtime mode for the draft model (defaults to --mode)")
     p.add_argument("--spec_k", type=int, default=4, help="draft tokens proposed per verify step")
+    p.add_argument("--no_compile_cache", action="store_true",
+                   help="disable the persistent XLA compile cache")
     return p
 
 
@@ -68,6 +70,10 @@ def _generate_speculative(args, params, cfg, prompt_ids, tokenizer):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if not args.no_compile_cache:
+        from aqlm_tpu.cli.common import enable_compile_cache
+
+        enable_compile_cache()
     params, cfg, kind = resolve_model(args.model_path, dtype=dtype_from_str(args.dtype), mode=args.mode)
 
     tokenizer = load_tokenizer(args.model_path)

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">1: tensor-parallel serving over a model-axis mesh of this size")
     p.add_argument("--decode_chunk", type=int, default=1,
                    help=">1: emit this many tokens per compiled decode (one host sync per chunk)")
+    p.add_argument("--no_compile_cache", action="store_true",
+                   help="disable the persistent XLA compile cache (on by "
+                        "default: repeat cold starts replay executables "
+                        "from disk instead of recompiling)")
     return p
 
 
@@ -237,6 +241,10 @@ def make_handler(server: _Server):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if not args.no_compile_cache:
+        from aqlm_tpu.cli.common import enable_compile_cache
+
+        enable_compile_cache()
     params, cfg, _ = resolve_model(args.model_path, dtype=dtype_from_str(args.dtype), mode=args.mode)
     tokenizer = load_tokenizer(args.model_path)
     spec_kw = {}

@@ -68,12 +68,31 @@ def _loadz(path: str) -> dict:
     return out
 
 
+_RUNTIME_FIELDS = (
+    "codes", "codes_t", "codebooks", "packed_cb", "w8", "w8_scale",
+    "scales", "bias", "codes_tl", "w4", "w4_gscale",
+)
+
+
 def _layer_to_flat(layer: dict) -> tuple[dict, dict]:
     """(arrays, meta) for one block."""
     arrays, meta = {}, {}
     for name, value in layer.items():
-        if isinstance(value, QuantizedLinear):
-            assert value.mode == "reference", "checkpoints store the canonical (reference) layout"
+        if isinstance(value, QuantizedLinear) and value.mode != "reference":
+            # MATERIALIZED runtime layout (convert --to int8|int4|codes):
+            # the load-time from_aqlm transcode measured 94-310 s for a 7B
+            # model (BENCH_r04 cold start) — a materialized checkpoint loads
+            # the serving arrays directly. Reference counterpart: the pip
+            # package's second-per-checkpoint load (inference.py:11-76).
+            for field in _RUNTIME_FIELDS:
+                v = getattr(value, field)
+                if v is not None:
+                    arrays[f"{name}.{field}"] = np.asarray(v)
+            meta[name] = {
+                "kind": "runtime", "mode": value.mode,
+                "scheme": value.scheme.name,
+            }
+        elif isinstance(value, QuantizedLinear):
             arrays[f"{name}.codes"] = np.asarray(value.codes)
             arrays[f"{name}.codebooks"] = np.asarray(value.codebooks)
             arrays[f"{name}.scales"] = np.asarray(value.scales)
@@ -94,7 +113,16 @@ def _layer_to_flat(layer: dict) -> tuple[dict, dict]:
 def _layer_from_flat(arrays: dict, meta: dict) -> dict:
     layer = {}
     for name, m in meta.items():
-        if m["kind"] == "quantized":
+        if m["kind"] == "runtime":
+            fields = {
+                f: (jnp.asarray(arrays[f"{name}.{f}"])
+                    if f"{name}.{f}" in arrays else None)
+                for f in _RUNTIME_FIELDS
+            }
+            layer[name] = QuantizedLinear(
+                scheme=AqlmScheme.parse(m["scheme"]), mode=m["mode"], **fields
+            )
+        elif m["kind"] == "quantized":
             scheme = AqlmScheme.parse(m["scheme"])
             w = AqlmWeight(
                 codes=jnp.asarray(arrays[f"{name}.codes"]),
@@ -160,6 +188,15 @@ def save_quantized_model(save_dir: str, params: dict, cfg: ModelConfig, extra_co
             "linear_weights_not_to_quantize": ["model.embed_tokens.weight", "lm_head.weight"],
         },
     }
+    modes = {
+        v.mode
+        for layer in params["layers"]
+        for v in layer.values()
+        if isinstance(v, QuantizedLinear)
+    }
+    if modes and modes != {"reference"}:
+        assert len(modes) == 1, f"mixed runtime modes in one checkpoint: {modes}"
+        config["runtime_mode"] = next(iter(modes))
     if extra_config:
         config.update(extra_config)
     with open(os.path.join(save_dir, "config.json"), "w") as f:

@@ -14,7 +14,33 @@ from aqlm_tpu.models.llama import QUANTIZABLE_PROJS, ModelConfig
 from aqlm_tpu.ops.dequant import AqlmWeight, random_aqlm_weight
 from aqlm_tpu.ops.runtime import QuantizedLinear
 
-__all__ = ["random_quantized_params", "map_quantized_linears", "swap_in_quantized"]
+__all__ = [
+    "random_quantized_params", "map_quantized_linears", "swap_in_quantized",
+    "convert_runtime_mode",
+]
+
+
+def convert_runtime_mode(params: dict, mode: str) -> dict:
+    """Transcode every QuantizedLinear (any name, incl. MoE experts) from the
+    canonical reference layout to the given runtime mode.
+
+    This is the LOAD-TIME path (94-310 s for a 7B model, BENCH_r04); ship a
+    materialized checkpoint instead with `convert --to int8|int4|codes` when
+    cold start matters — resolve_model then skips this entirely."""
+    if mode == "reference":
+        return params
+    for layer in params["layers"]:
+        for name, lin in list(layer.items()):
+            if not isinstance(lin, QuantizedLinear) or lin.mode == mode:
+                continue
+            assert lin.mode == "reference", (
+                f"cannot transcode a materialized {lin.mode!r} layout to "
+                f"{mode!r}; reconvert from the canonical checkpoint"
+            )
+            w = AqlmWeight(codes=lin.codes, codebooks=lin.codebooks,
+                           scales=lin.scales, bias=lin.bias, scheme=lin.scheme)
+            layer[name] = QuantizedLinear.from_aqlm(w, mode=mode)
+    return params
 
 
 def random_quantized_params(

@@ -29,25 +29,47 @@ __all__ = ["HostSTManager"]
 
 
 def _np_dequantize(lin: QuantizedLinear) -> np.ndarray:
-    """Pure-numpy dequantization of a reference-mode projection.
+    """Host-side dequantization of a reference-mode projection.
 
     Runs entirely on host: a 7B model's ST-buffer init would otherwise push
     ~27 GB of dequantized weights device->host through the dev tunnel (and
-    sustained tunnel load is what kills long runs — NOTES.md)."""
+    sustained tunnel load is what kills long runs — NOTES.md). torch's
+    multithreaded index_select is ~5-10x numpy fancy indexing here (the
+    all-numpy build measured 14-16 min for a 7B model, NOTES.md r4); numpy
+    remains the fallback."""
     codes = np.asarray(lin.codes).astype(np.int64)  # [OG, IG, K]
     cb = np.asarray(lin.codebooks, np.float32)  # [K, S, og, ig]
     scales = np.asarray(lin.scales, np.float32)
     og_n, ig_n, K = codes.shape
-    _, _, og, ig = cb.shape
-    groups = np.zeros((og_n, ig_n, og, ig), np.float32)
-    for k in range(K):
-        groups += cb[k, codes[:, :, k]]
-    if scales.ndim == 1:  # per-output-group
-        groups *= scales[:, None, None, None]
-    else:  # [OG, IG] per-group
-        groups *= scales[:, :, None, None]
+    _, s, og, ig = cb.shape
+    try:
+        import torch
+
+        flat = None
+        for k in range(K):
+            idx = torch.from_numpy(np.ascontiguousarray(codes[:, :, k].reshape(-1)))
+            tab = torch.from_numpy(cb[k].reshape(s, og * ig).copy())
+            part = torch.index_select(tab, 0, idx)
+            flat = part if flat is None else flat.add_(part)
+        # scale on the flat [G, og*ig] view (a 4-D numpy broadcast multiply
+        # at this size costs ~0.8 s/projection)
+        sflat = (
+            np.repeat(scales, ig_n) if scales.ndim == 1 else scales.reshape(-1)
+        )
+        flat.mul_(torch.from_numpy(sflat.astype(np.float32))[:, None])
+        groups = flat.numpy().reshape(og_n, ig_n, og, ig)
+    except ImportError:
+        groups = np.zeros((og_n, ig_n, og, ig), np.float32)
+        for k in range(K):
+            groups += cb[k, codes[:, :, k]]
+        if scales.ndim == 1:  # per-output-group
+            groups = groups * scales[:, None, None, None]
+        else:  # [OG, IG] per-group
+            groups = groups * scales[:, :, None, None]
     # [OG, IG, og, ig] -> [OG*og, IG*ig]
-    return groups.transpose(0, 2, 1, 3).reshape(og_n * og, ig_n * ig)
+    return np.ascontiguousarray(
+        groups.transpose(0, 2, 1, 3).reshape(og_n * og, ig_n * ig)
+    )
 
 
 class HostSTManager:

@@ -38,6 +38,7 @@ from aqlm_tpu.serve.fuse import (
 )
 
 HBM_BW = 819e9  # v5e HBM bandwidth, bytes/s
+MXU_PEAK = 197e12  # v5e bf16 MXU peak, FLOP/s (prefill compute-SOL basis)
 DECODE_STEPS = 64
 WARMUP_STEPS = 8
 
@@ -62,6 +63,17 @@ def dense_bf16_sol_tokens_per_sec(cfg: llama.ModelConfig) -> float:
 
 def tree_gbytes(t) -> float:
     return sum(x.nbytes for x in jax.tree_util.tree_leaves(t) if hasattr(x, "nbytes")) / 1e9
+
+
+def _matmul_params(cfg: llama.ModelConfig) -> float:
+    """Matmul-visible params per token of prefill (blocks + lm_head)."""
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    d = cfg.dim_per_head
+    per_layer = (
+        h * cfg.num_heads * d + 2 * h * cfg.num_kv_heads * d
+        + cfg.num_heads * d * h + 3 * h * i
+    )
+    return cfg.num_layers * per_layer + cfg.vocab_size * h
 
 
 def build_full(cfg, mode: str, scheme, seed: int):
@@ -155,32 +167,120 @@ def measure_mode(cfg, stacked, label: str, dense_sol: float, decode_steps: int =
         result["batched_b8_tps"] = round(bat_tps, 1)
         del cache8
 
-    # prefill: 256-token prompt, full model
-    try:
-        cachep = init_kv_cache(cfg, 1, 512, quantized=True)
-        ids = jnp.ones((1, 256), jnp.int32)
+    # prefill: 256- and 1024-token prompts, full model, with the MXU
+    # compute-SOL fraction (prefill is matmul-bound: FLOPs ~= 2 * params * T;
+    # SOL tok/s = MXU_PEAK / (2 * params) — the roofline the verdict asked
+    # prefill to carry, BASELINE.md:58-60)
+    flops_per_tok = 2.0 * _matmul_params(cfg)
+    prefill_sol_tps = MXU_PEAK / flops_per_tok
+    for plen in (256, 1024):
+        try:
+            cachep = init_kv_cache(cfg, 1, max(2 * plen, 512), quantized=True)
+            ids = jnp.ones((1, plen), jnp.int32)
 
-        @jax.jit
-        def prefill(p, c, ids):
-            logits, c = forward_stacked(p, cfg, ids, cache=c, cache_offset=jnp.zeros((1,), jnp.int32))
-            return jnp.sum(logits[:, -1])
+            @jax.jit
+            def prefill(p, c, ids):
+                logits, c = forward_stacked(p, cfg, ids, cache=c, cache_offset=jnp.zeros((1,), jnp.int32))
+                return jnp.sum(logits[:, -1])
 
-        float(jax.device_get(prefill(stacked, cachep, ids)))
-        t0 = time.time()
-        for _ in range(4):
             float(jax.device_get(prefill(stacked, cachep, ids)))
-        prefill_tps = 4 * 256 / (time.time() - t0)
-        log(f"{label}: prefill {prefill_tps:.0f} tok/s (256-token prompt)")
-        result["prefill_tps"] = round(prefill_tps, 0)
-        del cachep
-    except Exception as e:
-        log(f"{label}: prefill failed: {e!r}")
+            t0 = time.time()
+            for _ in range(4):
+                float(jax.device_get(prefill(stacked, cachep, ids)))
+            prefill_tps = 4 * plen / (time.time() - t0)
+            frac = prefill_tps / prefill_sol_tps
+            log(f"{label}: prefill {prefill_tps:.0f} tok/s ({plen}-token prompt; "
+                f"MXU-SOL {prefill_sol_tps:.0f} tok/s -> fraction {frac:.3f})")
+            result[f"prefill_tps_{plen}"] = round(prefill_tps, 0)
+            result[f"prefill_mxu_sol_fraction_{plen}"] = round(frac, 3)
+            if plen == 256:
+                result["prefill_tps"] = round(prefill_tps, 0)  # r4 key
+            del cachep
+        except Exception as e:
+            log(f"{label}: prefill({plen}) failed: {e!r}")
 
     del cache
     return tps, result
 
 
+def engine_bench(cfg, mode="int8", n_req=16, max_new=64, decode_chunk=8):
+    """Serving-path benchmark: serve.Engine under a concurrent request mix.
+
+    16 requests with mixed prompt lengths (32/128/512), continuous batching +
+    chunked prefill + prefix cache, decode_chunk tokens per host sync (the
+    dev tunnel costs ~30 ms/roundtrip, so per-token host driving measures
+    the tunnel; chunking amortizes it — latencies are chunk-granular).
+    Reference bar: the full-path generate benchmark
+    (benchmark/generate_benchmark.py:97-106).
+    """
+    import numpy as np
+
+    from aqlm_tpu.serve import Engine, SamplingParams, ServeConfig
+
+    scheme = SCHEME_2X8 if mode == "codes" else SCHEME_1X16
+    params = random_quantized_params(jax.random.PRNGKey(0), cfg, scheme, mode=mode)
+    engine = Engine(params, cfg, ServeConfig(
+        max_batch=8, max_len=1024, kv_quantized=True,
+        decode_chunk=decode_chunk, donate_params=True,
+    ))
+    rng = np.random.default_rng(0)
+    plens = [(32, 128, 512)[i % 3] for i in range(n_req)]
+    prompts = [rng.integers(0, cfg.vocab_size, (p,)).astype(np.int32) for p in plens]
+    # duplicate a prompt to exercise the prefix cache
+    prompts[3] = prompts[0].copy()
+    sampling = SamplingParams(max_new_tokens=max_new, temperature=0.0)
+
+    rids = [engine.submit(p, sampling) for p in prompts]
+    # warm compile: run to completion once, then resubmit and time
+    while any(not engine.get_request(r).done for r in rids):
+        engine.step()
+    rids = [engine.submit(p, sampling) for p in prompts]
+    lat = []
+    t_start = time.time()
+    while any(not engine.get_request(r).done for r in rids):
+        t0 = time.time()
+        out = engine.step()
+        dt = time.time() - t0
+        # step() emits {rid: token} plain / {rid: [tokens]} chunked
+        n_tok = sum(
+            len(v) if isinstance(v, (list, tuple)) else 1 for v in out.values()
+        ) if out else 0
+        lat.extend([dt / max(n_tok, 1)] * n_tok)
+    wall = time.time() - t_start
+    total = sum(len(engine.get_request(r).generated) for r in rids)
+    lat.sort()
+    p50 = lat[len(lat) // 2] if lat else 0.0
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))] if lat else 0.0
+    res = {
+        "mode": mode, "n_requests": n_req, "total_tokens": total,
+        "aggregate_tps": round(total / wall, 1),
+        "p50_tok_latency_ms": round(p50 * 1e3, 2),
+        "p99_tok_latency_ms": round(p99 * 1e3, 2),
+        "prefix_cache": dict(engine.prefix_stats),
+        "decode_chunk": decode_chunk,
+    }
+    log(f"engine[{mode}]: {res}")
+    return res
+
+
 def main():
+    if "--engine" in sys.argv:
+        cfg = llama.ModelConfig.llama2_7b()
+        if os.environ.get("AQLM_BENCH_TINY"):
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, num_layers=2, hidden_size=256, intermediate_size=512,
+                              num_heads=4, num_kv_heads=4, vocab_size=512)
+        out = {}
+        for mode in ("int8", "codes"):
+            try:
+                out[mode] = engine_bench(cfg, mode=mode)
+            except Exception as e:
+                log(f"engine bench {mode} failed: {e!r}")
+        print(json.dumps({"metric": "engine_aggregate_tps_16req",
+                          "value": out.get("int8", {}).get("aggregate_tps", 0),
+                          "unit": "tok/s", "vs_baseline": 0,
+                          "engine": out}))
+        return
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     cfg = llama.ModelConfig.llama2_7b()
     if os.environ.get("AQLM_BENCH_TINY"):  # CPU smoke run of the full bench flow

@@ -1,0 +1,199 @@
+"""PV-at-7B multi-step training rehearsal — the r5 deliverable.
+
+r4e proved ONE grad step + V step at L=32/T=512 within 16 GB; the verdict's
+ask is a TRAINING LOOP: >=N full PV steps (grad + host Adam + V) with the
+windowed single-compile rotation, a decreasing loss curve, and s/step.
+Levers landed this round and exercised here:
+  - batched one-hot-MXU codebook grads (cb_grad_segment) replacing the 7x32
+    serialized segment_sum scatters in the manual-VJP backward;
+  - adaptive beam-search chunking (V step was ~1370 serial launches/codebook);
+  - HostTeacher.hidden_many — one weight-streaming pass serves all rehearsal
+    batches (stream was 505-771 s/batch serial);
+  - torch-accelerated HostSTManager build (was 14-16 min).
+
+Reference bar: the epoch/batch hot loop in finetune.py:1111-1179 +
+src/pv_optimizer.py:213-222 (grad -> Adam -> beam-search code update).
+
+Run: python experiments/pv_rehearsal.py [n_layers] [T] [steps] [n_batches]
+"""
+
+import dataclasses as dc
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import jax
+
+if os.environ.get("AQLM_PROBE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from aqlm_tpu.config import SCHEME_2X8
+from aqlm_tpu.models import llama
+from aqlm_tpu.models.quantize import random_quantized_params
+from aqlm_tpu.pv.host import HostSTManager
+from aqlm_tpu.pv.straight_through import PVConfig, init_pv_state, make_pv_step
+from aqlm_tpu.pv.teacher import HostTeacher
+
+cfg = llama.ModelConfig.llama2_7b() if hasattr(llama.ModelConfig, "llama2_7b") else llama.ModelConfig()
+L = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+T = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+NBATCH = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+cfg = dc.replace(cfg, num_layers=L)
+print(f"backend: {jax.default_backend()}  L={L} T={T} steps={STEPS} "
+      f"batches={NBATCH}", flush=True)
+
+t0 = time.time()
+student = random_quantized_params(
+    jax.random.PRNGKey(0), cfg, SCHEME_2X8, mode="reference", dtype=jnp.bfloat16
+)
+print(f"[setup] student built {time.time()-t0:.0f}s", flush=True)
+
+# host-resident dense teacher (shared arrays per shape, as in pv_7b_memcheck:
+# the rehearsal measures loop economics, not teacher content)
+t0 = time.time()
+rng = np.random.default_rng(0)
+h, inter, d = cfg.hidden_size, cfg.intermediate_size, cfg.dim_per_head
+_shape_cache = {}
+
+
+def nplin(o, i):
+    from aqlm_tpu.models.common import DenseLinear
+
+    if (o, i) not in _shape_cache:
+        _shape_cache[(o, i)] = (
+            rng.standard_normal((o, i), np.float32).astype(np.float32) * 0.02
+        )
+    return DenseLinear(weight=_shape_cache[(o, i)], bias=None)
+
+
+shared_layer = dict(
+    input_norm=np.ones((h,), np.float32),
+    post_attn_norm=np.ones((h,), np.float32),
+    q_proj=nplin(cfg.num_heads * d, h), k_proj=nplin(cfg.num_kv_heads * d, h),
+    v_proj=nplin(cfg.num_kv_heads * d, h), o_proj=nplin(h, cfg.num_heads * d),
+    gate_proj=nplin(inter, h), up_proj=nplin(inter, h), down_proj=nplin(h, inter),
+)
+teacher = {
+    "embed": rng.standard_normal((cfg.vocab_size, h), np.float32).astype(np.float32) * 0.02,
+    "final_norm": np.ones((h,), np.float32),
+    "lm_head": nplin(cfg.vocab_size, h),
+    "layers": [dict(shared_layer) for _ in range(cfg.num_layers)],
+}
+ht = HostTeacher(teacher, cfg)
+print(f"[setup] host teacher built {time.time()-t0:.0f}s", flush=True)
+
+t0 = time.time()
+mgr = HostSTManager(student, window=1, lr=1e-3, moment_dtype=np.float16)
+print(f"[setup] HostSTManager built {time.time()-t0:.0f}s "
+      f"(r4: 14-16 min)", flush=True)
+
+pv = PVConfig(chunk_tokens=256, scan_blocks=True, code_lr=1e-3)
+st_opt = optax.identity()  # ST buffers update on host
+fns = make_pv_step(cfg, cfg, pv, st_opt=st_opt, teacher_kind="hidden")
+state = init_pv_state(student, optax.adamw(1e-4), st_opt, active_layers=())
+grad_fn = jax.jit(fns.grad_fn)
+
+# teacher hidden for all rehearsal batches in ONE streaming pass
+t0 = time.time()
+batches = [
+    jnp.asarray(rng.integers(0, cfg.vocab_size, (1, T)), jnp.int32)
+    for _ in range(NBATCH)
+]
+hiddens = ht.hidden_many(batches)
+jax.block_until_ready(hiddens[-1])
+head = ht.head()
+tbatches = [dict({"hidden": hd}, **head) for hd in hiddens]
+dt = time.time() - t0
+print(f"[setup] teacher hidden x{NBATCH} streamed in {dt:.0f}s "
+      f"({dt/NBATCH:.0f}s/batch; r4 serial: 505-771 s/batch)", flush=True)
+
+key = jax.random.PRNGKey(7)
+loss_curve = []
+times = {"grad": [], "host_adam": [], "v": []}
+# ST-window transfer policy (the dev tunnel moves ~25-30 MB/s, NOTES.md:
+# teacher stream 13.5 GB -> 505-771 s):
+#  - the GRAD step gets a ZEROS window: the straight-through correction
+#    (st - stop_grad(st)) is identically zero in the primal and dL/d(st)=gw
+#    regardless of st's value, so the 810 MB f32 upload is pure waste;
+#  - grads come back bf16 (cast on device, halves the download);
+#  - only the V step uploads the real (Adam-updated) buffers, in bf16 —
+#    the beam-search target tolerates bf16 (codes are argmins over scores).
+zeros_win = {
+    name: jnp.zeros((1,) + buf.shape, jnp.float32)
+    for name, buf in mgr.buffers[0].items()
+}
+
+
+@jax.jit
+def _grad_bf16(state, tb, ids, win_start):
+    loss, (g_tr, g_st) = fns.grad_fn(state, tb, ids, None, win_start)
+    return loss, g_tr, jax.tree.map(lambda a: a.astype(jnp.bfloat16), g_st)
+
+
+for step in range(STEPS):
+    active = mgr.active_window(step)
+    win_start = jnp.int32(active[0])
+    state = dc.replace(state, st_buffers=zeros_win)
+    ids = batches[step % NBATCH]
+    tb = tbatches[step % NBATCH]
+
+    t0 = time.time()
+    loss, g_tr, g_st = _grad_bf16(state, tb, ids, win_start)
+    loss = float(jax.device_get(loss))
+    g_host = {k: np.asarray(v, np.float32) for k, v in g_st.items()}
+    t_grad = time.time() - t0
+
+    t0 = time.time()
+    mgr.adam_update(active, mgr.window_to_list(active, g_host))
+    # continuous params update while st is still the zeros window (st_opt is
+    # identity, so its slot is untouched)
+    state = fns.apply_fn(state, (g_tr, jax.tree.map(
+        lambda a: jnp.zeros(a.shape, jnp.float32), g_st)), 1.0)
+    # V-step target: upload the Adam-updated buffers in bf16 (halves the
+    # tunnel upload; the beam search casts its target to f32 internally)
+    st_dev = {
+        k: jnp.asarray(v.astype(jnp.bfloat16))
+        for k, v in mgr.fetch_window(active).items()
+    }
+    state = dc.replace(state, st_buffers=st_dev)
+    t_adam = time.time() - t0
+
+    t0 = time.time()
+    key, sub = jax.random.split(key)
+    state = fns.code_step(state, sub, active=active)
+    jax.block_until_ready(jax.tree.leaves(state.frozen)[0])
+    # delta_decay=0: the V step leaves buffers unchanged, so no store —
+    # writing back the bf16 upload would round away host-Adam precision
+    t_v = time.time() - t0
+
+    loss_curve.append(loss)
+    times["grad"].append(t_grad)
+    times["host_adam"].append(t_adam)
+    times["v"].append(t_v)
+    print(f"step {step:2d} (window {active}): loss={loss:.5f}  "
+          f"grad={t_grad:.1f}s adam={t_adam:.1f}s V={t_v:.1f}s", flush=True)
+
+steady = slice(1, None)  # step 0 includes compiles
+
+
+def med(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
+g_m, a_m, v_m = (med(times[k][steady]) for k in ("grad", "host_adam", "v"))
+print(f"RESULT: {STEPS} PV steps at L={L} T={T} on one chip. "
+      f"steady-state grad={g_m:.1f}s adam={a_m:.1f}s V={v_m:.1f}s "
+      f"-> {g_m+a_m+v_m:.1f} s/step; full 32-window sweep ~ "
+      f"{32*(g_m+a_m+v_m)/60:.1f} min", flush=True)
+print(f"RESULT: loss curve: {[round(x, 5) for x in loss_curve]}", flush=True)
+b0 = [loss_curve[i] for i in range(0, STEPS, NBATCH)]
+print(f"RESULT: batch-0 losses (comparable series): "
+      f"{[round(x, 5) for x in b0]}  decreasing={all(x2 < x1 for x1, x2 in zip(b0, b0[1:]))}",
+      flush=True)
+print("DONE", flush=True)

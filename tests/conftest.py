@@ -44,15 +44,31 @@ def pytest_addoption(parser):
         "--runslow", action="store_true", default=False,
         help="run slow-marked e2e tests (full suite; several 10s of minutes)",
     )
+    parser.addoption(
+        "--runslow-extra", action="store_true", default=False,
+        help="also run slowextra-marked redundant-coverage tests (e.g. the "
+             "second 70B real-width interpret rehearsal, ~7 min)",
+    )
 
 
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: heavy e2e test, excluded unless --runslow is passed"
     )
+    config.addinivalue_line(
+        "markers",
+        "slowextra: redundant-coverage slow test, needs --runslow-extra",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
+    if not config.getoption("--runslow-extra"):
+        skip_x = pytest.mark.skip(
+            reason="slowextra test: pass --runslow-extra to include"
+        )
+        for item in items:
+            if "slowextra" in item.keywords:
+                item.add_marker(skip_x)
     if config.getoption("--runslow"):
         return
     skip = pytest.mark.skip(reason="slow test: pass --runslow to include")

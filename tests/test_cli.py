@@ -161,3 +161,58 @@ def test_finetune_cli_mesh(quantized_dir, tmp_path):
     sharded = cli_finetune.main(common + ["--mesh_data", "2", "--mesh_model", "4"])
     assert np.isfinite(sharded["final_kl"])
     np.testing.assert_allclose(sharded["losses"], ref["losses"], rtol=0.05, atol=1e-4)
+
+
+def test_convert_materialized_int8_roundtrip(quantized_dir, tmp_path):
+    """convert --to int8 materializes the serving layout; resolve_model loads
+    it directly (no load-time transcode) and outputs match the transcoded
+    canonical load."""
+    import jax.numpy as jnp
+
+    from aqlm_tpu.cli.common import resolve_model
+    from aqlm_tpu.models.family import forward_fn as family_forward
+    from aqlm_tpu.ops.runtime import QuantizedLinear
+
+    out = str(tmp_path / "int8model")
+    cli_convert.main([quantized_dir, out, "--to", "int8"])
+    cfgj = json.load(open(os.path.join(out, "config.json")))
+    assert cfgj["runtime_mode"] == "int8"
+
+    p_mat, cfg, kind = resolve_model(out, mode="int8")
+    assert kind == "quantized"
+    q = next(
+        v for v in p_mat["layers"][0].values() if isinstance(v, QuantizedLinear)
+    )
+    assert q.mode == "int8" and q.w8 is not None
+
+    p_ref, _, _ = resolve_model(quantized_dir, mode="int8")  # load-time path
+    ids = np.arange(8, dtype=np.int32)[None, :] % cfg.vocab_size
+    y_mat, _ = family_forward(cfg)(p_mat, cfg, jnp.asarray(ids))
+    y_ref, _ = family_forward(cfg)(p_ref, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(
+        np.asarray(y_mat, np.float32), np.asarray(y_ref, np.float32),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    # materialized checkpoints refuse a different serving mode
+    with pytest.raises(ValueError):
+        resolve_model(out, mode="codes")
+
+
+@pytest.mark.slow
+def test_finetune_windowed_scan_cli(quantized_dir, tmp_path):
+    """scan_blocks + host ST window (the 7B single-compile rotation path):
+    zeros-window grad, bf16 grad download, bf16 V-step upload."""
+    out = str(tmp_path / "pv_scan")
+    result = cli_finetune.main(
+        [
+            "--base_model", "random:tiny:1",
+            "--quantized_model", quantized_dir,
+            "--dataset", "random", "--nsamples", "4", "--model_seqlen", "16",
+            "--batch_size", "2", "--total_steps", "3", "--code_update_every", "1",
+            "--max_code_change_per_step", "0.2",
+            "--st_window", "1", "--scan_blocks", "--offload_teacher",
+            "--save", out,
+        ]
+    )
+    assert np.isfinite(result["final_kl"])
