@@ -200,7 +200,7 @@ def fused_onehot_matmul(x, codes_t, codebooks, scales, bias=None, *, group: int)
 CB_GRAD_MAX_SEGMENTS = 512
 
 
-def _cb_grad_kernel(codes_ref, data_ref, out_ref, *, K, S):
+def _cb_grad_kernel(codes_ref, data_ref, out_ref, *, K, S, precise):
     """grid = (group_tiles,); accumulate onehot^T @ data into [K, S, g]."""
     i = pl.program_id(0)
 
@@ -216,23 +216,31 @@ def _cb_grad_kernel(codes_ref, data_ref, out_ref, *, K, S):
         out_ref[k] = out_ref[k] + jax.lax.dot_general(
             oh, d, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            # one operand is 0/1 (exact in bf16), so HIGHEST makes the dot
-            # exact to f32 roundoff — grads match segment_sum to ~1 ulp
-            precision=jax.lax.Precision.HIGHEST,
+            # HIGHEST: one operand is 0/1 (exact in bf16), so the bf16x3
+            # decomposition makes the dot exact to f32 roundoff — grads
+            # match segment_sum to ~1 ulp. precise=False runs single-pass
+            # bf16 (~0.3% grad noise, same order as the bf16 dequant the
+            # grads already carry).
+            precision=(jax.lax.Precision.HIGHEST if precise
+                       else jax.lax.Precision.DEFAULT),
         )
 
 
-@functools.partial(jax.jit, static_argnames=("num_segments", "interpret"))
-def _cb_grad_call(codes2, data, *, num_segments, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("num_segments", "interpret", "precise", "tg")
+)
+def _cb_grad_call(codes2, data, *, num_segments, interpret, precise=True,
+                  tg=4096):
     K, G = codes2.shape
     g = data.shape[1]
-    tg = min(4096, -(-G // 128) * 128)
+    tg = min(tg, -(-G // 128) * 128)
     Gp = -(-G // tg) * tg
     if Gp != G:
         # padded rows carry zero data -> contribute nothing to segment 0
         codes2 = jnp.pad(codes2, ((0, 0), (0, Gp - G)))
         data = jnp.pad(data, ((0, Gp - G), (0, 0)))
-    kern = functools.partial(_cb_grad_kernel, K=K, S=num_segments)
+    kern = functools.partial(_cb_grad_kernel, K=K, S=num_segments,
+                             precise=precise)
     return pl.pallas_call(
         kern,
         grid=(Gp // tg,),
@@ -248,7 +256,8 @@ def _cb_grad_call(codes2, data, *, num_segments, interpret):
     )(codes2, data)
 
 
-def cb_grad_segment(codes: jax.Array, data: jax.Array, num_segments: int) -> jax.Array:
+def cb_grad_segment(codes: jax.Array, data: jax.Array, num_segments: int,
+                    *, precise: bool = True) -> jax.Array:
     """Batched codebook-grad segment-sum: out[k, s] = sum_{i: codes[i,k]==s} data[i].
 
     codes: [G, K] integer; data: [G, g] float; returns [K, num_segments, g]
@@ -270,7 +279,7 @@ def cb_grad_segment(codes: jax.Array, data: jax.Array, num_segments: int) -> jax
     codes2 = codes.astype(jnp.int32).T  # [K, G]
     return _cb_grad_call(
         codes2, data.astype(jnp.float32), num_segments=num_segments,
-        interpret=should_interpret(),
+        interpret=should_interpret(), precise=precise,
     )
 
 

@@ -325,7 +325,13 @@ def _make_manual_st_proj(scheme, compute_dtype, use_st, win, has_bias,
 
         S = scheme.codebook_size
         if S <= CB_GRAD_MAX_SEGMENTS and not should_interpret():
-            dcbs = cb_grad_segment(codes.reshape(-1, scheme.num_codebooks), data, S)
+            # precise=False: single-pass bf16 selection dot (~0.3% grad
+            # noise — below the bf16-dequant noise this path already
+            # carries; the HIGHEST-precision dot was 60% of the 55 ms
+            # projection backward on the v5e, cbgrad_probe r5)
+            dcbs = cb_grad_segment(
+                codes.reshape(-1, scheme.num_codebooks), data, S, precise=False
+            )
         else:
             dcb_ks = []
             for k in range(scheme.num_codebooks):

@@ -25,6 +25,12 @@ import time
 from functools import partial
 
 import jax
+
+# honor an explicit CPU request: the axon TPU plugin ignores the
+# JAX_PLATFORMS env var, and a second client on the tunnel silently corrupts
+# the other client's buffers (NOTES.md env gotchas)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from aqlm_tpu.config import SCHEME_1X16, SCHEME_2X8
