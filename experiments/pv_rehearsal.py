@@ -29,11 +29,13 @@ if os.environ.get("AQLM_PROBE_CPU"):
     jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
+import torch  # noqa: F401  (imported BEFORE any tunnel traffic; see below)
 import optax
 
 from aqlm_tpu.config import SCHEME_2X8
 from aqlm_tpu.models import llama
-from aqlm_tpu.models.quantize import random_quantized_params
+from aqlm_tpu.models.common import DenseLinear
+from aqlm_tpu.ops.runtime import QuantizedLinear
 from aqlm_tpu.pv.host import HostSTManager
 from aqlm_tpu.pv.straight_through import PVConfig, init_pv_state, make_pv_step
 from aqlm_tpu.pv.teacher import HostTeacher
@@ -47,11 +49,55 @@ cfg = dc.replace(cfg, num_layers=L)
 print(f"backend: {jax.default_backend()}  L={L} T={T} steps={STEPS} "
       f"batches={NBATCH}", flush=True)
 
+# Host-side student build (numpy) + ONE upload. The r5 first attempt built
+# the student on-device and HostSTManager then device_get the 2.5 GB of
+# codes back — that download stream WEDGED the tunnel (process hung on a
+# futex with zero IO for 10+ min). Host-resident originals mean the manager
+# reads numpy directly and the device only ever receives uploads.
 t0 = time.time()
-student = random_quantized_params(
-    jax.random.PRNGKey(0), cfg, SCHEME_2X8, mode="reference", dtype=jnp.bfloat16
-)
-print(f"[setup] student built {time.time()-t0:.0f}s", flush=True)
+rng = np.random.default_rng(0)
+h, inter, d = cfg.hidden_size, cfg.intermediate_size, cfg.dim_per_head
+
+
+def np_qlin(out_f, in_f):
+    return QuantizedLinear(
+        codes=rng.integers(0, 256, (out_f, in_f // 8, 2)).astype(np.uint8),
+        codes_t=None,
+        codebooks=(rng.standard_normal((2, 256, 1, 8)) * 0.25).astype(np.float32),
+        packed_cb=None, w8=None, w8_scale=None,
+        scales=rng.uniform(0.5, 1.5, out_f).astype(np.float32),
+        bias=None, scheme=SCHEME_2X8, mode="reference",
+    )
+
+
+def np_dense(shape, scale=0.02):
+    return (rng.standard_normal(shape, np.float32) * scale).astype(jnp.bfloat16)
+
+
+host_student = {
+    "embed": np_dense((cfg.vocab_size, h)),
+    "final_norm": np.ones((h,), np.float32),
+    "lm_head": DenseLinear(weight=np_dense((cfg.vocab_size, h)), bias=None),
+    "layers": [
+        dict(
+            input_norm=np.ones((h,), np.float32),
+            post_attn_norm=np.ones((h,), np.float32),
+            q_proj=np_qlin(cfg.num_heads * d, h),
+            k_proj=np_qlin(cfg.num_kv_heads * d, h),
+            v_proj=np_qlin(cfg.num_kv_heads * d, h),
+            o_proj=np_qlin(h, cfg.num_heads * d),
+            gate_proj=np_qlin(inter, h),
+            up_proj=np_qlin(inter, h),
+            down_proj=np_qlin(h, inter),
+        )
+        for _ in range(cfg.num_layers)
+    ],
+}
+print(f"[setup] host student generated {time.time()-t0:.0f}s", flush=True)
+t0 = time.time()
+student = jax.tree.map(jnp.asarray, host_student)
+jax.block_until_ready(student["embed"])
+print(f"[setup] student uploaded {time.time()-t0:.0f}s", flush=True)
 
 # host-resident dense teacher (shared arrays per shape, as in pv_7b_memcheck:
 # the rehearsal measures loop economics, not teacher content)
@@ -88,9 +134,9 @@ ht = HostTeacher(teacher, cfg)
 print(f"[setup] host teacher built {time.time()-t0:.0f}s", flush=True)
 
 t0 = time.time()
-mgr = HostSTManager(student, window=1, lr=1e-3, moment_dtype=np.float16)
-print(f"[setup] HostSTManager built {time.time()-t0:.0f}s "
-      f"(r4: 14-16 min)", flush=True)
+mgr = HostSTManager(host_student, window=1, lr=1e-3, moment_dtype=np.float16)
+print(f"[setup] HostSTManager built {time.time()-t0:.0f}s from HOST params "
+      f"(r4 on-device originals: 14-16 min)", flush=True)
 
 pv = PVConfig(chunk_tokens=256, scan_blocks=True, code_lr=1e-3)
 st_opt = optax.identity()  # ST buffers update on host

@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-5 queue B (after queue_r5): cold-start TTFT, engine-path bench, and
+# the full bench with prefill SOL fractions.
+# PRECONDITION: /tmp/aqlm_ckpt_7b built by make_7b_checkpoint.py (CPU).
+set -x
+cd /root/repo
+{
+  echo "=== queue R5b start $(date) ==="
+  echo "--- cold start: int8 materialized, cache-cold process"
+  timeout 1800 python experiments/cold_start_probe.py /tmp/aqlm_ckpt_7b/int8 int8
+  echo "--- rc=$?"
+  echo "--- cold start: int8 materialized, cache-warm process"
+  timeout 1200 python experiments/cold_start_probe.py /tmp/aqlm_ckpt_7b/int8 int8
+  echo "--- rc=$?"
+  echo "--- cold start: codes materialized, cache-cold"
+  timeout 1800 python experiments/cold_start_probe.py /tmp/aqlm_ckpt_7b/codes codes
+  echo "--- rc=$?"
+  echo "--- cold start: codes materialized, cache-warm"
+  timeout 1200 python experiments/cold_start_probe.py /tmp/aqlm_ckpt_7b/codes codes
+  echo "--- rc=$?"
+  echo "--- cold start BASELINE: canonical checkpoint, load-time int8 transcode"
+  timeout 2400 python experiments/cold_start_probe.py /tmp/aqlm_ckpt_7b/canon int8
+  echo "--- rc=$?"
+
+  echo "--- engine-path bench (16 mixed requests, int8 + codes)"
+  timeout 3600 python bench.py --engine
+  echo "--- rc=$?"
+
+  echo "--- full bench (decode + prefill SOL fractions per mode)"
+  timeout 5400 python bench.py
+  echo "--- rc=$?"
+  echo "=== queue R5b done $(date) ==="
+} 2>&1 | tee /tmp/queue_r5b.log
