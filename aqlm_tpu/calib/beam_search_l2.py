@@ -32,10 +32,19 @@ __all__ = ["beam_search_optimal_codes_l2", "find_optimal_codebooks"]
 
 
 def _dequant_groups(codes, flat_cbs, S):
-    """codes [G, K] int32, flat_cbs [K*S, gsz] -> [G, gsz] sum over codebooks."""
+    """codes [G, K] int32, flat_cbs [K*S, gsz] -> [G, gsz] sum over codebooks.
+
+    Per-codebook TPU-safe row gathers (calib/kmeans._take_rows_safe): the
+    single [G*K]-index jnp.take is the broadcast-index gather class that
+    crashes the v5e worker at millions of indices (dequant_crash_probe)."""
+    from aqlm_tpu.calib.kmeans import _take_rows_safe
+
     K = codes.shape[1]
-    offsets = (jnp.arange(K) * S)[None, :]
-    return jnp.take(flat_cbs, codes + offsets, axis=0).sum(axis=1)
+    acc = None
+    for k in range(K):
+        part = _take_rows_safe(flat_cbs[k * S : (k + 1) * S], codes[:, k])
+        acc = part if acc is None else acc + part
+    return acc
 
 
 def _beam_update_codes(

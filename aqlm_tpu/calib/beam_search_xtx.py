@@ -90,10 +90,18 @@ def beam_search_optimal_codes(
 
     # initial dequantized weight and residual products
     def dequant(codes):  # [OG, IG, K] -> [out, in]
-        flat = cbs.reshape(K * S, og, g)
-        idx = (jnp.arange(K) * S)[None, None, :] + codes
-        parts = jnp.take(flat, idx, axis=0).sum(2)  # [OG, IG, og, g]
-        parts = parts * sc_full[:, :, None, None]
+        # per-codebook TPU-safe row gathers: the fused [OG*IG*K]-index
+        # jnp.take is the broadcast-index gather class that crashes the v5e
+        # worker at 7B scale (dequant_crash_probe; the r5 full-scale 1x16
+        # calibration died in exactly this position)
+        from aqlm_tpu.calib.kmeans import _take_rows_safe
+
+        flat = cbs.reshape(K, S, og * g)
+        acc = None
+        for k in range(K):
+            part = _take_rows_safe(flat[k], codes[:, :, k].reshape(-1))
+            acc = part if acc is None else acc + part
+        parts = acc.reshape(OG, IG, og, g) * sc_full[:, :, None, None]
         return parts.transpose(0, 2, 1, 3).reshape(out, in_features)
 
     resid0 = W - dequant(codes0)

@@ -28,6 +28,24 @@ import jax.numpy as jnp
 __all__ = ["fit_kmeans", "find_nearest_cluster", "fit_kmeans_1d"]
 
 
+def _take_rows_safe(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """table[idx] without the broadcast-index XLA gather on real TPUs.
+
+    XLA's take/take_along_axis at multi-million-index scale crashes the v5e
+    worker (experiments/dequant_crash_probe; the r5 full-scale 1x16 kmeans
+    died inside fit_kmeans with a worker crash). The row-packed wide gather
+    (ops/gather16) is the measured-safe gather class — pack rows into
+    128-lane lines, gather whole lines, extract with a fused one-hot.
+    Falls back to the plain gather on CPU or unpackable widths."""
+    k, d = table.shape
+    if jax.default_backend() == "cpu" or d > 128 or 128 % d or (k * d) % 128:
+        return table[idx]
+    from aqlm_tpu.ops.gather16 import _dequant_rows, pack_codebook_rows
+
+    packed = pack_codebook_rows(table.astype(jnp.float32), d, dtype=jnp.float32)
+    return _dequant_rows(idx.astype(jnp.int32), packed, d)
+
+
 def _pad_to_multiple(x: jax.Array, multiple: int, axis: int = 0):
     n = x.shape[axis]
     pad = (-n) % multiple
@@ -90,7 +108,7 @@ def fit_kmeans(
         clusters0 = _greedy_init(data, k)
     else:
         perm = jax.random.choice(key, n, shape=(k,), replace=n < k)
-        clusters0 = data[perm]
+        clusters0 = _take_rows_safe(data, perm)
 
     padded, mask = _pad_to_multiple(data, chunk)
     npad = padded.shape[0]
@@ -118,7 +136,7 @@ def fit_kmeans(
     )
 
     idx = _assign_chunked(padded, clusters, chunk)[:n]
-    return clusters, idx, clusters[idx]
+    return clusters, idx, _take_rows_safe(clusters, idx)
 
 
 def _greedy_init(data: jax.Array, k: int) -> jax.Array:
@@ -146,7 +164,7 @@ def find_nearest_cluster(data: jax.Array, clusters: jax.Array, *, chunk: int = 1
     n = data.shape[0]
     padded, _ = _pad_to_multiple(data, chunk)
     idx = _assign_chunked(padded, clusters.astype(jnp.float32), chunk)[:n]
-    return idx, clusters[idx]
+    return idx, _take_rows_safe(clusters.astype(jnp.float32), idx)
 
 
 # ---------------------------------------------------------------------------

@@ -79,3 +79,22 @@ def test_fit_kmeans_1d_exact_k_equals_n(key):
     data = jax.random.normal(key, (3, 16))
     _, _, restored = fit_kmeans_1d(data, 16)
     np.testing.assert_allclose(np.asarray(restored), np.asarray(data), atol=1e-6)
+
+
+def test_take_rows_safe_packed_matches_gather():
+    """The TPU-safe row-packed gather branch (the kmeans/beam crash
+    mitigation) == the plain table[idx] gather."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aqlm_tpu.ops.gather16 import _dequant_rows, pack_codebook_rows
+
+    rng = np.random.default_rng(0)
+    for k, d in ((512, 8), (64, 16), (4096, 8)):
+        table = jnp.asarray(rng.standard_normal((k, d)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, k, 3000), jnp.int32)
+        packed = pack_codebook_rows(table, d, dtype=jnp.float32)
+        got = _dequant_rows(idx, packed, d)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(table[idx]),
+                                   rtol=1e-6, atol=1e-6)
