@@ -28,6 +28,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from aqlm_tpu.calib.beam_search_xtx import _SCORE_S_BLOCK
+
 __all__ = ["beam_search_optimal_codes_l2", "find_optimal_codebooks"]
 
 
@@ -98,14 +100,52 @@ def _beam_update_codes(
 
         dup_penalty = jnp.where((step_i == 0) & (jnp.arange(B) > 0), jnp.inf, 0.0)
 
+        def _blk_scores(rp, rn, cb_b, norms_b):
+            dots = jnp.einsum("gbd,sd->gbs", rp, cb_b)
+            return (
+                rn[:, :, None] - 2.0 * dots + norms_b[None, None, :]
+                + dup_penalty[None, :, None]
+            )
+
         def score_chunk(args):
             rp, rn = args  # [gc, B, gsz], [gc, B]
-            dots = jnp.einsum("gbd,sd->gbs", rp, cb_k)
-            scores = (
-                rn[:, :, None] - 2.0 * dots + norms_k[None, None, :] + dup_penalty[None, :, None]
+            if S <= _SCORE_S_BLOCK:
+                scores = _blk_scores(rp, rn, cb_k, norms_k)
+                neg_vals, idx = jax.lax.top_k(-scores.reshape(-1, B * S), kb)
+                return -neg_vals, idx.astype(jnp.int32)  # [gc, kb] ascending loss
+            # candidate axis blocked with a streaming top-k merge — one
+            # [gc, B*65536] scores/top_k program crashes the v5e worker
+            # (kmeans_crash_probe variant B); carry-first concat keeps the
+            # single-program tie order (earlier candidate wins)
+            sb = _SCORE_S_BLOCK
+            nb = -(-S // sb)
+            sp = nb * sb
+            cb_pad = jnp.pad(cb_k, ((0, sp - S), (0, 0)))
+            norms_pad = jnp.pad(norms_k, (0, sp - S), constant_values=jnp.inf)
+            gc = rp.shape[0]
+
+            def blk(carry, xs):
+                bv, bi = carry  # [gc, kb] best vals + GLOBAL flat (b*S+s)
+                cb_b, nm_b, base = xs
+                scores = _blk_scores(rp, rn, cb_b, nm_b)
+                nv, fi = jax.lax.top_k(-scores.reshape(-1, B * sb), kb)
+                fi = fi.astype(jnp.int32)
+                gflat = (fi // sb) * S + base + (fi % sb)
+                allv = jnp.concatenate([bv, -nv], axis=1)
+                alli = jnp.concatenate([bi, gflat], axis=1)
+                nv2, sel = jax.lax.top_k(-allv, kb)
+                return (-nv2, jnp.take_along_axis(alli, sel, axis=1)), None
+
+            init = (
+                jnp.full((gc, kb), jnp.inf, jnp.float32),
+                jnp.zeros((gc, kb), jnp.int32),
             )
-            neg_vals, idx = jax.lax.top_k(-scores.reshape(-1, B * S), kb)
-            return -neg_vals, idx.astype(jnp.int32)  # [gc, kb] sorted ascending loss
+            (vals, idx), _ = jax.lax.scan(
+                blk, init,
+                (cb_pad.reshape(nb, sb, gsz), norms_pad.reshape(nb, sb),
+                 jnp.arange(nb, dtype=jnp.int32) * sb),
+            )
+            return vals, idx
 
         vals, flat_idx = jax.lax.map(
             score_chunk,

@@ -39,6 +39,12 @@ def _topk_smallest(x: jax.Array, k: int):
     return -neg_vals, idx
 
 
+# widest single scores/argmax/top_k program allowed on the candidate axis;
+# wider one-shot programs crash the v5e worker after ~tens of executions
+# (experiments/kmeans_crash_probe variant B)
+_SCORE_S_BLOCK = 8192
+
+
 @partial(jax.jit, static_argnames=("beam_size", "out_chunk"))
 def beam_search_optimal_codes(
     XTX: jax.Array,
@@ -165,18 +171,57 @@ def beam_search_optimal_codes(
         ).reshape(n_chunks, out_chunk, B)
         sc_p = pad_groups(sc).reshape(n_chunks, out_chunk)
 
-        def score_chunk(args):
-            dwx_c, base_c, sc_c = args  # [oc, B, og, g], [oc, B], [oc]
-            cand_dot = jnp.einsum("obyg,syg->obs", dwx_c, cb)  # [oc, B, S]
-            cand = (
+        def _cand_scores(dwx_c, base_c, sc_c, cb_blk, norm_blk):
+            cand_dot = jnp.einsum("obyg,syg->obs", dwx_c, cb_blk)
+            return (
                 base_c[:, :, None]
                 - 2.0 * sc_c[:, None, None] * cand_dot
-                + (sc_c[:, None] ** 2)[:, :, None] * cand_norm[None, None, :]
+                + (sc_c[:, None] ** 2)[:, :, None] * norm_blk[None, None, :]
                 + dup_penalty[None, :, None]
             )
-            # top beam_size over (B*S) joint candidates per out group
-            vals, flat_idx = _topk_smallest(cand.reshape(out_chunk, B * S), B)
-            return vals, flat_idx.astype(jnp.int32)  # [oc, B]
+
+        def score_chunk(args):
+            dwx_c, base_c, sc_c = args  # [oc, B, og, g], [oc, B], [oc]
+            if S <= _SCORE_S_BLOCK:
+                cand = _cand_scores(dwx_c, base_c, sc_c, cb, cand_norm)
+                # top beam_size over (B*S) joint candidates per out group
+                vals, flat_idx = _topk_smallest(cand.reshape(out_chunk, B * S), B)
+                return vals, flat_idx.astype(jnp.int32)  # [oc, B]
+            # candidate axis blocked with a streaming top-k merge: a single
+            # [oc, B*65536] score+top_k program is the op class that crashes
+            # the v5e worker after ~tens of executions (kmeans_crash_probe
+            # variant B — the wide scores/reduction, not a gather). The
+            # carry-first concat keeps earlier blocks preferred on ties,
+            # matching the single-program first-minimum.
+            sb = _SCORE_S_BLOCK
+            nb = -(-S // sb)
+            sp = nb * sb
+            cb_p = jnp.pad(cb, ((0, sp - S), (0, 0), (0, 0)))
+            norm_p = jnp.pad(cand_norm, (0, sp - S), constant_values=jnp.inf)
+            cb_blocks = cb_p.reshape(nb, sb, og, g)
+            norm_blocks = norm_p.reshape(nb, sb)
+            bases = jnp.arange(nb, dtype=jnp.int32) * sb
+
+            def blk(carry, xs):
+                bv, bi = carry  # [oc, B] best vals + GLOBAL flat (b*S+s) idx
+                cb_b, cn_b, base = xs
+                cand = _cand_scores(dwx_c, base_c, sc_c, cb_b, cn_b)
+                v, fi = _topk_smallest(cand.reshape(out_chunk, B * sb), B)
+                fi = fi.astype(jnp.int32)
+                gflat = (fi // sb) * S + base + (fi % sb)
+                allv = jnp.concatenate([bv, v], axis=1)
+                alli = jnp.concatenate([bi, gflat], axis=1)
+                v2, sel = _topk_smallest(allv, B)
+                return (v2, jnp.take_along_axis(alli, sel, axis=1)), None
+
+            init = (
+                jnp.full((out_chunk, B), jnp.inf, jnp.float32),
+                jnp.zeros((out_chunk, B), jnp.int32),
+            )
+            (vals, flat_idx), _ = jax.lax.scan(
+                blk, init, (cb_blocks, norm_blocks, bases)
+            )
+            return vals, flat_idx
 
         vals, flat_idx = jax.lax.map(score_chunk, (dwx_p, base_p, sc_p))
         new_losses = vals.reshape(pad_og, B)[:OG].T  # [B, OG]

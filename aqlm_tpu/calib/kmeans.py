@@ -57,25 +57,71 @@ def _pad_to_multiple(x: jax.Array, multiple: int, axis: int = 0):
     return jnp.pad(x, widths), mask
 
 
+_ASSIGN_CLUSTER_BLOCK = 8192
+
+
 def _assign_chunked(data: jax.Array, clusters: jax.Array, chunk: int) -> jax.Array:
-    """argmin_c ||x - c||^2 per point, computed as argmax(x.c - 0.5||c||^2)."""
+    """argmin_c ||x - c||^2 per point, computed as argmax(x.c - 0.5||c||^2).
+
+    The cluster axis is additionally blocked at _ASSIGN_CLUSTER_BLOCK with a
+    running (best, argbest) carried across blocks: a single [chunk, 65536]
+    scores+argmax program CRASHES the v5e worker after ~tens of executions
+    (experiments/kmeans_crash_probe variant B — the op that killed the
+    full-scale 1x16 calibration), while block-width ops are the same shapes
+    the 2x8 path runs everywhere. Identical result (ties resolve to the
+    lowest index in both forms: argmax picks the first maximum and the
+    cross-block merge only replaces on a strictly greater score)."""
     n, d = data.shape
     k = clusters.shape[0]
     half_sq = 0.5 * jnp.sum(clusters * clusters, axis=1)  # [k]
-
     chunks = data.reshape(n // chunk, chunk, d)
 
-    def one(chunk_data):
-        scores = (
-            jax.lax.dot_general(
-                chunk_data,
-                clusters,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+    if k <= _ASSIGN_CLUSTER_BLOCK:
+        def one(chunk_data):
+            scores = (
+                jax.lax.dot_general(
+                    chunk_data,
+                    clusters,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                - half_sq[None, :]
             )
-            - half_sq[None, :]
+            return jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+        return jax.lax.map(one, chunks).reshape(n)
+
+    cb = _ASSIGN_CLUSTER_BLOCK
+    kp = -(-k // cb) * cb
+    cl = jnp.pad(clusters, ((0, kp - k), (0, 0)))
+    # padded clusters can never win: +inf half-norm -> -inf score
+    hs = jnp.pad(half_sq, (0, kp - k), constant_values=jnp.inf)
+    cl_blocks = cl.reshape(kp // cb, cb, d)
+    hs_blocks = hs.reshape(kp // cb, cb)
+    bases = (jnp.arange(kp // cb, dtype=jnp.int32) * cb)
+
+    def one(chunk_data):
+        def blk(carry, xs):
+            best_v, best_i = carry
+            cl_b, hs_b, base = xs
+            scores = (
+                jax.lax.dot_general(
+                    chunk_data, cl_b, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                - hs_b[None, :]
+            )
+            v = jnp.max(scores, axis=1)
+            i = jnp.argmax(scores, axis=1).astype(jnp.int32) + base
+            upd = v > best_v
+            return (jnp.where(upd, v, best_v), jnp.where(upd, i, best_i)), None
+
+        init = (
+            jnp.full((chunk_data.shape[0],), -jnp.inf, jnp.float32),
+            jnp.zeros((chunk_data.shape[0],), jnp.int32),
         )
-        return jnp.argmax(scores, axis=1).astype(jnp.int32)
+        (_best_v, best_i), _ = jax.lax.scan(blk, init, (cl_blocks, hs_blocks, bases))
+        return best_i
 
     return jax.lax.map(one, chunks).reshape(n)
 

@@ -140,3 +140,39 @@ def test_find_optimal_codebooks_reduces_error(key):
         return float(jnp.sum((deq - groups) ** 2))
 
     assert err(new_cbs) <= err(cbs) + 1e-6
+
+
+def test_blocked_candidate_scoring_matches_plain(monkeypatch):
+    """S-axis-blocked streaming top-k (the 65536-candidate crash mitigation)
+    == the single-program scoring, both beam searches."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aqlm_tpu.calib import beam_search_l2 as bl2
+    from aqlm_tpu.calib import beam_search_xtx as bxtx
+    from aqlm_tpu.config import AqlmScheme
+    from aqlm_tpu.ops.dequant import dequantize_weight, random_aqlm_weight
+
+    scheme = AqlmScheme(num_codebooks=2, nbits_per_codebook=8, in_group_size=8)
+    w = random_aqlm_weight(jax.random.PRNGKey(0), scheme, 64, 64)
+    target = dequantize_weight(w, dtype=jnp.float32) * 1.03 + 0.01
+
+    plain = bl2.beam_search_optimal_codes_l2(
+        target, w.codebooks, w.codes, w.scales, beam_size=2)
+    jax.clear_caches()
+    monkeypatch.setattr(bl2, "_SCORE_S_BLOCK", 64)
+    blocked = bl2.beam_search_optimal_codes_l2(
+        target, w.codebooks, w.codes, w.scales, beam_size=2)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(blocked))
+    jax.clear_caches()
+
+    xtx = jnp.eye(64, dtype=jnp.float32) + 0.01
+    plain_x, _ = bxtx.beam_search_optimal_codes(
+        xtx, target, w.codebooks, w.codes, w.scales, beam_size=2)
+    jax.clear_caches()
+    monkeypatch.setattr(bxtx, "_SCORE_S_BLOCK", 64)
+    blocked_x, _ = bxtx.beam_search_optimal_codes(
+        xtx, target, w.codebooks, w.codes, w.scales, beam_size=2)
+    np.testing.assert_array_equal(np.asarray(plain_x), np.asarray(blocked_x))
+    jax.clear_caches()

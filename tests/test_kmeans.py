@@ -98,3 +98,23 @@ def test_take_rows_safe_packed_matches_gather():
         got = _dequant_rows(idx, packed, d)
         np.testing.assert_allclose(np.asarray(got), np.asarray(table[idx]),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_assign_cluster_blocked_matches_plain(monkeypatch):
+    """Cluster-axis-blocked assignment (the 65536-cluster crash mitigation)
+    == the single-program argmax, including tie resolution."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aqlm_tpu.calib import kmeans as km
+
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.standard_normal((2048, 8)), jnp.float32)
+    clusters = jnp.asarray(rng.standard_normal((600, 8)), jnp.float32)
+    # duplicate rows to exercise tie handling across block boundaries
+    clusters = clusters.at[300:].set(clusters[:300])
+    plain = km._assign_chunked(data, clusters, 512)
+    monkeypatch.setattr(km, "_ASSIGN_CLUSTER_BLOCK", 128)
+    blocked = km._assign_chunked(data, clusters, 512)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(blocked))
