@@ -212,7 +212,13 @@ for step in range(STEPS):
     t0 = time.time()
     key, sub = jax.random.split(key)
     state = fns.code_step(state, sub, active=active)
-    jax.block_until_ready(jax.tree.leaves(state.frozen)[0])
+    # block on the UPDATED CODES, not an arbitrary (unchanged) leaf: the
+    # first run let the V-step's beam search float asynchronously into the
+    # next grad step — mis-timed as V=0.0 and, worse, the overlapped
+    # working sets OOM'd the 16 GB chip at step 4 (RESOURCE_EXHAUSTED)
+    jax.block_until_ready(
+        state.frozen["layers"][active[0]]["gate_proj"].codes
+    )
     # delta_decay=0: the V step leaves buffers unchanged, so no store —
     # writing back the bf16 upload would round away host-Adam precision
     t_v = time.time() - t0

@@ -4,11 +4,10 @@ The tiny ladder (test_quality_ladder.py) calibrates a hidden-64 model where
 1x16 is LOSSLESS (65536 codebook entries > total weight groups), so every
 serving-substitute delta is measured where quantization doesn't hurt —
 best-case bounds (VERDICT r4 missing #4). This harness scales the model
-until 1x16 is LOSSY for the MLP projections: hidden=512 / intermediate=2048
--> gate/up/down have 512*2048/8 = 131072 groups sharing 65536 codebook
-entries (the attention projections stay sub-codebook; the MLP is ~86% of
-block params). The published deltas are measured exactly there — where
-quantization hurts (/root/reference/README.md:42-95).
+until 1x16 is LOSSY for every projection: hidden=768 / intermediate=3072
+-> gate/up/down carry 768*3072/8 = 294912 groups and q/k/v/o 73728, all
+oversubscribing the 65536-entry codebook. The published deltas are measured
+exactly there — where quantization hurts (/root/reference/README.md:42-95).
 
 Building the fixture costs ~minutes on a TPU chip and tens of minutes on
 CPU (65536-cluster kmeans over 131k groups), so it is built ONCE into a
@@ -65,11 +64,15 @@ def _train_mid_model(root: str) -> dict:
 
     cfg = llama.ModelConfig(
         vocab_size=VOCAB,
-        hidden_size=512,
-        intermediate_size=2048,
+        # hidden 768 / intermediate 3072: gate/up/down carry 294912 groups
+        # and even q/k/v/o carry 73728 — EVERY projection oversubscribes the
+        # 65536-entry 1x16 codebook (a 512/2048 first cut left exact-1x16
+        # only +0.005 over fp — barely outside noise)
+        hidden_size=768,
+        intermediate_size=3072,
         num_layers=2,
-        num_heads=8,
-        num_kv_heads=8,
+        num_heads=12,
+        num_kv_heads=12,
         max_position_embeddings=SEQLEN,
         rms_eps=1e-5,
         tie_embeddings=False,
