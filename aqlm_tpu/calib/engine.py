@@ -230,7 +230,10 @@ def quantize_weight(
 
     Returns (quantized weight, stats dict with loss trajectory).
     """
+    import time as _time
+
     rng = np.random.RandomState(config.seed)
+    _t0 = _time.time()
     weight = init_quantized_weight(
         reference_weight,
         scheme,
@@ -239,6 +242,9 @@ def quantize_weight(
         max_points_per_centroid=config.init_max_points_per_centroid,
         scale_nbits=config.scale_nbits,
     )
+    jax.block_until_ready(weight.codebooks)
+    if config.verbose:
+        print(f"init (residual kmeans) {_time.time()-_t0:.1f}s", flush=True)
     # AMSGrad-Adam with betas (0.0, 0.95) as in aq_engine.py:67
     opt = optax.amsgrad(config.lr, b1=0.0, b2=0.95)
 
@@ -275,6 +281,7 @@ def quantize_weight(
     previous_best = float("inf")
     history = []
     for epoch in range(config.max_epochs):
+        _t0 = _time.time()
         codebooks, scales, opt_state, losses = adam_epoch(
             codebooks, scales, codes, opt_state, reference_weight, XTX
         )
@@ -283,7 +290,8 @@ def quantize_weight(
             raise ValueError(f"quantization loss is {first_loss}")
         history.append(first_loss)
         if config.verbose:
-            print(f"epoch={epoch} first_loss={first_loss:.10f}")
+            print(f"epoch={epoch} first_loss={first_loss:.10f} "
+                  f"(adam {_time.time()-_t0:.1f}s)", flush=True)
         if config.relative_mse_tolerance is not None:
             if first_loss / previous_best > (1.0 - config.relative_mse_tolerance):
                 break
@@ -315,6 +323,7 @@ def quantize_weight(
                 steps_order=jnp.asarray(order),
             )
         else:
+            _t0 = _time.time()
             codes, _ = beam_search_optimal_codes(
                 XTX,
                 reference_weight,
@@ -324,6 +333,10 @@ def quantize_weight(
                 beam_size=config.beam_size,
                 steps_order=jnp.asarray(order),
             )
+            jax.block_until_ready(codes)
+            if config.verbose:
+                print(f"epoch={epoch} beam sweep {_time.time()-_t0:.1f}s",
+                      flush=True)
 
     # bake the second-level quantization into the stored values (the reference
     # re-derives it on every forward via get_codebooks/get_scales; a canonical

@@ -58,7 +58,9 @@ print("XTX accumulated", flush=True)
 
 cfg = CalibConfig(
     lr=1e-4, beam_size=1, max_epochs=MAX_EPOCHS, steps_per_epoch=100,
-    relative_mse_tolerance=0.01, init_max_iter=100, verbose=True,
+    relative_mse_tolerance=0.01,
+    init_max_iter=int(os.environ.get("AQLM_CALIB_INIT_ITER", "100")),
+    verbose=True,
 )
 
 t0 = time.time()
