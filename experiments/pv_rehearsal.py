@@ -169,10 +169,13 @@ times = {"grad": [], "host_adam": [], "v": []}
 #  - grads come back bf16 (cast on device, halves the download);
 #  - only the V step uploads the real (Adam-updated) buffers, in bf16 —
 #    the beam-search target tolerates bf16 (codes are argmins over scores).
-zeros_win = {
-    name: jnp.zeros((1,) + buf.shape, jnp.float32)
-    for name, buf in mgr.buffers[0].items()
-}
+def zeros_win():
+    # fresh per step: the apply jit DONATES the state (incl. this window),
+    # so a shared zeros buffer would be invalidated after the first step
+    return {
+        name: jnp.zeros((1,) + buf.shape, jnp.float32)
+        for name, buf in mgr.buffers[0].items()
+    }
 
 
 @jax.jit
@@ -181,10 +184,23 @@ def _grad_bf16(state, tb, ids, win_start):
     return loss, g_tr, jax.tree.map(lambda a: a.astype(jnp.bfloat16), g_st)
 
 
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, donate_argnums=(0, 1))
+def _apply(state, grads):
+    """Jitted + donated continuous-param update: the first rehearsal runs
+    called fns.apply_fn EAGERLY — every optax op dispatched separately with
+    all intermediates live, which both cost ~70-200 s/step of host wall and
+    grew HBM until step 2-4 OOM'd. Donation reuses the old state/grad
+    buffers in place."""
+    return fns.apply_fn(state, grads, 1.0)
+
+
 for step in range(STEPS):
     active = mgr.active_window(step)
     win_start = jnp.int32(active[0])
-    state = dc.replace(state, st_buffers=zeros_win)
+    state = dc.replace(state, st_buffers=zeros_win())
     ids = batches[step % NBATCH]
     tb = tbatches[step % NBATCH]
 
@@ -198,8 +214,8 @@ for step in range(STEPS):
     mgr.adam_update(active, mgr.window_to_list(active, g_host))
     # continuous params update while st is still the zeros window (st_opt is
     # identity, so its slot is untouched)
-    state = fns.apply_fn(state, (g_tr, jax.tree.map(
-        lambda a: jnp.zeros(a.shape, jnp.float32), g_st)), 1.0)
+    state = _apply(state, (g_tr, jax.tree.map(
+        lambda a: jnp.zeros(a.shape, jnp.float32), g_st)))
     # V-step target: upload the Adam-updated buffers in bf16 (halves the
     # tunnel upload; the beam search casts its target to f32 internally)
     st_dev = {
