@@ -186,10 +186,21 @@ def _dequant_groups_g16(codes, cb, scheme):
 
     assert scheme.out_group_size == 1, scheme
     g_ = scheme.in_group_size
+    out_f, ig = codes.shape[0], codes.shape[1]
+    # bound the wide-row gather's [chunk, IG, 128] transient to ~256 MB: the
+    # unchunked eager form materializes ~3 GB per 7B projection (the per-row
+    # 16x expansion before extraction) and OOM'd every eager 1x16 dequant
+    # call site in the r5e bench (largest divisor of OUT within budget; None
+    # when OUT itself is small enough)
+    budget_rows = max(1, 256 * 2 ** 20 // max(ig * 128 * 4, 1))
+    chunk = None
+    if out_f > budget_rows:
+        divs = [d for d in range(1, out_f + 1) if out_f % d == 0 and d <= budget_rows]
+        chunk = max(divs) if divs else None
     w = None
     for k in range(scheme.num_codebooks):
         packed = pack_codebook_rows(cb[k, :, 0, :], g_, dtype=jnp.float32)
-        wk = _dequant_weight_16(codes[:, :, k], packed, group=g_)
+        wk = _dequant_weight_16(codes[:, :, k], packed, group=g_, chunk=chunk)
         w = wk if w is None else w + wk
     return w.astype(jnp.float32)
 

@@ -225,12 +225,18 @@ def engine_bench(cfg, mode="int8", n_req=16, max_new=64, decode_chunk=8):
 
     scheme = SCHEME_2X8 if mode == "codes" else SCHEME_1X16
     params = random_quantized_params(jax.random.PRNGKey(0), cfg, scheme, mode=mode)
+    # env-tunable: the 16 GB dev chip OOMs at max_batch=8/max_len=1024 with
+    # the full bucket set compiled; smaller configs still exercise the full
+    # serving path (continuous batching, chunked prefill, prefix cache)
+    mb = int(os.environ.get("AQLM_ENGINE_MB", "8"))
+    ml = int(os.environ.get("AQLM_ENGINE_ML", "1024"))
     engine = Engine(params, cfg, ServeConfig(
-        max_batch=8, max_len=1024, kv_quantized=True,
+        max_batch=mb, max_len=ml, kv_quantized=True,
         decode_chunk=decode_chunk, donate_params=True,
     ))
     rng = np.random.default_rng(0)
-    plens = [(32, 128, 512)[i % 3] for i in range(n_req)]
+    cap = max(16, ml - max_new - 8)
+    plens = [min((32, 128, 512)[i % 3], cap) for i in range(n_req)]
     prompts = [rng.integers(0, cfg.vocab_size, (p,)).astype(np.int32) for p in plens]
     # duplicate a prompt to exercise the prefix cache
     prompts[3] = prompts[0].copy()

@@ -33,16 +33,36 @@ MODE = sys.argv[2] if len(sys.argv) > 2 else "int8"
 enable_compile_cache()
 import jax.numpy as jnp  # noqa: E402
 
+def _mem():
+    try:
+        st = jax.local_devices()[0].memory_stats() or {}
+        return f"{st.get('bytes_in_use', 0)/1e9:.1f} GB in use"
+    except Exception:
+        return "mem n/a"
+
+
 t0 = time.time()
 params, cfg, _ = resolve_model(CKPT, dtype=jnp.bfloat16, mode=MODE)
+jax.block_until_ready(params["embed"])
 t_load = time.time() - t0
+print(f"[cold] loaded in {t_load:.1f}s ({_mem()})", flush=True)
 
 t0 = time.time()
 engine = Engine(params, cfg, ServeConfig(
     max_batch=1, max_len=256, prefill_buckets=(64,), kv_quantized=True,
     donate_params=True,
+    # differential knobs for the int8-engine OOM isolation (r5e: the 7B
+    # int8 ENGINE path RESOURCE_EXHAUSTs at first prefill while the raw
+    # bench forward of the same weights fits)
+    fuse_projections=not os.environ.get("AQLM_COLD_NOFUSE"),
+    lm_head_int8=not os.environ.get("AQLM_COLD_NOLMHEAD8"),
 ))
+del params
+import gc
+
+gc.collect()
 t_build = time.time() - t0
+print(f"[cold] engine built in {t_build:.1f}s ({_mem()})", flush=True)
 
 t0 = time.time()
 rid = engine.submit(np.arange(16, dtype=np.int32) % cfg.vocab_size,
