@@ -86,6 +86,17 @@ class Engine:
         _fuse_tp: int = 1,  # TPEngine: shard-interleaved fused layout
     ):
         self.cfg = cfg
+        # a prefill bucket wider than the KV cache would dynamic-update-slice
+        # a [.., bucket] window into a [.., max_len] cache (out-of-bounds at
+        # trace time); clamp buckets to max_len so short-cache engines work
+        # with the default bucket list
+        if max(serve.prefill_buckets) > serve.max_len:
+            serve = dataclasses.replace(
+                serve,
+                prefill_buckets=tuple(
+                    sorted({min(b, serve.max_len) for b in serve.prefill_buckets})
+                ),
+            )
         self.serve = serve
         if serve.fuse_projections or serve.lm_head_int8:
             from aqlm_tpu.serve.fuse import fuse_projections, quantize_lm_head_int8

@@ -283,13 +283,20 @@ def main():
             cfg = _dc.replace(cfg, num_layers=2, hidden_size=256, intermediate_size=512,
                               num_heads=4, num_kv_heads=4, vocab_size=512)
         out = {}
-        for mode in ("int8", "codes"):
+        # AQLM_ENGINE_MODES selects which modes to run (comma-separated). A
+        # mode that OOMs can poison the worker's allocator for the rest of
+        # the process (the engine_probe sequence: int8 OOM -> codes, which
+        # fits comfortably at 2 GB resident, OOMs too), so per-mode runs in
+        # separate processes are the robust way to bench both.
+        modes = os.environ.get("AQLM_ENGINE_MODES", "int8,codes").split(",")
+        for mode in modes:
             try:
                 out[mode] = engine_bench(cfg, mode=mode)
             except Exception as e:
                 log(f"engine bench {mode} failed: {e!r}")
+        best = max((m.get("aggregate_tps", 0) for m in out.values()), default=0)
         print(json.dumps({"metric": "engine_aggregate_tps_16req",
-                          "value": out.get("int8", {}).get("aggregate_tps", 0),
+                          "value": best,
                           "unit": "tok/s", "vs_baseline": 0,
                           "engine": out}))
         return

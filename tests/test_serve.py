@@ -293,3 +293,17 @@ def test_sampled_generation_deterministic_given_seed():
     # temperature actually does something (not silently greedy)
     g = Engine(params, cfg, serve).generate(prompts, SamplingParams(max_new_tokens=8))
     assert a != g
+
+
+def test_default_buckets_clamped_to_short_max_len(setup):
+    """Regression: ServeConfig's default prefill_buckets (64/256/1024) with a
+    max_len shorter than the widest bucket used to trace a prefill whose
+    dynamic-update-slice window exceeded the KV cache bound (found by
+    bench --engine at AQLM_ENGINE_ML=512). The engine must clamp buckets to
+    max_len and still serve a prompt that lands in the clamped bucket."""
+    cfg, params = setup
+    engine = Engine(params, cfg, ServeConfig(max_batch=1, max_len=48))
+    assert max(engine.serve.prefill_buckets) == 48, engine.serve.prefill_buckets
+    prompt = np.arange(40, dtype=np.int32) % cfg.vocab_size
+    out = engine.generate([prompt], SamplingParams(max_new_tokens=4))[0]
+    assert len(out) == 4
